@@ -1,0 +1,98 @@
+"""End-to-end per-document extraction: reader → structure → tree → text.
+
+These are the pure functions that the Spark extraction stage
+(operators/pipeline.py) maps over Arrow batches. They are also called
+directly in unit tests — same code path, same bytes out.
+
+Lifecycle mirrors DedocManager.parse (dedoc_manager.py:100-126): read →
+structure extraction → tree construction; metadata comes from the input
+table columns instead of os.stat (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Dict, List, Optional
+
+from dedoc_spark.core.html_extract import HtmlExtractor
+from dedoc_spark.core.model import Line
+from dedoc_spark.core.structure import assign_hierarchy_levels
+from dedoc_spark.core.tree import construct_tree, flatten_tree, tree_to_text
+from dedoc_spark.core.txt_extract import extract_txt_lines
+
+_HTML_EXTRACTOR = HtmlExtractor()
+
+
+def url_hash(url: str) -> str:
+    """Content-derived per-document seed replacing the reference's
+    file-content hash in uid chains (SURVEY.md §7.0)."""
+    return hashlib.md5(url.encode()).hexdigest()
+
+
+def _finalize(url: str, lines: List[Line], tables, warnings) -> Dict:
+    assign_hierarchy_levels(lines)
+    tree = construct_tree(lines)
+    text_extracted = tree_to_text(tree)
+    # UnstructuredDocument.get_text() semantics (unstructured_document.py:44-45)
+    text_linear = "\n".join(line.line for line in lines)
+    return {
+        "url": url,
+        "text_extracted": text_extracted,
+        "text_linear": text_linear,
+        "n_lines": len(lines),
+        "n_tables": len(tables),
+        "lines_json": json.dumps([ln.to_dict() for ln in lines], ensure_ascii=False),
+        "tree_json": json.dumps(tree.to_dict(), ensure_ascii=False),
+        "nodes_json": json.dumps(flatten_tree(tree), ensure_ascii=False),
+        "tables_json": json.dumps([t.to_dict() for t in tables], ensure_ascii=False),
+        "warnings": list(warnings),
+        "error": None,
+    }
+
+
+def extract_html_document(
+    url: str, html: bytes | str, handle_invisible_table: bool = False
+) -> Dict:
+    """Full HTML pipeline for one document."""
+    lines, tables, warnings = _HTML_EXTRACTOR.extract(
+        html, url_hash(url), handle_invisible_table=handle_invisible_table
+    )
+    return _finalize(url, lines, tables, warnings)
+
+
+def extract_txt_document(url: str, text: str) -> Dict:
+    """Full plain-text pipeline for one document."""
+    lines = extract_txt_lines(text)
+    return _finalize(url, lines, [], [])
+
+
+def extract_document(
+    url: str,
+    html: Optional[bytes],
+    text: Optional[str],
+    handle_invisible_table: bool = False,
+) -> Dict:
+    """Format dispatch for one input-table row: html payload wins, else the
+    text column (ReaderComposition first-match semantics,
+    reader_composition.py:21-46, collapsed to the two v1 formats).
+    Per-row failures are captured in the ``error`` channel instead of
+    failing the job (dedoc_manager.py:73-81 DedocError semantics)."""
+    try:
+        if html:
+            return extract_html_document(url, html, handle_invisible_table)
+        return extract_txt_document(url, text or "")
+    except Exception as e:  # error channel, never job failure
+        return {
+            "url": url,
+            "text_extracted": "",
+            "text_linear": "",
+            "n_lines": 0,
+            "n_tables": 0,
+            "lines_json": "[]",
+            "tree_json": "{}",
+            "nodes_json": "[]",
+            "tables_json": "[]",
+            "warnings": [],
+            "error": f"{type(e).__name__}: {e}",
+        }
