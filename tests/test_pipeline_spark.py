@@ -1,0 +1,116 @@
+"""End-to-end Spark pipeline tests: parquet → extract_stage → outputs.
+
+Key invariant: the Spark path produces byte-identical output to the plain
+function path, and the same output at any parallelism/partitioning."""
+
+import json
+
+import pytest
+
+from dedoc_spark.core.document import extract_document
+from dedoc_spark.operators.pipeline import (
+    extract_stage,
+    extract_with_skew_routing,
+    lineage_metrics,
+    lines_table,
+    nodes_table,
+    resume_anti_join,
+)
+from dedoc_spark.sources.web_pages import ensure_web_pages, make_row
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def web_pages(spark):
+    path = ensure_web_pages(N)
+    return spark.read.parquet(path)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, web_pages):
+    return extract_stage(web_pages, salt_partitions=8).cache()
+
+
+def test_row_count_and_no_errors(extracted):
+    rows = extracted.collect()
+    assert len(rows) == N
+    errors = [r for r in rows if r.error is not None]
+    assert errors == []
+
+
+def test_spark_matches_plain_function(extracted):
+    """Byte identity: Spark output per url == plain-Python output per url."""
+    got = {r.url: r for r in extracted.collect()}
+    for i in range(0, N, 7):
+        row = make_row(i)
+        expected = extract_document(row["url"], row["html"], row["text"])
+        r = got[row["url"]]
+        assert r.text_extracted == expected["text_extracted"], row["url"]
+        assert r.lines_json == expected["lines_json"], row["url"]
+        assert r.tree_json == expected["tree_json"], row["url"]
+
+
+def test_partitioning_invariance(spark, web_pages, extracted):
+    """Same results regardless of salting/partition count."""
+    base = {r.url: r.text_extracted for r in extracted.collect()}
+    alt = {
+        r.url: r.text_extracted
+        for r in extract_stage(web_pages.repartition(3), salt_partitions=None).collect()
+    }
+    assert base == alt
+
+
+def test_skew_routing_same_results(spark, web_pages, extracted):
+    base = {r.url: r.text_extracted for r in extracted.collect()}
+    routed = {
+        r.url: r.text_extracted
+        for r in extract_with_skew_routing(
+            web_pages, salt_partitions=8, big_doc_threshold=20_000
+        ).collect()
+    }
+    assert base == routed
+
+
+def test_lines_table_explode(spark, extracted):
+    lt = lines_table(extracted)
+    assert lt.columns[:4] == ["url", "line_id", "page_id", "line"]
+    total = lt.count()
+    sum_n = extracted.agg({"n_lines": "sum"}).collect()[0][0]
+    assert total == sum_n
+    # line_id dense per url starting at 0
+    from pyspark.sql import functions as F
+
+    bad = (
+        lt.groupBy("url")
+        .agg(F.min("line_id").alias("mn"), F.max("line_id").alias("mx"), F.count("*").alias("c"))
+        .filter((F.col("mn") != 0) | (F.col("mx") != F.col("c") - 1))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_nodes_table(spark, extracted):
+    nt = nodes_table(extracted)
+    roots = nt.filter("node_id = '0'").count()
+    assert roots == N
+    assert nt.filter("parent_id is null and node_id <> '0'").count() == 0
+
+
+def test_lineage_metrics(spark, extracted):
+    m = lineage_metrics(extracted).collect()
+    assert sum(r.url_count for r in m) == N
+    assert all(r.errors == 0 for r in m)
+
+
+def test_resume_anti_join(spark, web_pages):
+    done = extract_stage(web_pages.limit(100)).select("url")
+    remaining = resume_anti_join(web_pages, done)
+    assert remaining.count() == N - 100
+
+
+def test_projection_pushdown(spark, web_pages):
+    """The extract stage reads only url/html/text from the scan."""
+    plan = extract_stage(web_pages)._jdf.queryExecution().executedPlan().toString()
+    assert "warc_ts" not in plan
+    assert "lang" not in plan
