@@ -1,0 +1,140 @@
+"""Column-expression helpers shared by operators and the driver queries.
+
+Everything here is a pure pyspark.sql.functions composition — JVM-side,
+whole-stage-codegen friendly, no Python in the hot path. Each helper has
+an exact ANSI-SQL (DuckDB) twin used by the correctness oracles in
+__spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- scalar function inventory (SURVEY.md §2.9) ----------------------------
+
+
+def digit_mask(col: Column) -> Column:
+    """Header/footer pattern mask (header_footers_analysis.py:11-12):
+    lower, trim, digits → '@'."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\d+", "@")
+
+
+def normalized_fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-collapsed lower-cased text."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank → 0."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def word_tokens(col: Column) -> Column:
+    """Lower-cased word tokens (BPE-ish regex: letters+digits runs)."""
+    return F.filter(
+        F.split(F.lower(col), r"[^0-9a-zа-яё]+"), lambda t: F.length(t) > 0
+    )
+
+
+def cyrillic_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(F.lower(col), r"[а-яё]", ""))
+
+
+def latin_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(F.lower(col), r"[a-z]", ""))
+
+
+def lang_id(col: Column) -> Column:
+    """N-gram-free heuristic language id: script-count vote (ru/en/unknown)."""
+    cyr = cyrillic_count(col)
+    lat = latin_count(col)
+    return (
+        F.when((cyr == 0) & (lat == 0), F.lit("unknown"))
+        .when(cyr >= lat, F.lit("ru"))
+        .otherwise(F.lit("en"))
+    )
+
+
+def alpha_ratio(col: Column) -> Column:
+    alpha = F.length(col) - F.length(F.regexp_replace(F.lower(col), r"[a-zа-яё]", ""))
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.round(alpha / F.length(col), 6)
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    punct = F.length(col) - F.length(F.regexp_replace(col, r"[.,;:!?()\[\]\"']", ""))
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.round(punct / F.length(col), 6)
+    )
+
+
+def mean_word_len(col: Column) -> Column:
+    toks = word_tokens(col)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+            / F.size(toks),
+            6,
+        )
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite text-quality score in [0,1]: alpha density, moderate word
+    length, low punctuation density (length/punct/stopword-style ratios)."""
+    wl = mean_word_len(col)
+    wl_term = F.when((wl >= 3) & (wl <= 10), F.lit(0.4)).otherwise(F.lit(0.0))
+    return F.round(alpha_ratio(col) * 0.4 + wl_term + (0.2 - F.least(punct_ratio(col), F.lit(0.2))), 6)
+
+
+# --- hashing for dedup/minhash (md5-based so DuckDB can mirror it) ---------
+
+
+def hash32(col: Column, seed: int) -> Column:
+    """Deterministic 32-bit hash as bigint: first 8 hex chars of
+    md5(value || '#' || seed). Same formula is expressible in DuckDB as
+    ('0x' || substr(md5(v || '#' || seed), 1, 8))::BIGINT."""
+    return F.conv(F.substring(F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 8), 16, 10).cast("bigint")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text (array<string>)."""
+    toks = word_tokens(col)
+    ngrams = F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return F.array_distinct(ngrams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: array of num_hashes minima of hash32(shingle, j)."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, lambda s: hash32(s, j))) for j in range(num_hashes)]
+    )
+
+
+# --- embeddings -------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

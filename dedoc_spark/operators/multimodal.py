@@ -1,0 +1,94 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schemas, Arrow batch shape, partitioning) is real
+and tested; the actual media decode is STUBBED because the image/audio
+libraries are not in this container. Swap `_fake_decode_image` for a PIL/
+cv2 call on a real cluster — the UDF signature and batch shape stay.
+
+Pattern: mapInPandas over (id, media binary, media_type) with per-batch
+vectorized decode; oversized media routed like oversized documents
+(operators/pipeline.split_oversized).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _fake_decode_image(data: bytes) -> tuple:
+    """STUB decoder: deterministic pseudo-features from the bytes' md5.
+    Replace with a real decode (PIL.Image.open etc.) in production; the
+    return contract (width, height, 8-dim feature) is the real one."""
+    if not data:
+        raise ValueError("empty media payload")
+    h = hashlib.md5(data).digest()
+    width = 64 + h[0] * 4
+    height = 64 + h[1] * 4
+    feature = [b / 255.0 for b in h[2:10]]
+    return width, height, feature
+
+
+def media_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    type_col: str = "media_type",
+) -> DataFrame:
+    """Vectorized (Arrow-batched) media feature extraction with the same
+    error-channel semantics as the document pipeline."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, mtype, data in zip(pdf[id_col], pdf[type_col], pdf[media_col]):
+                row = {
+                    "media_id": mid,
+                    "media_type": mtype,
+                    "n_bytes": len(data) if data is not None else 0,
+                    "width": None,
+                    "height": None,
+                    "feature": None,
+                    "error": None,
+                }
+                try:
+                    if mtype == "image":
+                        w, h, feat = _fake_decode_image(data)
+                        row.update(width=w, height=h, feature=feat)
+                    else:
+                        raise NotImplementedError(f"decode for {mtype} not available")
+                except Exception as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_FEATURES_SCHEMA.fields])
+
+    return df.select(id_col, type_col, media_col).mapInPandas(fn, MEDIA_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling *plan*: explode frame indices from metadata so
+    each (video, frame) is its own row/task — the decode itself is the stub
+    above. Shows the partitioning shape for per-frame fan-out."""
+    return df.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))).alias(
+            "frame_idx"
+        ),
+    )

@@ -1,0 +1,93 @@
+"""Similarity search over embedding columns.
+
+  cosine_topk        brute-force cosine top-k — the correctness baseline,
+                     fully declarative (F.zip_with/F.aggregate dot product)
+  cosine_topk_lsh    random-hyperplane-bucketed variant — the scale path:
+                     candidates only from matching sign-buckets, so the
+                     scan is pruned to ~N/2^planes per probe
+
+The hyperplanes are deterministic pseudo-vectors derived from md5 of
+(plane, dim) — no RNG state, same buckets every run.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedoc_spark.functions import cosine
+
+
+def _vec_lit(vec: Sequence[float]):
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k against one query vector. At scale this is a
+    single narrow scan + a TakeOrderedAndProject (no full sort, no shuffle
+    of the vectors themselves)."""
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df.select(F.col(id_col), F.round(cosine(v, _vec_lit(query)), 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> List[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from md5 bytes."""
+    import hashlib
+
+    out: List[float] = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane{plane}dim{d}".encode()).digest()
+        out.append((int.from_bytes(h[:4], "big") / 2**31) - 1.0)
+    return out
+
+
+def with_sign_bucket(
+    df: DataFrame, dim: int, planes: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (0..2^planes-1) per row."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0)
+    for p in range(planes):
+        hp = _vec_lit(_hyperplane(p, dim))
+        d = F.aggregate(F.zip_with(v, hp, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
+        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query: Sequence[float],
+    dim: int,
+    k: int = 10,
+    planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """LSH-pruned top-k: scan only buckets within probe_hamming sign flips
+    of the query's bucket. Recall < 1 by construction; candidates then get
+    exact cosine. At 10^12 scale the bucket column is a partition key."""
+    bucketed = with_sign_bucket(df, dim, planes, vec_col)
+    qbucket = 0
+    for p in range(planes):
+        hp = _hyperplane(p, dim)
+        d = sum(x * y for x, y in zip([float(x) for x in query], hp))
+        if d > 0:
+            qbucket |= 1 << p
+    probes = [qbucket] + (
+        [qbucket ^ (1 << p) for p in range(planes)] if probe_hamming >= 1 else []
+    )
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query, k, vec_col, id_col)

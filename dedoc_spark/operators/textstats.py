@@ -1,0 +1,120 @@
+"""Text-analysis operators: language id, quality scoring, token counting,
+fingerprinting, and the structure-pattern line classifier in relational
+form. All pure column expressions (JVM-side, codegen-friendly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dedoc_spark.core.structure import (
+    BRACKET_RE,
+    BULLET_RE,
+    DOTTED_RE,
+    LETTER_RE,
+    ROMAN_RE,
+)
+from dedoc_spark.functions import (
+    digit_mask,
+    lang_id,
+    normalized_fingerprint,
+    quality_score,
+    token_count,
+)
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document text statistics: lang guess, token count, quality score,
+    fingerprint."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        lang_id(c).alias("lang_guess"),
+        token_count(c).alias("n_tokens"),
+        quality_score(c).alias("quality"),
+        normalized_fingerprint(c).alias("fingerprint"),
+    )
+
+
+def explode_lines(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split a raw text column into (id, line_id, line) rows. line_id is the
+    0-based position — computed by posexplode, not a window (no shuffle)."""
+    return df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("line_id", "line")
+    )
+
+
+def classify_lines(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """Relational rendering of the default structure-extractor pattern chain
+    (patterns 3..7 of SURVEY.md §2.10) as one CASE WHEN over the stripped,
+    lower-cased line — whole-stage codegen, no UDF."""
+    t = F.lower(F.trim(F.col(line_col)))
+    line_type = (
+        F.when(t.rlike(DOTTED_RE.pattern), F.lit("dotted_list"))
+        .when(t.rlike(ROMAN_RE.pattern), F.lit("roman_list"))
+        .when(t.rlike(BRACKET_RE.pattern), F.lit("bracket_list"))
+        .when(t.rlike(LETTER_RE.pattern), F.lit("letter_list"))
+        .when(t.rlike(BULLET_RE.pattern), F.lit("bullet_list"))
+        .when(F.length(t) == 0, F.lit("empty"))
+        .otherwise(F.lit("raw_text"))
+    )
+    dotted_depth = F.when(
+        t.rlike(DOTTED_RE.pattern),
+        F.size(F.filter(F.split(F.trim(F.regexp_extract(t, DOTTED_RE.pattern, 0)), r"\."), lambda x: F.length(x) > 0)),
+    ).otherwise(F.lit(-1))
+    return lines.withColumn("line_type", line_type).withColumn("dotted_depth", dotted_depth)
+
+
+def boilerplate_patterns(
+    lines: DataFrame,
+    site_col: str = "site",
+    doc_col: str = "url",
+    line_col: str = "line",
+    pos_col: str = "line_id",
+    edge_window: int = 4,
+    min_frac: float = 0.4,
+) -> DataFrame:
+    """Site-level boilerplate voting — the web-scale generalization of the
+    reference's cross-page header/footer frequency voting
+    (header_footers_analysis.py:84-155): digit-masked patterns of the first
+    and last ``edge_window`` lines of each document, counted across the
+    documents of a site; patterns present in ≥ min_frac of the site's
+    documents are boilerplate. Pure groupBy aggregation — naturally Spark.
+    """
+    w_max = F.max(pos_col).over(Window.partitionBy(doc_col))
+    edged = (
+        lines.withColumn("max_pos", w_max)
+        .filter((F.col(pos_col) < edge_window) | (F.col(pos_col) > F.col("max_pos") - edge_window))
+        .select(
+            F.col(site_col).alias("site"),
+            F.col(doc_col).alias("doc"),
+            digit_mask(F.col(line_col)).alias("pattern"),
+        )
+        .filter(F.length("pattern") > 0)
+        .distinct()
+    )
+    site_docs = edged.select("site", "doc").distinct().groupBy("site").agg(F.count("*").alias("n_docs"))
+    pattern_docs = edged.groupBy("site", "pattern").agg(F.count("*").alias("n_with_pattern"))
+    return (
+        pattern_docs.join(site_docs, "site")
+        .withColumn("frac", F.round(F.col("n_with_pattern") / F.col("n_docs"), 6))
+        .filter((F.col("frac") >= min_frac) & (F.col("n_docs") >= 2))
+        .select("site", "pattern", "n_with_pattern", "n_docs", "frac")
+    )
+
+
+def remove_boilerplate(lines: DataFrame, patterns: DataFrame, site_col: str = "site", line_col: str = "line") -> DataFrame:
+    """Anti-join the voted patterns back onto the lines (broadcast: the
+    pattern table is tiny relative to the corpus)."""
+    pat = patterns.select(
+        F.col("site").alias("__bp_site"), F.col("pattern").alias("__bp_pattern")
+    )
+    return lines.join(
+        F.broadcast(pat),
+        on=[
+            lines[site_col] == pat["__bp_site"],
+            digit_mask(lines[line_col]) == pat["__bp_pattern"],
+        ],
+        how="left_anti",
+    )

@@ -1,0 +1,206 @@
+"""Operator tests: dedup, similarity, text stats, boilerplate voting,
+multimodal plumbing, streaming extraction."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedoc_spark.operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    with_minhash,
+)
+from dedoc_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from dedoc_spark.operators.textstats import (
+    boilerplate_patterns,
+    classify_lines,
+    explode_lines,
+    remove_boilerplate,
+    text_profile,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en-site"),
+        (2, "the quick brown fox jumps over the lazy dog", "en-site"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat today", "en-site"),  # near dup
+        (4, "совершенно другой русский текст про документы", "ru-site"),
+        (5, "completely unrelated content about spark pipelines", "en-site"),
+        (6, "", "en-site"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dedup(docs).collect()
+    dup_group = [g for g in groups if g.dup_count == 2]
+    assert len(dup_group) == 1
+    assert dup_group[0].rep_id == 1
+
+
+def test_minhash_identical_signatures(spark, docs):
+    sigs = {r.doc_id: r.sig for r in with_minhash(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[5]
+    # near-dup shares most minima
+    shared = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert shared >= 8
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    pairs = {(r.a, r.b) for r in minhash_lsh_pairs(docs, num_hashes=16, bands=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup collides in some band
+    assert (1, 5) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0 < pairs[(1, 3)] < 1.0
+    assert pairs[(1, 5)] == 0.0
+
+
+def test_simhash_near_dup_close(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert sh[1] == sh[2]
+    mask = (1 << 64) - 1
+    ham_near = bin((sh[1] ^ sh[3]) & mask).count("1")
+    ham_far = bin((sh[1] ^ sh[4]) & mask).count("1")
+    assert ham_near < ham_far
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import hashlib
+
+    def vec(i):
+        h = hashlib.md5(f"v{i}".encode()).digest()
+        return [b / 255.0 - 0.5 for b in h[:8]]
+
+    rows = [(i, vec(i), i % 3) for i in range(50)]
+    rows.append((99, vec(7), 1))  # duplicate of vec 7
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    import hashlib
+
+    q = [b / 255.0 - 0.5 for b in hashlib.md5(b"v7").digest()[:8]]
+    top = cosine_topk(embeddings, q, k=3).collect()
+    assert {top[0].vec_id, top[1].vec_id} == {7, 99}
+    assert top[0].cos == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cosine_topk_lsh_finds_self(spark, embeddings):
+    import hashlib
+
+    q = [b / 255.0 - 0.5 for b in hashlib.md5(b"v7").digest()[:8]]
+    top = cosine_topk_lsh(embeddings, q, dim=8, k=3, planes=4).collect()
+    assert top[0].vec_id in (7, 99)
+
+
+def test_embedding_near_dup(spark, embeddings):
+    pairs = embedding_near_dup(embeddings, threshold=0.999).collect()
+    assert any({p.a, p.b} == {7, 99} for p in pairs)
+
+
+def test_text_profile(spark, docs):
+    prof = {r.doc_id: r for r in text_profile(docs).collect()}
+    assert prof[1].lang_guess == "en"
+    assert prof[4].lang_guess == "ru"
+    assert prof[6].lang_guess == "unknown"
+    assert prof[1].n_tokens == 9
+    assert prof[6].n_tokens == 0
+    assert prof[1].fingerprint == prof[2].fingerprint
+    assert 0.0 <= prof[1].quality <= 1.0
+
+
+def test_classify_lines(spark):
+    df = spark.createDataFrame(
+        [(1, "title\n1. first\n1.2. nested\nv. roman\n3) bracket\n- bullet\n\nplain")],
+        "doc_id bigint, text string",
+    )
+    lines = classify_lines(explode_lines(df))
+    got = {r.line_id: (r.line_type, r.dotted_depth) for r in lines.collect()}
+    assert got[0] == ("raw_text", -1)
+    assert got[1] == ("dotted_list", 1)
+    assert got[2] == ("dotted_list", 2)
+    assert got[3] == ("roman_list", -1)
+    assert got[4] == ("bracket_list", -1)
+    assert got[5] == ("bullet_list", -1)
+    assert got[6] == ("empty", -1)
+    assert got[7] == ("raw_text", -1)
+
+
+def test_boilerplate_voting(spark):
+    docs = []
+    words = ["alpha", "beta", "gamma", "delta"]
+    for d in range(4):
+        # the body line must differ by *words*: digit masking ('\d+'→'@')
+        # correctly folds digit-only differences into one pattern
+        text = f"MySite Menu Home\npage {d} headline\nunique {words[d]} body about {words[3 - d]}\n© 2025 MySite page {d}"
+        docs.append((f"https://s.example/{d}", "s.example", text))
+    docs.append(("https://s.example/x", "s.example", "totally unique document\nwith no shared lines at all\nbody\nend line here"))
+    df = spark.createDataFrame(docs, "url string, site string, text string")
+    lines = df.select("url", "site", F.posexplode(F.split("text", "\n")).alias("line_id", "line"))
+    pats = boilerplate_patterns(lines, site_col="site", doc_col="url")
+    got = {r.pattern for r in pats.collect()}
+    assert "mysite menu home" in got
+    assert "© @ mysite page @" in got
+    assert not any("unique" in p for p in got)
+    cleaned = remove_boilerplate(lines, pats, site_col="site")
+    remaining = [r.line for r in cleaned.filter(F.col("url") == "https://s.example/0").collect()]
+    assert "MySite Menu Home" not in remaining
+    assert any("unique alpha body" in ln for ln in remaining)
+
+
+def test_multimodal_stub(spark):
+    from dedoc_spark.operators.multimodal import media_features
+
+    rows = [
+        ("m1", "image", bytearray(b"\x89PNGfakebytes")),
+        ("m2", "audio", bytearray(b"RIFFfake")),
+        ("m3", "image", bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, media_type string, media binary")
+    out = {r.media_id: r for r in media_features(df).collect()}
+    assert out["m1"].error is None and out["m1"].width > 0 and len(out["m1"].feature) == 8
+    assert "NotImplementedError" in out["m2"].error
+    assert "ValueError" in out["m3"].error
+    # determinism of the stub decode
+    out2 = {r.media_id: r for r in media_features(df).collect()}
+    assert out2["m1"].feature == out["m1"].feature
+
+
+def test_streaming_extraction(spark, tmp_path):
+    from dedoc_spark.sources.web_pages import ensure_web_pages
+    from dedoc_spark.streaming import read_web_pages_stream, start_extraction_stream
+
+    import shutil
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    shutil.copy(ensure_web_pages(50), src_dir / "part-0.parquet")
+    src = str(src_dir)
+    stream = read_web_pages_stream(spark, src)
+    assert stream.isStreaming
+    q = start_extraction_stream(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 50
+    assert out.filter("error is not null").count() == 0
+    # restart with same checkpoint: no new rows (exactly-once resume)
+    q2 = start_extraction_stream(
+        read_web_pages_stream(spark, src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 50
