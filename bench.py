@@ -1,0 +1,103 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: HTML-extraction throughput (docs/s) of the full pipeline
+(block walk → annotations → structure → tree → json2txt) over the
+deterministic synthetic web_pages table — comparable against the
+reference's ~10 docs/s single-core HTML number (BASELINE.md).
+
+Also times the training-data operators (minhash, LSH pairs, ANN top-k,
+boilerplate voting, text profile) on the driver-provided tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# web_pages rows scale with the sf dir (sf0.1 ≈ 20k pages ≈ 60 MB html)
+_SF_ROWS = {"sf0.001": 500, "sf0.01": 2_000, "sf0.1": 20_000}
+N_PAGES = int(
+    os.environ.get(
+        "SPARK_GRAFT_WEBPAGES", _SF_ROWS.get(os.path.basename(SF_DIR.rstrip("/")), 20_000)
+    )
+)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dedoc_spark.operators.pipeline import extract_stage
+    from dedoc_spark.plans import driver_queries as dq
+    from dedoc_spark.sources.web_pages import ensure_web_pages
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("dedoc_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: full HTML extraction over synthetic web_pages
+    pages_path = ensure_web_pages(N_PAGES)
+    pages = spark.read.parquet(pages_path)
+    # warm up the JVM + python workers on a small slice (excluded from timing)
+    extract_stage(pages.limit(200)).agg(F.sum("n_lines")).collect()
+
+    def run_extract():
+        out = extract_stage(pages, salt_partitions=CPUS * 4)
+        return out.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.length("text_extracted")).alias("chars"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+        ).collect()[0]
+
+    stats = timed("html_extract", run_extract)
+    docs_per_sec = round(stats["docs"] / timings["html_extract"], 2)
+
+    # operator suite on the driver-provided tables
+    timed("q17_html_extract_docs", lambda: dq.q17_html_extract(spark, SF_DIR).agg(F.sum("n_lines")).collect())
+    timed("q18_txt_extract_docs", lambda: dq.q18_txt_extract(spark, SF_DIR).agg(F.sum("n_lines")).collect())
+    timed("q07_minhash", lambda: dq.q07_minhash(spark, SF_DIR).agg(F.count("*")).collect())
+    timed("q08_lsh_pairs", lambda: dq.q08_lsh_pairs(spark, SF_DIR).count())
+    timed("q12_ann_topk", lambda: dq.q12_ann_topk(spark, SF_DIR).count())
+    timed("q04_boilerplate_votes", lambda: dq.q04_boilerplate_votes(spark, SF_DIR).count())
+    timed("q10_text_profile", lambda: dq.q10_text_profile(spark, SF_DIR).agg(F.count("*")).collect())
+    timed("q15_spacing_indent", lambda: dq.q15_spacing_indent(spark, SF_DIR).agg(F.count("*")).collect())
+
+    result = {
+        "metric": "html_extract_docs_per_sec",
+        "value": docs_per_sec,
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "n_pages": int(stats["docs"]),
+        "errors": int(stats["errors"]),
+        "cpus": CPUS,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

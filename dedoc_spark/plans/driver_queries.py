@@ -1,0 +1,869 @@
+"""Driver-contract queries with exactly-mirrored DuckDB oracle SQL.
+
+Each entry in QUERIES is a Spark DataFrame builder (spark, sf_dir) →
+DataFrame; ORACLES holds the equivalent ANSI SQL string DuckDB runs on
+views of the same parquet tables. Column names and value formulas are
+mirrored expression-for-expression so the driver's order-insensitive
+value-hash matches.
+
+The queries map SURVEY.md §2 operators onto the driver-provided tables:
+line explode + line_id (§2.6), pattern-chain classification (§2.10),
+digit-mask boilerplate voting (§2.5), annotation-style spacing/indent
+windows (§2.6 txt reader), dedup/minhash/jaccard, lang/quality/token
+stats, embedding ANN, and the *full extraction pipeline* run on HTML
+synthesized deterministically from the documents table — whose extracted
+text is predictable in closed form, giving a true byte-identity oracle.
+
+Float discipline: no cross-row float sums (order-dependent) — money-ish
+sums go through DECIMAL; per-row arithmetic is identical IEEE ops in both
+engines; everything rounded to 6 before output.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dedoc_spark.core.structure import (
+    BRACKET_RE,
+    BULLET_RE,
+    DOTTED_RE,
+    LETTER_RE,
+    ROMAN_RE,
+)
+from dedoc_spark.functions import digit_mask
+
+# ---------------------------------------------------------------------------
+# shared inputs
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# word tokens exactly as the DuckDB mirror: lower, split on non-alnum runs,
+# drop empties
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), r"[^0-9a-zа-яё]+"), lambda t: F.length(t) > 0)
+
+
+def _shingles3(col):
+    toks = _tokens(col)
+    return F.array_distinct(
+        F.when(F.size(toks) < 3, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+            )
+        )
+    )
+
+
+_SQL_TOKENS = "list_filter(string_split_regex(lower({c}), '[^0-9a-zа-яё]+'), t -> len(t) > 0)"
+_SQL_SHINGLES3 = (
+    "list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+    "ELSE list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) END)"
+)
+
+
+def _minhash_hex(shingles, seed: int):
+    return F.array_min(
+        F.transform(shingles, lambda s: F.substring(F.md5(F.concat(s, F.lit(f"#{seed}"))), 1, 8))
+    )
+
+
+def _sql_minhash_hex(seed: int) -> str:
+    return f"list_min(list_transform(sh, s -> substr(md5(s || '#{seed}'), 1, 8)))"
+
+
+# synthesized per-doc marker prefix exercising the structure pattern chain
+def _prefix_col():
+    m = F.col("doc_id") % 6
+    return (
+        F.when(m == 0, F.lit("1.2. "))
+        .when(m == 1, F.lit("v. "))
+        .when(m == 2, F.lit("3) "))
+        .when(m == 3, F.lit("а) "))
+        .when(m == 4, F.lit("- "))
+        .otherwise(F.lit(""))
+    )
+
+
+_SQL_PREFIX = (
+    "CASE doc_id % 6 WHEN 0 THEN '1.2. ' WHEN 1 THEN 'v. ' WHEN 2 THEN '3) ' "
+    "WHEN 3 THEN 'а) ' WHEN 4 THEN '- ' ELSE '' END"
+)
+
+# ---------------------------------------------------------------------------
+# q01 word explode with position (positional explode / row-number semantics)
+
+
+def q01_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+Q01_SQL = """
+SELECT doc_id, u.s.i - 1 AS pos, u.s.tok AS token FROM (
+  SELECT doc_id, unnest(list_transform(toks, (t, i) -> {'i': i, 'tok': t})) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+) u
+"""
+
+# ---------------------------------------------------------------------------
+# q02 structure pattern chain (dotted/roman/bracket/letter/bullet regexps)
+
+
+def q02_line_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    line = F.concat(_prefix_col(), F.col("text"))
+    t = F.lower(F.trim(line))
+    line_type = (
+        F.when(t.rlike(DOTTED_RE.pattern), F.lit("dotted_list"))
+        .when(t.rlike(ROMAN_RE.pattern), F.lit("roman_list"))
+        .when(t.rlike(BRACKET_RE.pattern), F.lit("bracket_list"))
+        .when(t.rlike(LETTER_RE.pattern), F.lit("letter_list"))
+        .when(t.rlike(BULLET_RE.pattern), F.lit("bullet_list"))
+        .otherwise(F.lit("raw_text"))
+    )
+    dotted_depth = F.when(
+        t.rlike(DOTTED_RE.pattern),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.regexp_extract(t, DOTTED_RE.pattern, 0)), r"\."),
+                lambda x: F.length(x) > 0,
+            )
+        ),
+    ).otherwise(F.lit(-1))
+    return docs.select(
+        "doc_id", line_type.alias("line_type"), dotted_depth.cast("int").alias("dotted_depth")
+    )
+
+
+_P = {
+    "dotted": DOTTED_RE.pattern,
+    "roman": ROMAN_RE.pattern,
+    "bracket": BRACKET_RE.pattern,
+    "letter": LETTER_RE.pattern,
+    "bullet": BULLET_RE.pattern.replace("'", "''"),
+}
+
+Q02_SQL = f"""
+WITH lined AS (
+  SELECT doc_id, lower(trim(({_SQL_PREFIX}) || text)) AS t FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN regexp_matches(t, '{_P['dotted']}') THEN 'dotted_list'
+    WHEN regexp_matches(t, '{_P['roman']}') THEN 'roman_list'
+    WHEN regexp_matches(t, '{_P['bracket']}') THEN 'bracket_list'
+    WHEN regexp_matches(t, '{_P['letter']}') THEN 'letter_list'
+    WHEN regexp_matches(t, '{_P['bullet']}') THEN 'bullet_list'
+    ELSE 'raw_text'
+  END AS line_type,
+  CAST(CASE WHEN regexp_matches(t, '{_P['dotted']}')
+    THEN len(list_filter(string_split(trim(regexp_extract(t, '{_P['dotted']}', 0)), '.'), x -> len(x) > 0))
+    ELSE -1 END AS INTEGER) AS dotted_depth
+FROM lined
+"""
+
+# ---------------------------------------------------------------------------
+# q03 digit-mask patterns (header/footer mask core, §2.9)
+
+
+def q03_digit_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    masked = digit_mask(
+        F.concat(F.lit("page "), F.col("doc_id").cast("string"), F.lit(" of "), F.col("n_chars").cast("string"), F.lit(" "), F.substring("text", 1, 20))
+    )
+    return docs.groupBy(masked.alias("pattern")).agg(F.count("*").cast("long").alias("n"))
+
+
+Q03_SQL = r"""
+SELECT regexp_replace(lower(trim('page ' || doc_id || ' of ' || n_chars || ' ' || substr(text, 1, 20))), '\d+', '@', 'g') AS pattern,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# q04 boilerplate voting (cross-page header/footer frequency voting → site scale)
+
+
+def _synth_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.col("source").alias("site"),
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("site "), F.col("source"), F.lit(" menu home")),
+                F.substring("text", 1, 40),
+                F.concat(F.lit("copyright "), F.col("doc_id").cast("string"), F.lit(" "), F.col("source")),
+            )
+        ).alias("line"),
+    )
+
+
+_SQL_SYNTH_LINES = """
+  SELECT source AS site, doc_id, unnest([
+    'site ' || source || ' menu home',
+    substr(text, 1, 40),
+    'copyright ' || doc_id || ' ' || source
+  ]) AS line FROM documents
+"""
+
+
+def q04_boilerplate_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _synth_lines(spark, sf_dir)
+    edged = lines.select("site", "doc_id", digit_mask(F.col("line")).alias("pattern")).distinct()
+    site_docs = edged.select("site", "doc_id").distinct().groupBy("site").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return (
+        edged.groupBy("site", "pattern")
+        .agg(F.count("*").cast("long").alias("n_with_pattern"))
+        .join(site_docs, "site")
+        .withColumn("frac", F.round(F.col("n_with_pattern") / F.col("n_docs"), 6))
+        .filter((F.col("frac") >= 0.4) & (F.col("n_docs") >= 2))
+        .select("site", "pattern", "n_with_pattern", "n_docs", "frac")
+    )
+
+
+Q04_SQL = rf"""
+WITH lines AS ({_SQL_SYNTH_LINES}),
+edged AS (
+  SELECT DISTINCT site, doc_id, regexp_replace(lower(trim(line)), '\d+', '@', 'g') AS pattern FROM lines
+),
+site_docs AS (
+  SELECT site, count(*) AS n_docs FROM (SELECT DISTINCT site, doc_id FROM edged) GROUP BY site
+)
+SELECT e.site, e.pattern, count(*) AS n_with_pattern, any_value(s.n_docs) AS n_docs,
+       round(count(*) / any_value(s.n_docs), 6) AS frac
+FROM edged e JOIN site_docs s ON e.site = s.site
+GROUP BY e.site, e.pattern
+HAVING round(count(*) / any_value(s.n_docs), 6) >= 0.4 AND any_value(s.n_docs) >= 2
+"""
+
+# ---------------------------------------------------------------------------
+# q05 boilerplate removal (anti-join back, kept-line counts per site)
+
+
+def q05_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _synth_lines(spark, sf_dir)
+    votes = q04_boilerplate_votes(spark, sf_dir).select(
+        F.col("site").alias("v_site"), F.col("pattern").alias("v_pattern")
+    )
+    kept = lines.join(
+        F.broadcast(votes),
+        on=[
+            lines["site"] == votes["v_site"],
+            digit_mask(lines["line"]) == votes["v_pattern"],
+        ],
+        how="left_anti",
+    )
+    return kept.groupBy("site").agg(F.count("*").cast("long").alias("kept_lines"))
+
+
+Q05_SQL = rf"""
+WITH lines AS ({_SQL_SYNTH_LINES}),
+edged AS (
+  SELECT DISTINCT site, doc_id, regexp_replace(lower(trim(line)), '\d+', '@', 'g') AS pattern FROM lines
+),
+site_docs AS (
+  SELECT site, count(*) AS n_docs FROM (SELECT DISTINCT site, doc_id FROM edged) GROUP BY site
+),
+votes AS (
+  SELECT e.site, e.pattern
+  FROM edged e JOIN site_docs s ON e.site = s.site
+  GROUP BY e.site, e.pattern
+  HAVING round(count(*) / any_value(s.n_docs), 6) >= 0.4 AND any_value(s.n_docs) >= 2
+)
+SELECT l.site, count(*) AS kept_lines
+FROM lines l ANTI JOIN votes v
+  ON l.site = v.site AND regexp_replace(lower(trim(l.line)), '\d+', '@', 'g') = v.pattern
+GROUP BY l.site
+"""
+
+# ---------------------------------------------------------------------------
+# q06 exact dedup groups (hash-groupBy on 3-token prefix fingerprint)
+
+
+def q06_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3)))
+    return (
+        docs.groupBy(fp.alias("fp"))
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").cast("long").alias("dup_count"))
+    )
+
+
+Q06_SQL = """
+SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS fp,
+       min(doc_id) AS rep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# q07 minhash signatures (4 hex minima over 3-gram shingles)
+
+
+def q07_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode shingles → groupBy(doc) with 4 partial-aggregated minima:
+    md5 per shingle stays in whole-stage codegen (a higher-order-function
+    formulation would interpret the lambda per element, 4×) and the shape
+    scales — map-side combine collapses each doc's shingles before the
+    (tiny) shuffle."""
+    docs = _docs(spark, sf_dir)
+    exploded = docs.select("doc_id", F.explode(_shingles3(F.col("text"))).alias("s"))
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.md5(F.concat(F.col("s"), F.lit(f"#{j}"))), 1, 8)).alias(f"h{j}")
+            for j in range(4)
+        ]
+    )
+
+
+Q07_SQL = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES3} AS sh FROM tok)
+SELECT doc_id,
+  {_sql_minhash_hex(0)} AS h0,
+  {_sql_minhash_hex(1)} AS h1,
+  {_sql_minhash_hex(2)} AS h2,
+  {_sql_minhash_hex(3)} AS h3
+FROM sh
+"""
+
+# ---------------------------------------------------------------------------
+# q08 minhash-LSH candidate pairs (band join: 2 bands × 2 hashes)
+
+
+def q08_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = q07_minhash(spark, sf_dir)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.concat_ws(",", "h0", "h1"),
+                F.concat_ws(",", "h2", "h3"),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.select("band_idx", "band_key", F.col("doc_id").alias("a"))
+    b = banded.select("band_idx", "band_key", F.col("doc_id").alias("b"))
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+Q08_SQL = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES3} AS sh FROM tok),
+sig AS (
+  SELECT doc_id, {_sql_minhash_hex(0)} AS h0, {_sql_minhash_hex(1)} AS h1,
+         {_sql_minhash_hex(2)} AS h2, {_sql_minhash_hex(3)} AS h3 FROM sh
+),
+banded AS (
+  SELECT doc_id, 0 AS band_idx, h0 || ',' || h1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, h2 || ',' || h3 AS band_key FROM sig
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM banded x JOIN banded y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+WHERE x.doc_id < y.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# q09 n-gram Jaccard pairs within source blocks
+
+
+def q09_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("source", "doc_id", _shingles3(F.col("text")).alias("sh"))
+    a = sh.select(F.col("source").alias("blk"), F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("source").alias("blk"), F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.round(inter / union, 6)
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+Q09_SQL = f"""
+WITH tok AS (SELECT doc_id, source, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+sh AS (SELECT doc_id, source, {_SQL_SHINGLES3} AS sh FROM tok)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       round(len(list_intersect(x.sh, y.sh)) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+FROM sh x JOIN sh y ON x.source = y.source AND x.doc_id < y.doc_id
+WHERE round(len(list_intersect(x.sh, y.sh)) / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.05
+"""
+
+# ---------------------------------------------------------------------------
+# q10 language id + quality + token counts (per-row arithmetic only)
+
+
+def q10_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    c = F.col("text")
+    low = F.lower(c)
+    cyr = F.length(c) - F.length(F.regexp_replace(low, r"[а-яё]", ""))
+    lat = F.length(c) - F.length(F.regexp_replace(low, r"[a-z]", ""))
+    lang_guess = (
+        F.when((cyr == 0) & (lat == 0), F.lit("unknown"))
+        .when(cyr >= lat, F.lit("ru"))
+        .otherwise(F.lit("en"))
+    )
+    toks = _tokens(c)
+    n_tokens = F.size(toks).cast("long")
+    alpha = F.round(
+        (F.length(c) - F.length(F.regexp_replace(low, r"[a-zа-яё]", ""))) / F.length(c), 6
+    )
+    punct = F.round(
+        (F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?()\[\]\"']", ""))) / F.length(c), 6
+    )
+    wl = F.round(
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)) / F.size(toks),
+        6,
+    )
+    quality = F.round(
+        alpha * 0.4
+        + F.when((wl >= 3) & (wl <= 10), F.lit(0.4)).otherwise(F.lit(0.0))
+        + (F.lit(0.2) - F.least(punct, F.lit(0.2))),
+        6,
+    )
+    fingerprint = F.md5(F.trim(F.regexp_replace(low, r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        lang_guess.alias("lang_guess"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+        fingerprint.alias("fingerprint"),
+    )
+
+
+Q10_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, lower(text) AS low,
+         {_SQL_TOKENS.format(c='text')} AS toks,
+         length(text) - length(regexp_replace(lower(text), '[а-яё]', '', 'g')) AS cyr,
+         length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g')) AS lat
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN cyr = 0 AND lat = 0 THEN 'unknown' WHEN cyr >= lat THEN 'ru' ELSE 'en' END AS lang_guess,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(
+    round((length(text) - length(regexp_replace(low, '[a-zа-яё]', '', 'g'))) / length(text), 6) * 0.4
+    + CASE WHEN round(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / len(toks), 6) BETWEEN 3 AND 10 THEN 0.4 ELSE 0.0 END
+    + (0.2 - least(round((length(text) - length(regexp_replace(text, '[.,;:!?()\[\]"'']', '', 'g'))) / length(text), 6), 0.2)),
+  6) AS quality,
+  md5(trim(regexp_replace(low, '\s+', ' ', 'g'))) AS fingerprint
+FROM t
+"""
+
+# ---------------------------------------------------------------------------
+# q11 per-source rollups (benchmark rollup analogue, §2.5)
+
+
+def q11_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(_tokens(F.col("text")))).cast("long").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+Q11_SQL = f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len({_SQL_TOKENS.format(c='text')})) AS BIGINT) AS total_tokens,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY source
+"""
+
+# ---------------------------------------------------------------------------
+# q12 embedding ANN: brute-force cosine top-10 for query vectors (vec_id < 5)
+
+
+def q12_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
+    na = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, b: a + b * b))
+    nb = F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), lambda a, b: a + b * b))
+    cos = dot / (na * nb)
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+Q12_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * q.qv[i]))
+           / (sqrt(list_sum(list_transform(e.v, x -> x * x))) * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+  FROM e CROSS JOIN q
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+"""
+
+# ---------------------------------------------------------------------------
+# q13 embedding near-dup pairs within label blocks
+
+
+def q13_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "label", "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("label").alias("blk"), F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = emb.select(F.col("label").alias("blk"), F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda x, y: x + y)
+    na = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda x, y: x + y * y))
+    nb = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda x, y: x + y * y))
+    cos = F.round(dot / (na * nb), 4)
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.25)
+    )
+
+
+Q13_SQL = """
+WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(list_sum(list_transform(generate_series(1, len(x.v)), i -> x.v[i] * y.v[i]))
+           / (sqrt(list_sum(list_transform(x.v, t -> t * t))) * sqrt(list_sum(list_transform(y.v, t -> t * t)))), 4) AS cos
+  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+)
+SELECT a, b, cos FROM scored WHERE cos >= 0.25
+"""
+
+# ---------------------------------------------------------------------------
+# q14 events rollup (decimal-safe float sums)
+
+
+def q14_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dec = F.col("value").cast("decimal(18,6)")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec).cast("decimal(28,6)").cast("double").alias("sum_value"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+Q14_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# q15 spacing/indent annotations over the source-as-document line corpus
+# (txt reader spacing/indent semantics as window functions, §2.6)
+
+
+def _line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source = document, member doc texts = lines (ordered by doc_id);
+    empties and indents synthesized deterministically from doc_id."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    line = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .when(F.col("doc_id") % 7 == 0, F.concat(F.lit("\t"), F.col("text")))
+        .otherwise(F.concat(F.repeat(F.lit(" "), (F.col("doc_id") % 4).cast("int")), F.col("text")))
+    )
+    return docs.select(
+        "source",
+        (F.row_number().over(w) - 1).cast("long").alias("line_id"),
+        line.alias("line"),
+    )
+
+
+_SQL_LINE_CORPUS = """
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS line_id,
+         CASE WHEN doc_id % 5 = 0 THEN ''
+              WHEN doc_id % 7 = 0 THEN chr(9) || text
+              ELSE repeat(' ', CAST(doc_id % 4 AS INTEGER)) || text END AS line
+  FROM documents
+"""
+
+
+def q15_spacing_indent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _line_corpus(spark, sf_dir)
+    is_empty = F.trim(F.col("line")) == ""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("line_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_nonempty = F.max(F.when(~is_empty, F.col("line_id"))).over(w)
+    n_empty = F.col("line_id") - F.coalesce(prev_nonempty, F.lit(-1)) - 1
+    spacing = F.when(n_empty == 0, F.lit(50)).otherwise((n_empty * 100).cast("int")).cast("long")
+    ws = F.regexp_extract("line", r"^[ \t]*", 0)
+    n_tabs = F.length(ws) - F.length(F.regexp_replace(ws, r"\t", ""))
+    indent = (F.lit(211) * (F.lit(3) * n_tabs + (F.length(ws) - n_tabs))).cast("long")
+    return lines.select("source", "line_id", spacing.alias("spacing"), indent.alias("indent"))
+
+
+Q15_SQL = rf"""
+WITH lines AS ({_SQL_LINE_CORPUS}),
+st AS (
+  SELECT source, line_id, line, trim(line) = '' AS is_empty,
+         max(CASE WHEN trim(line) <> '' THEN line_id END)
+           OVER (PARTITION BY source ORDER BY line_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nonempty
+  FROM lines
+),
+sp AS (
+  SELECT source, line_id, line,
+         line_id - coalesce(prev_nonempty, -1) - 1 AS n_empty,
+         regexp_extract(line, '^[ \t]*', 0) AS ws
+  FROM st
+)
+SELECT source, line_id,
+  CAST(CASE WHEN n_empty = 0 THEN 50 ELSE n_empty * 100 END AS BIGINT) AS spacing,
+  CAST(211 * (3 * (length(ws) - length(replace(ws, chr(9), ''))) + (length(ws) - (length(ws) - length(replace(ws, chr(9), ''))))) AS BIGINT) AS indent
+FROM sp
+"""
+
+# ---------------------------------------------------------------------------
+# q16 paragraph flags: lag(indent-width) jump ≥ 2 (txt reader, §2.6)
+
+
+def q16_paragraph_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _line_corpus(spark, sf_dir)
+    is_empty = F.trim(F.col("line")) == ""
+    ws = F.regexp_extract(F.regexp_replace("line", r"\t", "    "), r"^ *", 0)
+    width = F.when(is_empty, F.lit(0)).otherwise(F.length(ws))
+    w = Window.partitionBy("source").orderBy("line_id")
+    prev_w = F.lag(width, 1, 0).over(w)
+    is_paragraph = (~is_empty) & ((width - prev_w) >= 2)
+    return lines.select(
+        "source", "line_id", is_paragraph.alias("is_paragraph")
+    )
+
+
+Q16_SQL = rf"""
+WITH lines AS ({_SQL_LINE_CORPUS}),
+ww AS (
+  SELECT source, line_id, trim(line) = '' AS is_empty,
+         CASE WHEN trim(line) = '' THEN 0
+              ELSE length(regexp_extract(regexp_replace(line, '\t', '    ', 'g'), '^ *', 0)) END AS w
+  FROM lines
+)
+SELECT source, line_id,
+       (NOT is_empty) AND (w - lag(w, 1, 0) OVER (PARTITION BY source ORDER BY line_id) >= 2) AS is_paragraph
+FROM ww
+"""
+
+# ---------------------------------------------------------------------------
+# q17 FULL HTML EXTRACTION with closed-form oracle: documents wrapped in a
+# deterministic template; extracted text is predictable byte-for-byte.
+
+
+def _synth_html(docs: DataFrame) -> DataFrame:
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+    )
+
+
+def q17_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.operators.pipeline import extract_stage
+
+    src = _synth_html(_docs(spark, sf_dir))
+    out = extract_stage(src)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_tables").cast("long").alias("n_tables"),
+        "text_extracted",
+    )
+
+
+# extraction semantics in closed form for this template:
+#   lines: "Doc {id}\n" (h1; trailing \n added because next tag is <p>),
+#          "{text}\n" (p rule adds trailing \n)
+#   tree: root "" → header → raw_text; json2txt appends "\n" per node:
+#   "\n" + "Doc {id}\n" + "\n" + "{text}\n" + "\n"
+Q17_SQL = """
+SELECT doc_id, 2 AS n_lines, 0 AS n_tables,
+       chr(10) || 'Doc ' || doc_id || chr(10) || chr(10) || text || chr(10) || chr(10) AS text_extracted
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# q18 FULL TXT EXTRACTION with closed-form oracle (single-line documents)
+
+
+def q18_txt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.operators.pipeline import extract_stage
+
+    docs = _docs(spark, sf_dir)
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+    )
+    out = extract_stage(src)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "text_extracted",
+    )
+
+
+Q18_SQL = """
+SELECT doc_id, 1 AS n_lines, chr(10) || text || chr(10) AS text_extracted
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# q19 HTML TABLE EXTRACTION with closed-form oracle: rowspan expansion
+
+
+def q19_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.operators.pipeline import extract_stage
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><body><table border="1"><tr><td>A</td><td rowspan="2">'),
+        F.col("source"),
+        F.lit("</td></tr><tr><td>"),
+        F.col("lang"),
+        F.lit("</td></tr></table></body></html>"),
+    )
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+    )
+    out = extract_stage(src)
+    tables = F.from_json(
+        "tables_json",
+        "array<struct<cells:array<array<struct<lines:array<struct<line:string>>,colspan:int,rowspan:int,invisible:boolean>>>>>",
+    )
+    t0 = tables[0]
+    cell_text = lambda r, c: F.concat_ws("\n", F.transform(t0["cells"][r][c]["lines"], lambda l: l["line"]))  # noqa: E731
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("n_tables").cast("long").alias("n_tables"),
+        F.size(t0["cells"]).cast("long").alias("n_rows"),
+        F.size(t0["cells"][0]).cast("long").alias("n_cols"),
+        cell_text(0, 0).alias("c00"),
+        cell_text(0, 1).alias("c01"),
+        cell_text(1, 0).alias("c10"),
+        cell_text(1, 1).alias("c11"),
+        t0["cells"][1][1]["invisible"].alias("clone_invisible"),
+    )
+
+
+# rowspan expansion: the clone of (0,1) is inserted at row-1 position 1
+# (after the DOM cell), so row 1 reads [lang, source-clone(invisible)]
+Q19_SQL = """
+SELECT doc_id, 1 AS n_tables, 2 AS n_rows, 2 AS n_cols,
+       'A' AS c00, source AS c01, lang AS c10, source AS c11,
+       TRUE AS clone_invisible
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# q20 simhash (rows-only: bit-level SQL mirror is out of DuckDB's reach)
+
+
+def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.operators.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_token_explode": q01_token_explode,
+    "q02_line_types": q02_line_types,
+    "q03_digit_mask": q03_digit_mask,
+    "q04_boilerplate_votes": q04_boilerplate_votes,
+    "q05_boilerplate_removal": q05_boilerplate_removal,
+    "q06_exact_dedup": q06_exact_dedup,
+    "q07_minhash": q07_minhash,
+    "q08_lsh_pairs": q08_lsh_pairs,
+    "q09_jaccard_pairs": q09_jaccard_pairs,
+    "q10_text_profile": q10_text_profile,
+    "q11_source_rollup": q11_source_rollup,
+    "q12_ann_topk": q12_ann_topk,
+    "q13_embedding_near_dup": q13_embedding_near_dup,
+    "q14_events_rollup": q14_events_rollup,
+    "q15_spacing_indent": q15_spacing_indent,
+    "q16_paragraph_flags": q16_paragraph_flags,
+    "q17_html_extract": q17_html_extract,
+    "q18_txt_extract": q18_txt_extract,
+    "q19_html_tables": q19_html_tables,
+    "q20_simhash": q20_simhash,
+}
+
+ORACLES: Dict[str, str] = {
+    "q01_token_explode": Q01_SQL,
+    "q02_line_types": Q02_SQL,
+    "q03_digit_mask": Q03_SQL,
+    "q04_boilerplate_votes": Q04_SQL,
+    "q05_boilerplate_removal": Q05_SQL,
+    "q06_exact_dedup": Q06_SQL,
+    "q07_minhash": Q07_SQL,
+    "q08_lsh_pairs": Q08_SQL,
+    "q09_jaccard_pairs": Q09_SQL,
+    "q10_text_profile": Q10_SQL,
+    "q11_source_rollup": Q11_SQL,
+    "q12_ann_topk": Q12_SQL,
+    "q13_embedding_near_dup": Q13_SQL,
+    "q14_events_rollup": Q14_SQL,
+    "q15_spacing_indent": Q15_SQL,
+    "q16_paragraph_flags": Q16_SQL,
+    "q17_html_extract": Q17_SQL,
+    "q18_txt_extract": Q18_SQL,
+    "q19_html_tables": Q19_SQL,
+    # q20_simhash: rows-only (bit-parallel simhash not SQL-expressible)
+}
