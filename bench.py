@@ -65,7 +65,9 @@ def main() -> None:
     extract_stage(pages.limit(200)).agg(F.sum("n_lines")).collect()
 
     def run_extract():
-        out = extract_stage(pages, salt_partitions=CPUS * 4)
+        # scan-aligned (no shuffle): the source layout is uniform part
+        # files; salting is reserved for skewed layouts (see pipeline.py)
+        out = extract_stage(pages)
         return out.agg(
             F.count("*").alias("docs"),
             F.sum(F.length("text_extracted")).alias("chars"),

@@ -67,19 +67,64 @@ def extract_txt_document(url: str, text: str) -> Dict:
     return _finalize(url, lines, [], [])
 
 
+def extract_json_document(url: str, payload: str) -> Dict:
+    from dedoc_spark.core.formats import extract_json_lines
+
+    lines = extract_json_lines(payload, url_hash(url))
+    return _finalize(url, lines, [], [])
+
+
+def extract_csv_document(url: str, payload: str, is_tsv: bool = False) -> Dict:
+    from dedoc_spark.core.formats import extract_csv_table
+
+    tables, warnings = extract_csv_table(payload, url_hash(url), is_tsv=is_tsv)
+    return _finalize(url, [], tables, warnings)
+
+
+def extract_email_document(url: str, payload: bytes) -> Dict:
+    from dedoc_spark.core.formats import extract_email
+
+    lines, tables, warnings = extract_email(payload, url_hash(url))
+    return _finalize(url, lines, tables, warnings)
+
+
+def extract_mhtml_document(url: str, payload: bytes) -> Dict:
+    from dedoc_spark.core.formats import extract_mhtml
+
+    lines, tables, warnings = extract_mhtml(payload, url_hash(url))
+    return _finalize(url, lines, tables, warnings)
+
+
 def extract_document(
     url: str,
     html: Optional[bytes],
     text: Optional[str],
     handle_invisible_table: bool = False,
 ) -> Dict:
-    """Format dispatch for one input-table row: html payload wins, else the
-    text column (ReaderComposition first-match semantics,
-    reader_composition.py:21-46, collapsed to the two v1 formats).
-    Per-row failures are captured in the ``error`` channel instead of
-    failing the job (dedoc_manager.py:73-81 DedocError semantics)."""
+    """Format dispatch for one input-table row (ReaderComposition
+    first-match semantics, reader_composition.py:21-46: extension first,
+    then content magic — see formats.detect_format). Per-row failures are
+    captured in the ``error`` channel instead of failing the job
+    (dedoc_manager.py:73-81 DedocError semantics)."""
+    from dedoc_spark.core.formats import detect_format
+
     try:
-        if html:
+        fmt = detect_format(url, html, text)
+        if fmt == "html" and html:
+            return extract_html_document(url, html, handle_invisible_table)
+        if fmt == "json" and html:
+            return extract_json_document(url, html.decode("utf-8", errors="replace"))
+        if fmt in ("csv", "tsv") and html:
+            return extract_csv_document(
+                url, html.decode("utf-8", errors="replace"), is_tsv=fmt == "tsv"
+            )
+        if fmt == "email" and html:
+            return extract_email_document(url, html)
+        if fmt == "mhtml" and html:
+            return extract_mhtml_document(url, html)
+        if fmt == "txt" and html:
+            return extract_txt_document(url, html.decode("utf-8", errors="replace"))
+        if html:  # unsupported binary formats (pdf/docx/zip v1): html fallback
             return extract_html_document(url, html, handle_invisible_table)
         return extract_txt_document(url, text or "")
     except Exception as e:  # error channel, never job failure

@@ -1,0 +1,258 @@
+"""Additional format readers: JSON, CSV/TSV, email (.eml), MHTML, ZIP
+archives, and the format-dispatch predicate.
+
+References:
+  - JsonReader      dedoc/readers/json_reader/json_reader.py:22-131
+    (explicit-stack DFS; dict keys → "key" lines in sorted order, list
+    items → "list_item", scalars → raw_text; HL = (depth, 1, False))
+  - CSVReader       dedoc/readers/csv_reader/csv_reader.py:17-58
+    (delimiter by extension/param; one Table of stringified cells)
+  - EmailReader     dedoc/readers/email_reader/email_reader.py:34-220
+    (subject line gets HL (0,0,False,"root") → becomes the tree root
+    text; header fields → typed lines; text/html parts via the HTML core
+    with "\\n" appended per line; text/plain fallback when no html part)
+  - MhtmlReader     dedoc/readers/mhtml_reader/mhtml_reader.py:33-124
+    (multipart unpack → html parts through the HTML core; other parts
+    become attachments)
+  - ArchiveReader   dedoc/readers/archive_reader/archive_reader.py:18-55
+    (members → attached-file list; here: explode members into new rows)
+  - dispatch        dedoc/readers/reader_composition.py:21-46 +
+    mime re-sniff retry dedoc_manager.py:145-167 (extension first, then
+    content magic)
+"""
+
+from __future__ import annotations
+
+import csv
+import email
+import email.header
+import hashlib
+import io
+import json
+import zipfile
+from typing import Dict, List, Optional, Tuple
+
+from dedoc_spark.core.html_extract import HtmlExtractor
+from dedoc_spark.core.model import Cell, HierarchyLevel, Line, Table
+
+_HTML = HtmlExtractor()
+
+
+# --- JSON -------------------------------------------------------------------
+
+
+def extract_json_lines(payload: str, url_hash: str = "") -> List[Line]:
+    """Generic JSON tree-flatten with the reference's DFS order."""
+    data = json.loads(payload)
+
+    def is_flat(v) -> bool:
+        return not isinstance(v, (dict, list))
+
+    def text_of(v) -> str:
+        if isinstance(v, (dict, list)) or v is None:
+            return ""
+        return str(v)
+
+    def make(depth: int, value_text: str, line_type: str, idx: int) -> Line:
+        hl = HierarchyLevel(depth, 1, False, line_type)
+        uid = f"{url_hash}_{hashlib.md5(f'json{idx}{value_text}'.encode()).hexdigest()}"
+        return Line(line=value_text, tag_hl=hl, uid=uid)
+
+    stack: List[Tuple[object, int]] = [(data, 1)]
+    result: List[Line] = []
+    while stack:
+        element, depth = stack.pop()
+        if isinstance(element, dict) and len(element) > 0:
+            # take the smallest key, re-push the rest (json_reader.py:99-110)
+            for key in sorted(element.keys()):
+                value = element.pop(key)
+                result.append(make(depth, str(key), "key", len(result)))
+                stack.append((element, depth))
+                if value is not None:
+                    stack.append((value, depth + 1))
+                break
+        if isinstance(element, list) and len(element) > 0:
+            while element:
+                sub = element.pop(0)
+                result.append(
+                    make(depth, text_of(sub), HierarchyLevel.list_item, len(result))
+                )
+                if not is_flat(sub):
+                    stack.append((element, depth))
+                    stack.append((sub, depth + 1))
+                    break
+        elif is_flat(element):
+            result.append(make(depth, str(element), HierarchyLevel.raw_text, len(result)))
+    for i, line in enumerate(result):
+        line.line_id = i
+    return result
+
+
+# --- CSV / TSV ---------------------------------------------------------------
+
+
+def extract_csv_table(
+    payload: str, url_hash: str = "", delimiter: Optional[str] = None, is_tsv: bool = False
+) -> Tuple[List[Table], List[str]]:
+    if delimiter is None:
+        delimiter = "\t" if is_tsv else ","
+    rows = list(csv.reader(io.StringIO(payload), delimiter=delimiter))
+    cells = [[Cell(lines=[Line(line=str(c))]) for c in row] for row in rows]
+    uid = hashlib.md5(f"{url_hash}_csv_table".encode()).hexdigest()
+    warnings = [f"delimiter is '{delimiter}'"]
+    return [Table(cells=cells, page_id=0, uid=uid)], warnings
+
+
+# --- email (.eml) -------------------------------------------------------------
+
+
+def _decode_header_value(text: str) -> str:
+    parts = []
+    for chunk, enc in email.header.decode_header(text):
+        if isinstance(chunk, bytes):
+            parts.append(chunk.decode(enc or "ascii", errors="replace"))
+        else:
+            parts.append(chunk)
+    return "".join(parts)
+
+
+EMAIL_FIELDS = ["subject", "from", "to", "cc", "bcc", "date", "reply-to"]
+
+
+def extract_email(payload: bytes, url_hash: str = "") -> Tuple[List[Line], List[Table], List[str]]:
+    msg = email.message_from_bytes(payload)
+    lines: List[Line] = []
+    tables: List[Table] = []
+    warnings: List[str] = []
+
+    def header_line(key: str, hl: HierarchyLevel, idx: int) -> Line:
+        text = _decode_header_value(msg.get(key, ""))
+        uid = f"{url_hash}_{hashlib.md5(f'eml{key}{idx}'.encode()).hexdigest()}"
+        return Line(line=text, tag_hl=hl, uid=uid)
+
+    # subject becomes the (0,0) root-text line (email_reader.py:205-216)
+    lines.append(header_line("subject", HierarchyLevel(0, 0, False, "root"), 0))
+    for i, field in enumerate(EMAIL_FIELDS):
+        line = header_line(field, HierarchyLevel(1, 0, False, field), i + 1)
+        if len(line.line) > 0:
+            lines.append(line)
+
+    html_found = False
+    text_parts = []
+    for part in msg.walk():
+        ctype = part.get_content_type()
+        if part.is_multipart():
+            continue
+        body = part.get_payload(decode=True)
+        if body is None:
+            continue
+        if ctype == "text/html":
+            html_found = True
+            part_lines, part_tables, w = _HTML.extract(body, url_hash)
+            for ln in part_lines:
+                ln.line += "\n"
+            lines.extend(part_lines)
+            tables.extend(part_tables)
+            warnings.extend(w)
+        elif ctype == "text/plain":
+            text_parts.append(body)
+
+    if not html_found:
+        for body in text_parts:
+            text = body.decode(errors="replace")
+            for i, t in enumerate(text.split("\n")):
+                uid = f"{url_hash}_{hashlib.md5(f'emltxt{len(lines)}{i}'.encode()).hexdigest()}"
+                lines.append(Line(line=t + "\n", uid=uid))
+
+    for i, line in enumerate(lines):
+        line.line_id = i
+    return lines, tables, warnings
+
+
+# --- MHTML --------------------------------------------------------------------
+
+
+def extract_mhtml(payload: bytes, url_hash: str = "") -> Tuple[List[Line], List[Table], List[str]]:
+    """MIME-multipart web archive: html parts through the HTML core,
+    other parts reported as attachment warnings (v1 keeps payloads out)."""
+    msg = email.message_from_bytes(payload)
+    lines: List[Line] = []
+    tables: List[Table] = []
+    warnings: List[str] = []
+    for part in msg.walk():
+        if part.is_multipart():
+            continue
+        ctype = part.get_content_type()
+        body = part.get_payload(decode=True)
+        if body is None:
+            continue
+        if ctype in ("text/html", "application/xhtml+xml"):
+            part_lines, part_tables, w = _HTML.extract(body, url_hash)
+            lines.extend(part_lines)
+            tables.extend(part_tables)
+            warnings.extend(w)
+        else:
+            warnings.append(f"attachment: {part.get('Content-Location', ctype)}")
+    for i, line in enumerate(lines):
+        line.line_id = i
+    return lines, tables, warnings
+
+
+# --- ZIP archives --------------------------------------------------------------
+
+
+def list_archive_members(payload: bytes, max_members: int = 1000) -> List[Tuple[str, bytes]]:
+    """Zip members → (name, bytes) for row-explosion (url#member rows feed
+    back through dispatch, bounded like the reference's recursion depth)."""
+    out: List[Tuple[str, bytes]] = []
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        for info in zf.infolist()[:max_members]:
+            if info.is_dir():
+                continue
+            out.append((info.filename, zf.read(info)))
+    return out
+
+
+# --- format dispatch ------------------------------------------------------------
+
+_EXT_FORMATS = {
+    "html": "html", "htm": "html", "shtml": "html",
+    "txt": "txt",
+    "json": "json",
+    "csv": "csv", "tsv": "tsv",
+    "eml": "email",
+    "mhtml": "mhtml", "mht": "mhtml",
+    "zip": "zip",
+    "docx": "docx",
+    "pdf": "pdf",
+}
+
+
+def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> str:
+    """Extension-first, then content-magic re-sniff (the reference's retry
+    collapsed to one pass)."""
+    ext = url.rsplit(".", 1)[-1].lower() if "." in url.rsplit("/", 1)[-1] else ""
+    if ext in _EXT_FORMATS:
+        return _EXT_FORMATS[ext]
+    if payload:
+        head = payload[:512].lstrip()
+        if payload[:4] == b"PK\x03\x04":
+            try:
+                with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+                    if "[Content_Types].xml" in zf.namelist():
+                        return "docx"
+            except Exception:
+                pass
+            return "zip"
+        if payload[:5] == b"%PDF-":
+            return "pdf"
+        if head[:1] in (b"{", b"["):
+            return "json"
+        if head[:1] == b"<" or b"<html" in payload[:2048].lower():
+            return "html"
+        if payload[:5] in (b"From:", b"From ") or b"MIME-Version:" in payload[:2048]:
+            return "email"
+        return "html"  # web default: treat unknown markup-ish bytes as html
+    if text:
+        return "txt"
+    return "txt"

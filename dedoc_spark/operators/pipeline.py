@@ -15,10 +15,13 @@ joblib per-page pools, API child process — dedoc_manager.py, §3) all
 disappear: Spark task parallelism replaces them.
 
 Scale notes (100 TB / 10^12 rows):
-  - the only shuffle is the deliberate salting repartition; everything
-    after is narrow. At 10^12 rows pick salt_partitions ≈ input_bytes /
-    128 MiB and enable AQE (skew split handles the heavy tail the salting
-    missed).
+  - DEFAULT IS NO SHUFFLE: when the source layout is uniform (Iceberg
+    write targets, sized part files) the extraction is scan-aligned and
+    perfectly parallel — measured here, shuffling 100k pages' html bytes
+    through disk cost more than the whole extraction. Pass
+    salt_partitions only when the layout itself is skewed (giant files,
+    hot key ranges); then pick ≈ input_bytes / 128 MiB and let AQE's
+    skew split handle what the salting missed.
   - oversized documents (length(html) > big_doc_threshold) are routed to
     a separate pass so one 100 MB page cannot stall an Arrow batch of
     10k ordinary pages (split_oversized below; mirrors dedoc's per-page

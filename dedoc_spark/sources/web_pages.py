@@ -180,8 +180,15 @@ def generate_rows(n: int, seed: int = 42, start: int = 0) -> Iterator[Dict]:
         yield make_row(i, seed)
 
 
-def write_parquet(path: str, n: int, seed: int = 42, batch_rows: int = 20_000) -> str:
-    """Write the synthetic table to parquet with pyarrow (no Spark needed)."""
+def write_parquet(path: str, n: int, seed: int = 42, rows_per_file: int = 4_000) -> str:
+    """Write the synthetic table as a DIRECTORY of parquet part files.
+
+    Many small files (not one big one) so a cold scan parallelizes: a
+    single-file input makes the scan + shuffle-write a serial section that
+    caps scaling (Amdahl) — exactly the pathology the north rule's
+    two-cluster-size criterion is meant to catch."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -194,29 +201,30 @@ def write_parquet(path: str, n: int, seed: int = 42, batch_rows: int = 20_000) -
             ("lang", pa.string()),
         ]
     )
-    writer = pq.ParquetWriter(path, schema)
-    try:
-        buf: List[Dict] = []
-        for row in generate_rows(n, seed):
-            buf.append(row)
-            if len(buf) >= batch_rows:
-                writer.write_table(pa.Table.from_pylist(buf, schema=schema))
-                buf = []
-        if buf:
-            writer.write_table(pa.Table.from_pylist(buf, schema=schema))
-    finally:
-        writer.close()
+    os.makedirs(path, exist_ok=True)
+    part = 0
+    buf: List[Dict] = []
+    for row in generate_rows(n, seed):
+        buf.append(row)
+        if len(buf) >= rows_per_file:
+            pq.write_table(pa.Table.from_pylist(buf, schema=schema), f"{path}/part-{part:05d}.parquet")
+            part += 1
+            buf = []
+    if buf or part == 0:
+        pq.write_table(pa.Table.from_pylist(buf, schema=schema), f"{path}/part-{part:05d}.parquet")
     return path
 
 
 def ensure_web_pages(n: int, seed: int = 42, cache_dir: str = "/tmp/dedoc_spark_webpages") -> str:
-    """Generate-once cache for tests/bench: path keyed by (n, seed)."""
+    """Generate-once cache for tests/bench: directory keyed by (n, seed)."""
     import os
+    import shutil
 
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"web_pages_n{n}_s{seed}.parquet")
-    if not os.path.exists(path):
+    path = os.path.join(cache_dir, f"web_pages_n{n}_s{seed}")
+    if not os.path.isdir(path):
         tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
         write_parquet(tmp, n, seed)
         os.replace(tmp, path)
     return path

@@ -1,0 +1,189 @@
+"""Format readers: JSON tree-flatten, CSV, email, MHTML, archive members,
+dispatch (reference suites: test_api_format_json/csv/email/mhtml)."""
+
+import json as jsonlib
+import zipfile
+import io
+
+from dedoc_spark.core.document import extract_document
+from dedoc_spark.core.formats import (
+    detect_format,
+    extract_csv_table,
+    extract_email,
+    extract_json_lines,
+    extract_mhtml,
+    list_archive_members,
+)
+
+
+def test_json_dict_sorted_keys():
+    lines = extract_json_lines('{"b": 1, "a": "x"}')
+    got = [(ln.line, ln.tag_hl.line_type, ln.tag_hl.level_1) for ln in lines]
+    # keys in sorted order, each followed by its value at depth+1
+    assert got == [
+        ("a", "key", 1),
+        ("x", "raw_text", 2),
+        ("b", "key", 1),
+        ("1", "raw_text", 2),
+    ]
+
+
+def test_json_list_items():
+    lines = extract_json_lines('["x", "y", {"k": "v"}, "z"]')
+    got = [(ln.line, ln.tag_hl.line_type, ln.tag_hl.level_1) for ln in lines]
+    assert got == [
+        ("x", "list_item", 1),
+        ("y", "list_item", 1),
+        ("", "list_item", 1),  # nested dict item emits empty list_item line
+        ("k", "key", 2),
+        ("v", "raw_text", 3),
+        ("z", "list_item", 1),
+    ]
+
+
+def test_json_null_value_key_only():
+    lines = extract_json_lines('{"k": null}')
+    assert [(ln.line, ln.tag_hl.line_type) for ln in lines] == [("k", "key")]
+
+
+def test_csv_and_tsv():
+    tables, warnings = extract_csv_table('a,b,"c,d"\n1,2,3\n')
+    cells = tables[0].cells
+    assert [[c.get_text() for c in row] for row in cells] == [["a", "b", "c,d"], ["1", "2", "3"]]
+    assert warnings == ["delimiter is ','"]
+    tables, _ = extract_csv_table("x\ty\n", is_tsv=True)
+    assert [c.get_text() for c in tables[0].cells[0]] == ["x", "y"]
+
+
+EML = b"""From: Alice <alice@example.com>
+To: bob@example.com
+Subject: Test message
+Date: Mon, 1 Jan 2024 00:00:00 +0000
+MIME-Version: 1.0
+Content-Type: multipart/alternative; boundary="B"
+
+--B
+Content-Type: text/plain; charset="utf-8"
+
+plain body line
+--B
+Content-Type: text/html; charset="utf-8"
+
+<html><body><p>html body</p></body></html>
+--B--
+"""
+
+
+def test_email_header_and_html_part():
+    lines, tables, warnings = extract_email(EML)
+    # subject first with (0,0) root level
+    assert lines[0].line == "Test message"
+    assert (lines[0].tag_hl.level_1, lines[0].tag_hl.level_2) == (0, 0)
+    field_types = {ln.tag_hl.line_type for ln in lines[1:5]}
+    assert "from" in field_types and "to" in field_types
+    # html part wins over the text/plain alternative
+    assert any("html body" in ln.line for ln in lines)
+    assert not any("plain body" in ln.line for ln in lines)
+
+
+def test_email_plain_fallback():
+    eml = EML.replace(b"--B\nContent-Type: text/html", b"--X\nContent-Type: text/html")
+    lines, _, _ = extract_email(eml)
+    assert any("plain body" in ln.line for ln in lines)
+
+
+MHTML = b"""MIME-Version: 1.0
+Content-Type: multipart/related; boundary="M"
+
+--M
+Content-Type: text/html; charset="utf-8"
+Content-Location: https://p.example/
+
+<html><body><h1>Archived page</h1><p>content</p></body></html>
+--M
+Content-Type: image/png
+Content-Location: https://p.example/logo.png
+Content-Transfer-Encoding: base64
+
+iVBORw0KGgo=
+--M--
+"""
+
+
+def test_mhtml():
+    lines, tables, warnings = extract_mhtml(MHTML)
+    assert any("Archived page" in ln.line for ln in lines)
+    assert any("logo.png" in w for w in warnings)
+
+
+def test_archive_members():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("a.html", "<p>inner a</p>")
+        zf.writestr("dir/b.txt", "inner b")
+    members = list_archive_members(buf.getvalue())
+    assert [m[0] for m in members] == ["a.html", "dir/b.txt"]
+    assert members[0][1] == b"<p>inner a</p>"
+
+
+def test_detect_format():
+    assert detect_format("https://x/y.html", b"anything", "") == "html"
+    assert detect_format("https://x/y.json", b"{}", "") == "json"
+    assert detect_format("https://x/y", b'{"a": 1}', "") == "json"
+    assert detect_format("https://x/y", b"%PDF-1.4", "") == "pdf"
+    assert detect_format("https://x/y", b"<html><body>", "") == "html"
+    assert detect_format("https://x/y", b"MIME-Version: 1.0\nFrom: a", "") == "email"
+    assert detect_format("https://x/y", None, "some text") == "txt"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("x", "y")
+    assert detect_format("https://x/y", buf.getvalue(), "") == "zip"
+
+
+def test_dispatch_through_extract_document():
+    d = extract_document("https://x/data.json", b'{"title": "T", "items": ["a", "b"]}', None)
+    assert d["error"] is None
+    lines = jsonlib.loads(d["lines_json"])
+    assert [ln["line"] for ln in lines] == ["items", "a", "b", "title", "T"]
+    # items/title keys at level 1, list items at level 2 via tag HL
+    d2 = extract_document("https://x/t.csv", b"a,b\n1,2\n", None)
+    assert d2["n_tables"] == 1
+    d3 = extract_document("https://x/m.eml", EML, None)
+    assert "Test message" in d3["text_extracted"]
+
+
+def test_email_tree_subject_is_root():
+    d = extract_document("https://x/m.eml", EML, None)
+    tree = jsonlib.loads(d["tree_json"])
+    # subject (0,0) line becomes the root text (tree_constructor.py:63-71)
+    assert tree["text"] == "Test message"
+    assert tree["metadata"]["paragraph_type"] == "root"
+
+
+def test_archive_explosion_spark(spark):
+    import zipfile, io
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("inner.html", "<p>from archive</p>")
+        zf.writestr("notes.txt", "plain notes")
+    inner = io.BytesIO()
+    with zipfile.ZipFile(inner, "w") as zf:
+        zf.writestr("deep.html", "<p>nested</p>")
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as zf:
+        zf.writestr("nested.zip", inner.getvalue())
+
+    from dedoc_spark.operators.archives import extract_with_archives
+
+    rows = [
+        ("https://a/x.zip", bytearray(buf.getvalue()), ""),
+        ("https://a/nested.zip", bytearray(buf2.getvalue()), ""),
+        ("https://a/plain.html", bytearray(b"<p>direct</p>"), ""),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary, text string")
+    out = {r.url: r for r in extract_with_archives(df).collect()}
+    assert "from archive" in out["https://a/x.zip#inner.html"].text_extracted
+    assert "plain notes" in out["https://a/x.zip#notes.txt"].text_extracted
+    assert "nested" in out["https://a/nested.zip#nested.zip#deep.html"].text_extracted
+    assert "direct" in out["https://a/plain.html"].text_extracted

@@ -186,8 +186,7 @@ def test_streaming_extraction(spark, tmp_path):
     import shutil
 
     src_dir = tmp_path / "src"
-    src_dir.mkdir()
-    shutil.copy(ensure_web_pages(50), src_dir / "part-0.parquet")
+    shutil.copytree(ensure_web_pages(50), src_dir)
     src = str(src_dir)
     stream = read_web_pages_stream(spark, src)
     assert stream.isStreaming
