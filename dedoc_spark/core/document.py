@@ -95,6 +95,13 @@ def extract_mhtml_document(url: str, payload: bytes) -> Dict:
     return _finalize(url, lines, tables, warnings)
 
 
+def extract_docx_document(url: str, payload: bytes) -> Dict:
+    from dedoc_spark.core.docx_extract import extract_docx
+
+    lines, tables, warnings = extract_docx(payload, url_hash(url))
+    return _finalize(url, lines, tables, warnings)
+
+
 def extract_document(
     url: str,
     html: Optional[bytes],
@@ -124,6 +131,8 @@ def extract_document(
             return extract_mhtml_document(url, html)
         if fmt == "txt" and html:
             return extract_txt_document(url, html.decode("utf-8", errors="replace"))
+        if fmt == "docx" and html:
+            return extract_docx_document(url, html)
         if html:  # unsupported binary formats (pdf/docx/zip v1): html fallback
             return extract_html_document(url, html, handle_invisible_table)
         return extract_txt_document(url, text or "")

@@ -1,0 +1,409 @@
+"""DOCX → lines + tables extraction (in-memory zip + ElementTree).
+
+Reference: dedoc/readers/docx_reader/ — docx_reader.py:21-53,
+data_structures/docx_document.py:54-91 (body walk),
+data_structures/paragraph.py:49-93 (style cascade),
+line_with_meta_converter.py:34-67 (annotations + tag HL),
+numbering_extractor.py (list numbering rendering).
+
+v1 subset, same output contract:
+  - body walk: w:p → line, w:tbl → table (+ tag HL rules: heading style →
+    (1, style_level, False, header); numbered paragraph → (2, ilvl+1,
+    False, list_item); else unknown)
+  - style cascade subset: docDefaults → paragraph style (heading name and
+    run props, one basedOn hop) → direct pPr/rPr
+  - per-run bold/italic/underlined/strike/sub/superscript annotations at
+    run offsets; size = half-points/2; line-wide indentation/alignment/
+    spacing/style annotations; annotation merger applied per line
+  - numbering: numId→abstractNum ilvl counters, lvlText "%N." rendering
+    (decimal/lowerLetter/upperLetter/lowerRoman/bullet), rendered text
+    prepended as a run (paragraph.py:76-78 step 7)
+  - spacing = max(prev paragraph's after, current before) in twips
+  - tables: gridSpan/vMerge expansion into invisible clones (same
+    rectangularization invariant as the HTML reader)
+  - the reference's newline fix (docx_reader.py:37-53): unknown-type lines
+    followed by same-tag-HL lines get a trailing "\\n"
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import re
+import zipfile
+from typing import Dict, List, Optional, Tuple
+from xml.etree import ElementTree as ET
+
+from dedoc_spark.core.annotation_merger import merge_annotations
+from dedoc_spark.core.model import Annotation, Cell, HierarchyLevel, Line, Table
+
+W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+_HEADING_RE = re.compile(r"heading\s*(\d+)", re.I)
+
+
+def _w(tag: str) -> str:
+    return f"{W}{tag}"
+
+
+def _val(el: Optional[ET.Element], default: Optional[str] = None) -> Optional[str]:
+    if el is None:
+        return default
+    return el.get(_w("val"), default)
+
+
+def _to_int(s: Optional[str], default: int = 0) -> int:
+    try:
+        return int(s)
+    except (TypeError, ValueError):
+        return default
+
+
+class _RunProps:
+    __slots__ = ("bold", "italic", "underlined", "strike", "superscript", "subscript", "size")
+
+    def __init__(self) -> None:
+        self.bold = False
+        self.italic = False
+        self.underlined = False
+        self.strike = False
+        self.superscript = False
+        self.subscript = False
+        self.size = 20  # half-points (10 pt default)
+
+    def copy(self) -> "_RunProps":
+        c = _RunProps()
+        for k in self.__slots__:
+            setattr(c, k, getattr(self, k))
+        return c
+
+    def apply_rpr(self, rpr: Optional[ET.Element]) -> None:
+        if rpr is None:
+            return
+
+        def flag(tag: str) -> Optional[bool]:
+            el = rpr.find(_w(tag))
+            if el is None:
+                return None
+            return el.get(_w("val"), "true").lower() not in ("false", "0", "none")
+
+        for tag, attr in (("b", "bold"), ("i", "italic"), ("u", "underlined"), ("strike", "strike")):
+            v = flag(tag)
+            if v is not None:
+                setattr(self, attr, v if tag != "u" else (rpr.find(_w("u")).get(_w("val"), "single") != "none"))
+        va = rpr.find(_w("vertAlign"))
+        if va is not None:
+            self.superscript = _val(va) == "superscript"
+            self.subscript = _val(va) == "subscript"
+        sz = rpr.find(_w("sz"))
+        if sz is not None:
+            self.size = _to_int(_val(sz), self.size)
+
+
+class _Style:
+    __slots__ = ("style_id", "name", "heading_level", "rpr", "based_on")
+
+    def __init__(self, style_id: str, name: str, rpr, based_on: Optional[str]) -> None:
+        self.style_id = style_id
+        self.name = name
+        m = _HEADING_RE.search(name or "")
+        self.heading_level = int(m.group(1)) if m else None
+        self.rpr = rpr
+        self.based_on = based_on
+
+
+def _parse_styles(data: Optional[bytes]) -> Tuple[Dict[str, _Style], _RunProps]:
+    styles: Dict[str, _Style] = {}
+    defaults = _RunProps()
+    if not data:
+        return styles, defaults
+    root = ET.fromstring(data)
+    doc_defaults = root.find(f"{_w('docDefaults')}/{_w('rPrDefault')}/{_w('rPr')}")
+    defaults.apply_rpr(doc_defaults)
+    for st in root.findall(_w("style")):
+        style_id = st.get(_w("styleId"))
+        if not style_id:
+            continue
+        name = _val(st.find(_w("name")), style_id) or style_id
+        based_on = _val(st.find(_w("basedOn")))
+        styles[style_id] = _Style(style_id, name, st.find(_w("rPr")), based_on)
+    return styles, defaults
+
+
+class _Numbering:
+    """numbering.xml subset: numId → abstractNum levels; stateful counters
+    rendering lvlText (numbering_extractor.py semantics)."""
+
+    _FMT_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+    _ROMAN = [(1000, "m"), (900, "cm"), (500, "d"), (400, "cd"), (100, "c"), (90, "xc"),
+              (50, "l"), (40, "xl"), (10, "x"), (9, "ix"), (5, "v"), (4, "iv"), (1, "i")]
+
+    def __init__(self, data: Optional[bytes]) -> None:
+        self.levels: Dict[Tuple[str, int], Dict] = {}
+        self.counters: Dict[Tuple[str, int], int] = {}
+        if not data:
+            return
+        root = ET.fromstring(data)
+        abstract: Dict[str, Dict[int, Dict]] = {}
+        for an in root.findall(_w("abstractNum")):
+            aid = an.get(_w("abstractNumId"))
+            lvls: Dict[int, Dict] = {}
+            for lvl in an.findall(_w("lvl")):
+                ilvl = _to_int(lvl.get(_w("ilvl")))
+                lvls[ilvl] = {
+                    "fmt": _val(lvl.find(_w("numFmt")), "decimal"),
+                    "text": _val(lvl.find(_w("lvlText")), "%1."),
+                    "start": _to_int(_val(lvl.find(_w("start")), "1"), 1),
+                }
+            abstract[aid] = lvls
+        for num in root.findall(_w("num")):
+            num_id = num.get(_w("numId"))
+            aid = _val(num.find(_w("abstractNumId")))
+            for ilvl, spec in abstract.get(aid, {}).items():
+                self.levels[(num_id, ilvl)] = spec
+
+    def _render_counter(self, fmt: str, value: int) -> str:
+        if fmt == "lowerLetter":
+            return self._FMT_ALPHA[(value - 1) % 26]
+        if fmt == "upperLetter":
+            return self._FMT_ALPHA[(value - 1) % 26].upper()
+        if fmt in ("lowerRoman", "upperRoman"):
+            out, v = [], value
+            for n, sym in self._ROMAN:
+                while v >= n:
+                    out.append(sym)
+                    v -= n
+            s = "".join(out)
+            return s.upper() if fmt == "upperRoman" else s
+        if fmt == "bullet":
+            return ""
+        return str(value)
+
+    def next_text(self, num_id: str, ilvl: int) -> Optional[str]:
+        spec = self.levels.get((num_id, ilvl))
+        if spec is None:
+            return None
+        key = (num_id, ilvl)
+        self.counters[key] = self.counters.get(key, spec["start"] - 1) + 1
+        # reset deeper levels (restart sublists)
+        for (nid, lv) in list(self.counters):
+            if nid == num_id and lv > ilvl:
+                del self.counters[(nid, lv)]
+        if spec["fmt"] == "bullet":
+            return spec["text"]
+        text = spec["text"]
+        for (nid, lv), cnt in self.counters.items():
+            if nid == num_id and lv <= ilvl:
+                lspec = self.levels.get((nid, lv), spec)
+                text = text.replace(f"%{lv + 1}", self._render_counter(lspec["fmt"], cnt))
+        return text
+
+
+class DocxExtractor:
+    def extract(self, payload: bytes, url_hash: str = "") -> Tuple[List[Line], List[Table], List[str]]:
+        warnings: List[str] = []
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            names = set(zf.namelist())
+
+            def read(name: str) -> Optional[bytes]:
+                return zf.read(name) if name in names else None
+
+            document = read("word/document.xml")
+            if document is None:
+                raise ValueError("no word/document.xml")
+            styles, defaults = _parse_styles(read("word/styles.xml"))
+            numbering = _Numbering(read("word/numbering.xml"))
+
+        root = ET.fromstring(document)
+        body = root.find(_w("body"))
+        lines: List[Line] = []
+        tables: List[Table] = []
+        prev_spacing_after = 0
+        if body is not None:
+            for child in body:
+                if child.tag == _w("p"):
+                    line, prev_spacing_after = self._paragraph_to_line(
+                        child, styles, defaults, numbering, url_hash, len(lines), prev_spacing_after
+                    )
+                    lines.append(line)
+                elif child.tag == _w("tbl"):
+                    tables.append(self._read_table(child, url_hash, len(tables)))
+        self._fix_lines(lines)
+        for i, line in enumerate(lines):
+            line.line_id = i
+        return lines, tables, warnings
+
+    # -- paragraphs ---------------------------------------------------------
+
+    def _paragraph_to_line(
+        self,
+        p: ET.Element,
+        styles: Dict[str, _Style],
+        defaults: _RunProps,
+        numbering: _Numbering,
+        url_hash: str,
+        index: int,
+        prev_spacing_after: int,
+    ) -> Tuple[Line, int]:
+        ppr = p.find(_w("pPr"))
+        base = defaults.copy()
+        style_name = None
+        heading_level = None
+
+        # style cascade: paragraph style (one basedOn hop) → direct rPr later
+        if ppr is not None:
+            pstyle = _val(ppr.find(_w("pStyle")))
+            if pstyle and pstyle in styles:
+                st = styles[pstyle]
+                style_name = st.name
+                heading_level = st.heading_level
+                if st.based_on and st.based_on in styles:
+                    base.apply_rpr(styles[st.based_on].rpr)
+                base.apply_rpr(st.rpr)
+
+        # numbering (step 7 of paragraph.py:50-59): rendered text as a run
+        list_level = None
+        num_text = None
+        if ppr is not None:
+            numpr = ppr.find(_w("numPr"))
+            if numpr is not None:
+                ilvl = _to_int(_val(numpr.find(_w("ilvl")), "0"))
+                num_id = _val(numpr.find(_w("numId")))
+                if num_id:
+                    num_text = numbering.next_text(num_id, ilvl)
+                    if num_text is not None:
+                        list_level = ilvl + 1
+
+        # runs
+        runs: List[Tuple[str, _RunProps]] = []
+        if num_text:
+            runs.append((num_text, base.copy()))
+        for r in p.findall(_w("r")):
+            props = base.copy()
+            props.apply_rpr(r.find(_w("rPr")))
+            parts: List[str] = []
+            for el in r:
+                if el.tag == _w("t"):
+                    parts.append(el.text or "")
+                elif el.tag == _w("tab"):
+                    parts.append("\t")
+                elif el.tag == _w("br"):
+                    parts.append("\n")
+            if parts:
+                runs.append(("".join(parts), props))
+
+        text = "".join(t for t, _ in runs)
+
+        # line-wide annotations (line_with_meta_converter.py:35-46)
+        jc = _val(ppr.find(_w("jc")), "left") if ppr is not None else "left"
+        jc = {"both": "both", "center": "center", "right": "right", "left": "left"}.get(jc, "left")
+        ind = ppr.find(_w("ind")) if ppr is not None else None
+        indentation = 0
+        if ind is not None:
+            indentation = _to_int(ind.get(_w("left")), 0) + _to_int(ind.get(_w("firstLine")), 0)
+        spc = ppr.find(_w("spacing")) if ppr is not None else None
+        before = _to_int(spc.get(_w("before")), 0) if spc is not None else 0
+        after = _to_int(spc.get(_w("after")), 0) if spc is not None else 0
+        spacing = max(prev_spacing_after, before)
+
+        annotations: List[Annotation] = [
+            Annotation(0, len(text), "indentation", str(indentation)),
+            Annotation(0, len(text), "alignment", jc),
+            Annotation(0, len(text), "spacing", str(spacing)),
+        ]
+        if style_name is not None:
+            annotations.append(Annotation(0, len(text), "style", style_name))
+        pos = 0
+        for run_text, props in runs:
+            start, end = pos, pos + len(run_text)
+            pos = end
+            annotations.append(Annotation(start, end, "size", str(props.size / 2)))
+            for attr in ("bold", "italic", "underlined", "strike", "superscript", "subscript"):
+                if getattr(props, attr):
+                    annotations.append(Annotation(start, end, attr, "True"))
+        annotations = merge_annotations(annotations, text)
+
+        # tag HL (line_with_meta_converter.py:60-67)
+        if heading_level is not None:
+            tag_hl = HierarchyLevel(1, heading_level, False, HierarchyLevel.header)
+        elif list_level is not None:
+            tag_hl = HierarchyLevel(2, list_level, False, HierarchyLevel.list_item)
+        else:
+            tag_hl = HierarchyLevel.create_unknown()
+
+        uid = f"{url_hash}_{hashlib.md5(f'docx{index}{text}'.encode()).hexdigest()}"
+        return Line(line=text, tag_hl=tag_hl, annotations=annotations, uid=uid), after
+
+    # -- the reference's newline fix (docx_reader.py:37-53) ------------------
+
+    @staticmethod
+    def _fix_lines(lines: List[Line]) -> None:
+        for line, next_line in zip(lines[:-1], lines[1:]):
+            if (
+                line.tag_hl.is_unknown()
+                and next_line.tag_hl.is_unknown()
+                and not line.line.endswith("\n")
+            ):
+                line.line += "\n"
+                for ann in line.annotations:
+                    if ann.end == len(line.line) - 1:
+                        ann.end = len(line.line)
+
+    # -- tables ---------------------------------------------------------------
+
+    def _read_table(self, tbl: ET.Element, url_hash: str, index: int) -> Table:
+        # first pass: raw grid with span info
+        grid: List[List[Cell]] = []
+        for tr in tbl.findall(_w("tr")):
+            row: List[Cell] = []
+            for tc in tr.findall(_w("tc")):
+                tcpr = tc.find(_w("tcPr"))
+                colspan = 1
+                vmerge = None
+                if tcpr is not None:
+                    colspan = _to_int(_val(tcpr.find(_w("gridSpan")), "1"), 1)
+                    vm = tcpr.find(_w("vMerge"))
+                    if vm is not None:
+                        vmerge = vm.get(_w("val"), "continue")
+                texts = [
+                    "".join(t.text or "" for t in p.findall(f"{_w('r')}/{_w('t')}"))
+                    for p in tc.findall(_w("p"))
+                ]
+                cell = Cell(lines=[Line(line=t) for t in texts], colspan=colspan, rowspan=1)
+                cell_info = (cell, vmerge)
+                row.append(cell_info)  # type: ignore[arg-type]
+            grid.append(row)  # type: ignore[arg-type]
+
+        # expand gridSpan horizontally and resolve vMerge vertically
+        expanded: List[List[Cell]] = []
+        for r, row in enumerate(grid):
+            out_row: List[Cell] = []
+            for cell, vmerge in row:  # type: ignore[misc]
+                if vmerge == "continue":
+                    col = len(out_row)
+                    if expanded and col < len(expanded[-1]):
+                        src = expanded[-1][col]
+                        clone = Cell(lines=src.lines, colspan=src.colspan, rowspan=src.rowspan, invisible=True)
+                        # find the visible origin and bump its rowspan
+                        rr = len(expanded) - 1
+                        while rr > 0 and expanded[rr][col].invisible:
+                            rr -= 1
+                        expanded[rr][col].rowspan += 1
+                        for _ in range(cell.colspan):
+                            out_row.append(clone)
+                        continue
+                for i in range(cell.colspan):
+                    if i == 0:
+                        out_row.append(cell)
+                    else:
+                        out_row.append(Cell(lines=cell.lines, colspan=1, rowspan=1, invisible=True))
+            expanded.append(out_row)
+        uid = hashlib.md5(f"{url_hash}_docx_table_{index}".encode()).hexdigest()
+        return Table(cells=expanded, page_id=0, uid=uid)
+
+
+_DOCX = DocxExtractor()
+
+
+def extract_docx(payload: bytes, url_hash: str = "") -> Tuple[List[Line], List[Table], List[str]]:
+    return _DOCX.extract(payload, url_hash)

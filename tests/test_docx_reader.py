@@ -1,0 +1,115 @@
+"""DOCX reader tests (ports of tests/unit_tests/test_format_docx_reader.py
+shapes, over programmatically generated OOXML fixtures)."""
+
+import json
+
+from dedoc_spark.core.docx_extract import extract_docx
+from dedoc_spark.core.document import extract_document
+from dedoc_spark.sources.docx_fixture import build_docx, example_docx, paragraph, table
+
+
+def test_headings_and_text():
+    lines, tables, _ = extract_docx(example_docx())
+    texts = [ln.line for ln in lines]
+    assert texts[0] == "Пример документа"
+    assert lines[0].tag_hl.line_type == "header"
+    assert (lines[0].tag_hl.level_1, lines[0].tag_hl.level_2) == (1, 1)
+    assert lines[1].line == "Глава 1"
+    assert (lines[1].tag_hl.level_1, lines[1].tag_hl.level_2) == (1, 2)
+    assert lines[2].tag_hl.is_unknown()
+
+
+def test_run_annotations_offsets():
+    lines, _, _ = extract_docx(example_docx())
+    line = lines[2]  # "Какие то определения" with bold second run
+    bold = [a for a in line.annotations if a.name == "bold"]
+    assert len(bold) == 1
+    assert line.line[bold[0].start : bold[0].end] == "определения"
+    styled = lines[4]  # bold + italic runs
+    bold = next(a for a in styled.annotations if a.name == "bold")
+    ital = next(a for a in styled.annotations if a.name == "italic")
+    assert styled.line[bold.start : bold.end] == "Определим "
+    assert styled.line[ital.start : ital.end] == "понятия"
+
+
+def test_heading_style_size_annotation():
+    lines, _, _ = extract_docx(example_docx())
+    sizes = {a.value for a in lines[0].annotations if a.name == "size"}
+    assert "16.0" in sizes  # Heading1 sz=32 half-points → 16 pt
+
+
+def test_numbering_rendering():
+    lines, _, _ = extract_docx(example_docx())
+    texts = [ln.line for ln in lines]
+    assert texts[5] == "1. Поясним за непонятное"
+    assert texts[6] == "1.1. Поясним за понятное"
+    assert texts[7] == "1.2. снова непонятное"
+    assert texts[8] == "a) подпункт"
+    assert texts[9] == "•маркер"
+    # list tag levels: ilvl+1
+    assert (lines[5].tag_hl.level_1, lines[5].tag_hl.level_2) == (2, 1)
+    assert (lines[6].tag_hl.level_1, lines[6].tag_hl.level_2) == (2, 2)
+    assert lines[5].tag_hl.line_type == "list_item"
+
+
+def test_based_on_style_inheritance():
+    body = paragraph([("quoted text", "")], style="Quote")
+    lines, _, _ = extract_docx(build_docx(body))
+    names = {(a.name, a.value) for a in lines[0].annotations}
+    # Quote basedOn Heading2: inherits bold+sz28, adds italic
+    assert ("bold", "True") in names
+    assert ("italic", "True") in names
+    assert ("size", "14.0") in names
+    assert ("style", "Quote") in names
+
+
+def test_spacing_max_of_prev_after_and_cur_before():
+    body = paragraph([("a", "")], spacing=(0, 200)) + paragraph([("b", "")], spacing=(100, 0))
+    lines, _, _ = extract_docx(build_docx(body))
+    spacing_b = next(a for a in lines[1].annotations if a.name == "spacing")
+    assert spacing_b.value == "200"  # max(prev after=200, cur before=100)
+
+
+def test_alignment_and_indent():
+    body = paragraph([("c", "")], jc="center", ind_left=708)
+    lines, _, _ = extract_docx(build_docx(body))
+    ann = {(a.name, a.value) for a in lines[0].annotations}
+    assert ("alignment", "center") in ann
+    assert ("indentation", "708") in ann
+
+
+def test_table_vmerge_gridspan():
+    _, tables, _ = extract_docx(example_docx())
+    cells = tables[0].cells
+    # row 0: A, B(restart, rowspan 2), C
+    assert [c.get_text() for c in cells[0]] == ["A", "B", "C"]
+    assert cells[0][1].rowspan == 2
+    # row 1: D, B-clone(invisible), E
+    assert [c.get_text() for c in cells[1]] == ["D", "B", "E"]
+    assert cells[1][1].invisible
+    # row 2: F spans 2 → F, F-clone(invisible), G
+    assert [c.get_text() for c in cells[2]] == ["F", "F", "G"]
+    assert cells[2][1].invisible and cells[2][0].colspan == 2
+
+
+def test_newline_fix_between_raw_lines():
+    body = paragraph([("first", "")]) + paragraph([("second", "")])
+    lines, _, _ = extract_docx(build_docx(body))
+    assert lines[0].line == "first\n"
+    assert lines[1].line == "second"
+
+
+def test_full_pipeline_docx_tree():
+    doc = extract_document("https://x/doc.docx", example_docx(), None)
+    assert doc["error"] is None
+    tree = json.loads(doc["tree_json"])
+    # Heading1 → first child of root; Heading2 "Глава 1" nested under it
+    h1 = tree["subparagraphs"][0]
+    assert h1["text"].startswith("Пример документа")
+    assert h1["metadata"]["paragraph_type"] == "header"
+    assert h1["subparagraphs"][0]["text"].startswith("Глава 1")
+    # numbered items under a synthetic list node
+    flat = json.loads(doc["nodes_json"])
+    types = {n["paragraph_type"] for n in flat}
+    assert "list" in types and "list_item" in types
+    assert doc["n_tables"] == 1
