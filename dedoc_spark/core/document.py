@@ -102,6 +102,13 @@ def extract_docx_document(url: str, payload: bytes) -> Dict:
     return _finalize(url, lines, tables, warnings)
 
 
+def extract_pdf_document(url: str, payload: bytes) -> Dict:
+    from dedoc_spark.core.pdf_extract import extract_pdf_lines
+
+    lines, warnings = extract_pdf_lines(payload, url_hash(url))
+    return _finalize(url, lines, [], warnings)
+
+
 def extract_document(
     url: str,
     html: Optional[bytes],
@@ -133,6 +140,8 @@ def extract_document(
             return extract_txt_document(url, html.decode("utf-8", errors="replace"))
         if fmt == "docx" and html:
             return extract_docx_document(url, html)
+        if fmt == "pdf" and html:
+            return extract_pdf_document(url, html)
         if html:  # unsupported binary formats (pdf/docx/zip v1): html fallback
             return extract_html_document(url, html, handle_invisible_table)
         return extract_txt_document(url, text or "")

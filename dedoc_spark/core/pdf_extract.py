@@ -1,0 +1,363 @@
+"""PDF text-layer extraction (pure Python, no pdfminer dependency) and the
+cross-page header/footer frequency voting.
+
+References:
+  - PdfTxtlayerReader / pdfminer extractor semantics
+    (dedoc/readers/pdf_reader/pdf_txtlayer_reader/pdf_txtlayer_reader.py:44-77,
+    pdfminer_reader/pdfminer_extractor.py:53-116): per-page text lines in
+    top-down order, bold from the font name, one page = page_id.
+  - footer_header_analysis
+    (dedoc/readers/pdf_reader/utils/header_footers_analysis.py:84-155):
+    digit-masked patterns of the first/last 4 lines per page, pairwise
+    difflib similarity between pages (step 2 if > 6 pages) accumulated
+    into position scores; score > 0.5 → candidate position; per-position
+    pattern kept if frequency > 0.4 (step 2) / 0.7 (step 1); matching
+    lines removed.
+
+The parser targets the classic text-layer subset: uncompressed or
+FlateDecode content streams, BT/ET blocks, Tf/Td/TD/Tm/T* positioning,
+Tj/TJ/quote shows, literal and hex strings. Page fan-out at scale: explode
+(url, page_id, page_lines) rows — SURVEY.md §2.1 PDF fan-out.
+"""
+
+from __future__ import annotations
+
+import difflib
+import hashlib
+import re
+import zlib
+from collections import Counter
+from typing import Dict, List, Optional, Tuple
+
+from dedoc_spark.core.model import Annotation, HierarchyLevel, Line
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+
+def _parse_objects(data: bytes) -> Dict[int, bytes]:
+    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+
+
+def _dict_value(obj: bytes, key: bytes) -> Optional[bytes]:
+    m = re.search(re.escape(key) + rb"\s*", obj)
+    if not m:
+        return None
+    rest = obj[m.end():]
+    if rest.startswith(b"["):
+        depth = 0
+        for i, ch in enumerate(rest):
+            if ch == ord("["):
+                depth += 1
+            elif ch == ord("]"):
+                depth -= 1
+                if depth == 0:
+                    return rest[: i + 1]
+    m2 = re.match(rb"[^/>\]\r\n]*", rest)
+    return m2.group(0).strip() if m2 else None
+
+
+def _resolve_refs(value: bytes) -> List[int]:
+    return [int(m.group(1)) for m in _REF_RE.finditer(value)]
+
+
+class _TextState:
+    __slots__ = ("x", "y", "lx", "ly", "font", "size", "leading")
+
+    def __init__(self) -> None:
+        self.x = self.y = 0.0
+        self.lx = self.ly = 0.0  # line matrix origin
+        self.font = ""
+        self.size = 0.0
+        self.leading = 0.0
+
+
+_TOKEN_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|\[(?:\((?:\\.|[^\\()])*\)|[^\]])*\]|/[^\s/\[\]()<>]+|[-+.0-9]+|[A-Za-z'\"*]+"
+)
+
+_ESCAPES = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+             b"(": "(", b")": ")", b"\\": "\\"}
+
+
+def _decode_pdf_string(tok: bytes) -> str:
+    if tok.startswith(b"<"):
+        hexstr = re.sub(rb"\s", b"", tok[1:-1])
+        if len(hexstr) % 2:
+            hexstr += b"0"
+        return bytes.fromhex(hexstr.decode("ascii")).decode("latin-1")
+    body = tok[1:-1]
+    out: List[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i : i + 1]
+        if c == b"\\" and i + 1 < len(body):
+            nxt = body[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt.isdigit():  # octal
+                oct_digits = body[i + 1 : i + 4]
+                oct_digits = re.match(rb"[0-7]{1,3}", oct_digits).group(0)
+                out.append(chr(int(oct_digits, 8)))
+                i += 1 + len(oct_digits)
+                continue
+            i += 1
+            continue
+        out.append(c.decode("latin-1"))
+        i += 1
+    return "".join(out)
+
+
+def _extract_page_shows(content: bytes, fonts: Dict[str, str]) -> List[Tuple[float, float, str, str]]:
+    """Content stream → list of (y, x, text, font_base) text shows."""
+    shows: List[Tuple[float, float, str, str]] = []
+    st = _TextState()
+    stack: List[bytes] = []
+    for tok in _TOKEN_RE.finditer(content):
+        t = tok.group(0)
+        first = t[:1]
+        if first in b"(<[/" or first.isdigit() or first in b"-+.":
+            stack.append(t)
+            continue
+        op = t
+        if op == b"BT":
+            st = _TextState()
+        elif op == b"Tf" and len(stack) >= 2:
+            st.font = stack[-2].decode("latin-1").lstrip("/")
+            try:
+                st.size = float(stack[-1])
+            except ValueError:
+                pass
+        elif op in (b"Td", b"TD") and len(stack) >= 2:
+            try:
+                tx, ty = float(stack[-2]), float(stack[-1])
+                st.lx += tx
+                st.ly += ty
+                st.x, st.y = st.lx, st.ly
+                if op == b"TD":
+                    st.leading = -ty
+            except ValueError:
+                pass
+        elif op == b"Tm" and len(stack) >= 6:
+            try:
+                st.lx, st.ly = float(stack[-2]), float(stack[-1])
+                st.x, st.y = st.lx, st.ly
+            except ValueError:
+                pass
+        elif op == b"TL" and stack:
+            try:
+                st.leading = float(stack[-1])
+            except ValueError:
+                pass
+        elif op == b"T*":
+            st.ly -= st.leading
+            st.x, st.y = st.lx, st.ly
+        elif op == b"Tj" and stack:
+            shows.append((st.y, st.x, _decode_pdf_string(stack[-1]), fonts.get(st.font, st.font)))
+        elif op == b"'" and stack:
+            st.ly -= st.leading
+            st.x, st.y = st.lx, st.ly
+            shows.append((st.y, st.x, _decode_pdf_string(stack[-1]), fonts.get(st.font, st.font)))
+        elif op == b"TJ" and stack:
+            arr = stack[-1]
+            text = "".join(
+                _decode_pdf_string(m.group(0))
+                for m in re.finditer(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>", arr)
+            )
+            shows.append((st.y, st.x, text, fonts.get(st.font, st.font)))
+        stack.clear()
+    return shows
+
+
+def extract_pdf_pages(payload: bytes) -> List[List[Tuple[str, bool]]]:
+    """Payload → per-page list of (line_text, is_bold), lines top-down."""
+    objects = _parse_objects(payload)
+
+    # page objects in document order via the /Pages tree when present
+    page_ids: List[int] = []
+
+    def walk_pages(obj_id: int) -> None:
+        obj = objects.get(obj_id, b"")
+        if b"/Type" in obj and b"/Pages" in obj:
+            kids = _dict_value(obj, b"/Kids") or b""
+            for kid in _resolve_refs(kids):
+                walk_pages(kid)
+        elif b"/Type" in obj and b"/Page" in obj:
+            page_ids.append(obj_id)
+
+    roots = [oid for oid, obj in objects.items() if b"/Type" in obj and b"/Catalog" in obj]
+    if roots:
+        pages_ref = _resolve_refs(_dict_value(objects[roots[0]], b"/Pages") or b"")
+        for r in pages_ref:
+            walk_pages(r)
+    if not page_ids:  # fallback: any /Page objects in id order
+        page_ids = sorted(
+            oid for oid, obj in objects.items() if b"/Type" in obj and rb"/Page" in obj and b"/Pages" not in obj
+        )
+
+    pages: List[List[Tuple[str, bool]]] = []
+    for pid in page_ids:
+        page_obj = objects[pid]
+        # fonts: /Resources /Font << /F1 n 0 R ... >> → basefont names
+        fonts: Dict[str, str] = {}
+        res = re.search(rb"/Font\s*<<(.*?)>>", page_obj, re.S)
+        if res:
+            for fm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", res.group(1)):
+                font_obj = objects.get(int(fm.group(2)), b"")
+                base = re.search(rb"/BaseFont\s*/([^\s/>]+)", font_obj)
+                fonts[fm.group(1).decode()] = base.group(1).decode() if base else ""
+        contents = _dict_value(page_obj, b"/Contents") or b""
+        shows: List[Tuple[float, float, str, str]] = []
+        for cid in _resolve_refs(contents):
+            cobj = objects.get(cid, b"")
+            sm = _STREAM_RE.search(cobj)
+            if not sm:
+                continue
+            data = sm.group(1)
+            if b"/FlateDecode" in cobj:
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error:
+                    continue
+            shows.extend(_extract_page_shows(data, fonts))
+        # group shows into lines by y, top-down (pdfminer sort, height − y1)
+        by_y: Dict[float, List[Tuple[float, str, str]]] = {}
+        for y, x, text, font in shows:
+            by_y.setdefault(round(y, 1), []).append((x, text, font))
+        lines: List[Tuple[str, bool]] = []
+        for y in sorted(by_y, reverse=True):
+            parts = sorted(by_y[y], key=lambda p: p[0])
+            text = "".join(p[1] for p in parts)
+            bold = any("Bold" in p[2] for p in parts)
+            lines.append((text, bold))
+        pages.append(lines)
+    return pages
+
+
+def extract_pdf_lines(payload: bytes, url_hash: str = "") -> Tuple[List[Line], List[str]]:
+    """Full txt-layer read: per-page lines with page_id, bold annotations,
+    header/footer voting applied for multi-page documents."""
+    pages = extract_pdf_pages(payload)
+    warnings: List[str] = []
+    page_lines: List[List[Line]] = []
+    for page_id, page in enumerate(pages):
+        cur: List[Line] = []
+        for text, bold in page:
+            annotations = [Annotation(0, len(text), "bold", "True")] if bold else []
+            uid = f"{url_hash}_{hashlib.md5(f'pdf{page_id}:{len(cur)}:{text}'.encode()).hexdigest()}"
+            cur.append(Line(line=text, page_id=page_id, annotations=annotations, uid=uid))
+        page_lines.append(cur)
+    if len(page_lines) > 1:
+        page_lines, headers, footers = footer_header_analysis(page_lines)
+        removed = sum(len(h) for h in headers) + sum(len(f) for f in footers)
+        if removed:
+            warnings.append(f"removed {removed} header/footer lines")
+    lines = [ln for page in page_lines for ln in page]
+    for i, ln in enumerate(lines):
+        ln.line_id = i
+        ln.tag_hl = HierarchyLevel.create_unknown()
+    return lines, warnings
+
+
+# --- header/footer voting (header_footers_analysis.py:84-155) ---------------
+
+
+def _get_pattern(s: str) -> str:
+    return re.sub(r"\d+", "@", s.lower().strip())
+
+
+def _similarity(s1: Optional[str], s2: Optional[str]) -> float:
+    if not s1 or not s2:
+        return 0.0
+    return difflib.SequenceMatcher(None, s1, s2).ratio()
+
+
+def footer_header_analysis(
+    pages: List[List[Line]], threshold: float = 0.5
+) -> Tuple[List[List[Line]], List[List[Line]], List[List[Line]]]:
+    weights = [1.0, 1.0, 0.85, 0.75, 0.75, 0.85, 1.0, 1.0]
+    max_cnt = 8
+    scores = [0.0] * max_cnt
+    page_cnt = len(pages)
+    patterns: List[List[Optional[str]]] = [[] for _ in range(max_cnt)]
+
+    # strip leading/trailing whitespace-only lines per page
+    stripped: List[List[Line]] = []
+    for page in pages:
+        start, end = 0, len(page)
+        while start < end and re.match(r"^\s*\n$", page[start].line):
+            start += 1
+        while end > start + 1 and re.match(r"^\s*\n$", page[end - 1].line):
+            end -= 1
+        stripped.append(page[start:end])
+    pages = stripped
+
+    step = 2 if page_cnt > 6 else 1
+
+    for page in range(page_cnt):
+        for li in range(max_cnt // 2):
+            if len(pages[page]) < max_cnt:
+                patterns[li].append(None)
+                patterns[-li - 1].append(None)
+            else:
+                patterns[li].append(_get_pattern(pages[page][li].line))
+                patterns[-li - 1].append(_get_pattern(pages[page][-li - 1].line))
+
+    cnt_cmpr = 0
+    for p1 in range(page_cnt - step):
+        p2 = p1 + step
+        if len(pages[p1]) < max_cnt or len(pages[p2]) < max_cnt:
+            continue
+        for li in range(max_cnt // 2):
+            scores[li] += weights[li] * _similarity(patterns[li][p1], patterns[li][p2])
+            scores[-li - 1] += weights[-li - 1] * _similarity(patterns[-li - 1][p1], patterns[-li - 1][p2])
+        cnt_cmpr += 1
+    if cnt_cmpr == 0:
+        return pages, [[] for _ in pages], [[] for _ in pages]
+    scores = [s / cnt_cmpr for s in scores]
+    is_hf = [s > threshold for s in scores]
+
+    freq_threshold = 0.4 if step == 2 else 0.7
+    popular: List[List[str]] = [[] for _ in range(max_cnt)]
+    for num, pattern_list in enumerate(patterns):
+        if not is_hf[num]:
+            continue
+        filtered = [p for p in pattern_list if p]
+        if not filtered:
+            continue
+        counts = Counter(filtered)
+        for pat, cnt in counts.items():
+            if cnt / len(filtered) > freq_threshold:
+                popular[num].append(pat)
+
+    def match_popular(page_id: int, line_id: int) -> Optional[Line]:
+        if not is_hf[line_id] or abs(line_id) >= len(pages[page_id]):
+            return None
+        for pat in popular[line_id]:
+            try:
+                if re.match(pat, _get_pattern(pages[page_id][line_id].line)):
+                    return pages[page_id][line_id]
+            except re.error:
+                pass
+        return None
+
+    headers: List[List[Line]] = []
+    footers: List[List[Line]] = []
+    result: List[List[Optional[Line]]] = [list(p) for p in pages]
+    for page_id in range(page_cnt):
+        headers.append([])
+        footers.append([])
+        for li in range(max_cnt // 2):
+            h = match_popular(page_id, li)
+            if h is not None:
+                result[page_id][li] = None
+                headers[-1].append(h)
+            f = match_popular(page_id, -li - 1)
+            if f is not None:
+                result[page_id][-li - 1] = None
+                footers[-1].append(f)
+    cleaned = [[ln for ln in page if ln is not None] for page in result]
+    return cleaned, headers, footers

@@ -1,0 +1,80 @@
+"""PDF text-layer reader + header/footer voting tests
+(pdf_txtlayer_reader / header_footers_analysis semantics over hand-built
+PDF fixtures)."""
+
+from dedoc_spark.core.pdf_extract import extract_pdf_lines, extract_pdf_pages, footer_header_analysis
+from dedoc_spark.core.document import extract_document
+from dedoc_spark.core.model import Line
+from dedoc_spark.sources.pdf_fixture import build_pdf, example_pdf
+
+
+def test_single_page_lines_top_down():
+    pdf = build_pdf([[("first line", False), ("second line", True), ("third", False)]])
+    pages = extract_pdf_pages(pdf)
+    assert len(pages) == 1
+    assert [t for t, _ in pages[0]] == ["first line", "second line", "third"]
+    assert [b for _, b in pages[0]] == [False, True, False]
+
+
+def test_multi_page_order_and_page_ids():
+    pdf = build_pdf([[("page one text", False)], [("page two text", False)]])
+    lines, _ = extract_pdf_lines(pdf)
+    assert [(ln.page_id, ln.line) for ln in lines] == [
+        (0, "page one text"),
+        (1, "page two text"),
+    ]
+    assert [ln.line_id for ln in lines] == [0, 1]
+
+
+def test_bold_annotation():
+    pdf = build_pdf([[("normal", False), ("heading", True)]])
+    lines, _ = extract_pdf_lines(pdf)
+    assert lines[0].annotations == []
+    assert [(a.name, a.value) for a in lines[1].annotations] == [("bold", "True")]
+
+
+def test_string_escapes_and_parens():
+    pdf = build_pdf([[("with (parens) and \\ backslash", False)]])
+    pages = extract_pdf_pages(pdf)
+    assert pages[0][0][0] == "with (parens) and \\ backslash"
+
+
+def test_header_footer_removed_on_multipage():
+    pdf = example_pdf(n_pages=8)
+    lines, warnings = extract_pdf_lines(pdf)
+    texts = [ln.line for ln in lines]
+    assert not any("ACME Corp" in t for t in texts)
+    assert not any(t.startswith("- ") and t.endswith(" -") for t in texts)
+    assert any("body alpha paragraph" in t for t in texts)
+    assert any("removed" in w for w in warnings)
+
+
+def test_header_footer_kept_when_not_repeating():
+    pdf = example_pdf(n_pages=3, with_header_footer=False)
+    lines, warnings = extract_pdf_lines(pdf)
+    assert warnings == []
+    assert sum(1 for ln in lines if "body " in ln.line) == 18
+
+
+def test_voting_digit_mask_folds_page_numbers():
+    # "- 1 -", "- 2 -", ... all mask to "- @ -" → footer removed everywhere
+    pages = []
+    for p in range(8):
+        page = [Line(line=f"Page {p} of 8", page_id=p)]
+        page += [Line(line=f"unique body {w} {p}", page_id=p) for w in "abcdefg"]
+        page.append(Line(line=f"- {p} -", page_id=p))
+        pages.append(page)
+    cleaned, headers, footers = footer_header_analysis(pages)
+    assert all(len(h) >= 1 for h in headers)
+    assert all(len(f) >= 1 for f in footers)
+    assert not any("Page" in ln.line for page in cleaned for ln in page)
+
+
+def test_full_pipeline_pdf():
+    doc = extract_document("https://x/report.pdf", example_pdf(4), None)
+    assert doc["error"] is None
+    # "Section N" masks to "section @" at a fixed header position → voted
+    # out along with the repeated header/footer (faithful to the reference)
+    assert "body alpha paragraph" in doc["text_extracted"]
+    assert "ACME Corp" not in doc["text_extracted"]
+    assert "Section" not in doc["text_extracted"]
