@@ -102,6 +102,20 @@ def extract_docx_document(url: str, payload: bytes) -> Dict:
     return _finalize(url, lines, tables, warnings)
 
 
+def extract_xlsx_document(url: str, payload: bytes) -> Dict:
+    from dedoc_spark.core.office_extract import extract_xlsx_tables
+
+    tables, warnings = extract_xlsx_tables(payload, url_hash(url))
+    return _finalize(url, [], tables, warnings)
+
+
+def extract_pptx_document(url: str, payload: bytes) -> Dict:
+    from dedoc_spark.core.office_extract import extract_pptx
+
+    lines, tables, warnings = extract_pptx(payload, url_hash(url))
+    return _finalize(url, lines, tables, warnings)
+
+
 def extract_pdf_document(url: str, payload: bytes) -> Dict:
     from dedoc_spark.core.pdf_extract import extract_pdf_lines
 
@@ -142,6 +156,10 @@ def extract_document(
             return extract_docx_document(url, html)
         if fmt == "pdf" and html:
             return extract_pdf_document(url, html)
+        if fmt == "xlsx" and html:
+            return extract_xlsx_document(url, html)
+        if fmt == "pptx" and html:
+            return extract_pptx_document(url, html)
         if html:  # unsupported binary formats (pdf/docx/zip v1): html fallback
             return extract_html_document(url, html, handle_invisible_table)
         return extract_txt_document(url, text or "")

@@ -224,6 +224,8 @@ _EXT_FORMATS = {
     "mhtml": "mhtml", "mht": "mhtml",
     "zip": "zip",
     "docx": "docx",
+    "xlsx": "xlsx",
+    "pptx": "pptx",
     "pdf": "pdf",
 }
 
@@ -239,8 +241,13 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
         if payload[:4] == b"PK\x03\x04":
             try:
                 with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-                    if "[Content_Types].xml" in zf.namelist():
+                    members = set(zf.namelist())
+                    if "word/document.xml" in members:
                         return "docx"
+                    if "xl/workbook.xml" in members:
+                        return "xlsx"
+                    if "ppt/presentation.xml" in members:
+                        return "pptx"
             except Exception:
                 pass
             return "zip"

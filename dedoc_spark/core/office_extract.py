@@ -1,0 +1,144 @@
+"""XLSX and PPTX extraction (in-memory zip + ElementTree).
+
+References:
+  - ExcelReader (dedoc/readers/excel_reader/excel_reader.py:26-61): one
+    Table per sheet, stringified cell values, page_id = sheet index,
+    lines empty. (The reference uses xlrd for legacy .xls; here the xlsx
+    OOXML is parsed directly — sharedStrings + sheetN.xml.)
+  - PptxReader (dedoc/readers/pptx_reader/pptx_reader.py:27-70): slides
+    sorted numerically by filename index; shapes → lines (first shape =
+    slide title tag HL), tables → Table, page_id = slide index.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import re
+import zipfile
+from typing import List, Optional, Tuple
+from xml.etree import ElementTree as ET
+
+from dedoc_spark.core.model import Cell, HierarchyLevel, Line, Table
+
+_SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_DRAW = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+
+
+def _col_index(ref: str) -> int:
+    """'BC12' → 0-based column index."""
+    col = 0
+    for ch in ref:
+        if ch.isalpha():
+            col = col * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return col - 1
+
+
+def extract_xlsx_tables(payload: bytes, url_hash: str = "") -> Tuple[List[Table], List[str]]:
+    """One rectangular Table per sheet, stringified values (numbers keep
+    xlrd's float-ish rendering: '1' stays '1' as stored, inline/shared
+    strings resolved)."""
+    tables: List[Table] = []
+    warnings: List[str] = []
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        names = set(zf.namelist())
+        shared: List[str] = []
+        if "xl/sharedStrings.xml" in names:
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_SSML}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_SSML}t")))
+        sheet_names = sorted(
+            (n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[-1]).group()),
+        )
+        for sheet_id, name in enumerate(sheet_names):
+            root = ET.fromstring(zf.read(name))
+            rows: List[List[str]] = []
+            max_cols = 0
+            for row_el in root.iter(f"{_SSML}row"):
+                row: List[str] = []
+                for c in row_el.findall(f"{_SSML}c"):
+                    ref = c.get("r", "")
+                    col = _col_index(ref) if ref else len(row)
+                    while len(row) < col:
+                        row.append("")
+                    ctype = c.get("t", "n")
+                    v = c.find(f"{_SSML}v")
+                    if ctype == "s" and v is not None:
+                        row.append(shared[int(v.text)])
+                    elif ctype == "inlineStr":
+                        row.append("".join(t.text or "" for t in c.iter(f"{_SSML}t")))
+                    else:
+                        row.append(v.text if v is not None and v.text else "")
+                rows.append(row)
+                max_cols = max(max_cols, len(row))
+            cells = [
+                [Cell(lines=[Line(line=row[i] if i < len(row) else "", page_id=sheet_id)]) for i in range(max_cols)]
+                for row in rows
+            ]
+            uid = hashlib.md5(f"{url_hash}_xlsx_{sheet_id}".encode()).hexdigest()
+            tables.append(Table(cells=cells, page_id=sheet_id, uid=uid))
+    return tables, warnings
+
+
+def extract_pptx(payload: bytes, url_hash: str = "") -> Tuple[List[Line], List[Table], List[str]]:
+    """Slides (numeric filename order) → lines; first text shape of each
+    slide gets the title tag HL (1, 1, False, header); a:tbl → Table."""
+    lines: List[Line] = []
+    tables: List[Table] = []
+    warnings: List[str] = []
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        names = zf.namelist()
+        slide_names = sorted(
+            (n for n in names if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[-1]).group()),
+        )
+        for slide_id, name in enumerate(slide_names):
+            root = ET.fromstring(zf.read(name))
+            sp_tree = next((el for el in root.iter() if el.tag.endswith("}spTree")), root)
+            is_first_shape = True
+            for node in sp_tree:
+                if node.tag.endswith("}sp"):
+                    texts = _shape_paragraph_texts(node)
+                    if not texts:
+                        continue
+                    for t in texts:
+                        tag_hl = (
+                            HierarchyLevel(1, 1, False, HierarchyLevel.header)
+                            if is_first_shape
+                            else None
+                        )
+                        uid = f"{url_hash}_{hashlib.md5(f'pptx{slide_id}:{len(lines)}:{t}'.encode()).hexdigest()}"
+                        lines.append(Line(line=t, page_id=slide_id, tag_hl=tag_hl, uid=uid))
+                    is_first_shape = False
+                else:
+                    for tbl in node.iter(f"{_DRAW}tbl"):
+                        tables.append(_pptx_table(tbl, slide_id, url_hash, len(tables)))
+    for i, line in enumerate(lines):
+        line.line_id = i
+    return lines, tables, warnings
+
+
+def _shape_paragraph_texts(sp: ET.Element) -> List[str]:
+    out: List[str] = []
+    for p in sp.iter(f"{_DRAW}p"):
+        text = "".join(t.text or "" for t in p.iter(f"{_DRAW}t"))
+        if text.strip():
+            out.append(text)
+    return out
+
+
+def _pptx_table(tbl: ET.Element, slide_id: int, url_hash: str, index: int) -> Table:
+    cells: List[List[Cell]] = []
+    for tr in tbl.iter(f"{_DRAW}tr"):
+        row = []
+        for tc in tr.findall(f"{_DRAW}tc"):
+            text = "\n".join(
+                "".join(t.text or "" for t in p.iter(f"{_DRAW}t")) for p in tc.iter(f"{_DRAW}p")
+            )
+            row.append(Cell(lines=[Line(line=text, page_id=slide_id)]))
+        cells.append(row)
+    uid = hashlib.md5(f"{url_hash}_pptx_table_{slide_id}_{index}".encode()).hexdigest()
+    return Table(cells=cells, page_id=slide_id, uid=uid)

@@ -821,6 +821,123 @@ def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q21..q24: FULL DOCX / PDF / PPTX / XLSX pipelines over per-row synthesized
+# payloads, each with a closed-form oracle — the byte-identity gate for the
+# binary-format readers.
+
+_BIN_SCHEMA = "doc_id long, n_lines long, text_extracted string"
+
+
+def _binary_roundtrip(spark: SparkSession, sf_dir: str, builder) -> DataFrame:
+    """documents → per-row synthesized binary payload → full extraction."""
+    import pandas as pd
+
+    from dedoc_spark.core.document import extract_document
+
+    def fn(it):
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload, url = builder(int(doc_id), text)
+                d = extract_document(url, payload, None)
+                out.append(
+                    {"doc_id": int(doc_id), "n_lines": d["n_lines"], "text_extracted": d["text_extracted"]}
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "n_lines", "text_extracted"])
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(fn, _BIN_SCHEMA)
+
+
+def q21_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def builder(doc_id: int, text: str):
+        from dedoc_spark.sources.docx_fixture import build_docx, paragraph
+
+        body = paragraph([(f"Doc {doc_id}", "")], style="Heading1") + paragraph([(text, "")])
+        return build_docx(body), f"{doc_id}.docx"
+
+    return _binary_roundtrip(spark, sf_dir, builder)
+
+
+# tree: root "" → header "Doc {id}" → raw_text "{text}"; json2txt →
+# "\nDoc {id}\n{text}\n"
+Q21_SQL = """
+SELECT doc_id, 2 AS n_lines,
+       chr(10) || 'Doc ' || doc_id || chr(10) || text || chr(10) AS text_extracted
+FROM documents
+"""
+
+
+def q22_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def builder(doc_id: int, text: str):
+        from dedoc_spark.sources.pdf_fixture import build_pdf
+
+        return build_pdf([[(f"Doc {doc_id}", True), (text, False)]]), f"{doc_id}.pdf"
+
+    return _binary_roundtrip(spark, sf_dir, builder)
+
+
+# both pdf lines are raw_text+multiline → they merge into ONE tree node with
+# no separator (tree add_text); json2txt → "\nDoc {id}{text}\n"
+Q22_SQL = """
+SELECT doc_id, 2 AS n_lines,
+       chr(10) || 'Doc ' || doc_id || text || chr(10) AS text_extracted
+FROM documents
+"""
+
+
+def q23_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def builder(doc_id: int, text: str):
+        from dedoc_spark.sources.office_fixture import build_pptx
+
+        return build_pptx([{"shapes": [[f"Doc {doc_id}"], [text]]}]), f"{doc_id}.pptx"
+
+    return _binary_roundtrip(spark, sf_dir, builder)
+
+
+# first shape is the slide title (header tag) → same tree shape as docx
+Q23_SQL = Q21_SQL
+
+
+def q24_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as jsonlib
+
+    import pandas as pd
+
+    from dedoc_spark.core.document import extract_document
+
+    def fn(it):
+        from dedoc_spark.sources.office_fixture import build_xlsx
+
+        for pdf in it:
+            out = []
+            for doc_id, source, lang in zip(pdf["doc_id"], pdf["source"], pdf["lang"]):
+                payload = build_xlsx([[["id", str(int(doc_id))], [source, lang]]])
+                d = extract_document(f"{int(doc_id)}.xlsx", payload, None)
+                cells = jsonlib.loads(d["tables_json"])[0]["cells"]
+                texts = ["\n".join(ln["line"] for ln in c["lines"]) for row in cells for c in row]
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_tables": d["n_tables"],
+                        "c00": texts[0], "c01": texts[1], "c10": texts[2], "c11": texts[3],
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "n_tables", "c00", "c01", "c10", "c11"])
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "lang")
+        .mapInPandas(fn, "doc_id long, n_tables long, c00 string, c01 string, c10 string, c11 string")
+    )
+
+
+Q24_SQL = """
+SELECT doc_id, 1 AS n_tables, 'id' AS c00, CAST(doc_id AS VARCHAR) AS c01,
+       source AS c10, lang AS c11
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -843,6 +960,10 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_txt_extract": q18_txt_extract,
     "q19_html_tables": q19_html_tables,
     "q20_simhash": q20_simhash,
+    "q21_docx_extract": q21_docx_extract,
+    "q22_pdf_extract": q22_pdf_extract,
+    "q23_pptx_extract": q23_pptx_extract,
+    "q24_xlsx_extract": q24_xlsx_extract,
 }
 
 ORACLES: Dict[str, str] = {
@@ -866,4 +987,8 @@ ORACLES: Dict[str, str] = {
     "q18_txt_extract": Q18_SQL,
     "q19_html_tables": Q19_SQL,
     # q20_simhash: rows-only (bit-parallel simhash not SQL-expressible)
+    "q21_docx_extract": Q21_SQL,
+    "q22_pdf_extract": Q22_SQL,
+    "q23_pptx_extract": Q23_SQL,
+    "q24_xlsx_extract": Q24_SQL,
 }

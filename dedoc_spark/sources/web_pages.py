@@ -180,7 +180,7 @@ def generate_rows(n: int, seed: int = 42, start: int = 0) -> Iterator[Dict]:
         yield make_row(i, seed)
 
 
-def write_parquet(path: str, n: int, seed: int = 42, rows_per_file: int = 4_000) -> str:
+def write_parquet(path: str, n: int, seed: int = 42, rows_per_file: int = 1_000) -> str:
     """Write the synthetic table as a DIRECTORY of parquet part files.
 
     Many small files (not one big one) so a cold scan parallelizes: a

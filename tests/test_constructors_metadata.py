@@ -1,0 +1,86 @@
+"""Linear constructor, user patterns, metadata extractors."""
+
+from dedoc_spark.core.constructors import assign_levels_with_patterns, construct_linear
+from dedoc_spark.core.metadata import convert_pdf_date, extract_docx_metadata, extract_pdf_metadata
+from dedoc_spark.core.model import HierarchyLevel, Line
+from dedoc_spark.core.structure import assign_hierarchy_levels
+from dedoc_spark.core.tree import tree_to_text
+
+
+def _lines(texts):
+    out = [Line(line=t, line_id=i) for i, t in enumerate(texts)]
+    return out
+
+
+def test_linear_constructor_flat():
+    lines = _lines(["a\n", "1. b\n", "c\n"])
+    assign_hierarchy_levels(lines)
+    root = construct_linear(lines)
+    assert [c.text for c in root.subparagraphs] == ["a\n", "1. b\n", "c\n"]
+    assert all(c.node_id.count(".") == 1 for c in root.subparagraphs)
+
+
+def test_user_patterns_regexp():
+    lines = _lines(["chapter 1. intro", "body text", "part 1.1. details"])
+    patterns = [
+        {"name": "regexp", "regexp": r"^chapter\s\d+\.", "line_type": "chapter", "level_1": 1, "can_be_multiline": "false"},
+        {"name": "regexp", "regexp": r"^part\s\d+\.\d+\.", "line_type": "part", "level_1": 2, "can_be_multiline": "false"},
+    ]
+    assign_levels_with_patterns(lines, patterns)
+    assert lines[0].hl.line_type == "chapter" and lines[0].hl.level_1 == 1
+    assert lines[1].hl.line_type == "raw_text"
+    assert lines[2].hl.line_type == "part" and lines[2].hl.level_1 == 2
+
+
+def test_user_patterns_start_word_and_dotted():
+    lines = _lines(["TOTAL: 42", "1.2.3. dotted"])
+    patterns = [
+        {"name": "start_word", "start_word": "total", "line_type": "footer", "level_1": 3},
+        {"name": "dotted_list", "line_type": "list_item", "level_1": 2, "can_be_multiline": "false"},
+    ]
+    assign_levels_with_patterns(lines, patterns)
+    assert lines[0].hl.line_type == "footer"
+    assert (lines[1].hl.level_1, lines[1].hl.level_2) == (2, 3)
+
+
+def test_user_patterns_tag_passthrough():
+    line = Line(line="Header text", tag_hl=HierarchyLevel(1, 2, False, "header"))
+    assign_levels_with_patterns([line], [{"name": "tag_header", "level_1": 1, "can_be_multiline": "false"}])
+    assert line.hl.line_type == "header" and line.hl.level_2 == 2
+
+
+def test_pdf_date_conversion():
+    assert convert_pdf_date("D:20240101000000Z") == 1704067200
+    assert convert_pdf_date("D:20240101010000+01'00'") == 1704067200
+    assert convert_pdf_date("D:2024") == 1704067200
+    assert convert_pdf_date("garbage") is None
+
+
+def test_pdf_metadata():
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Title (My Doc) /Producer (genpdf) "
+        b"/CreationDate (D:20240101000000Z) >>\nendobj\n"
+        b"trailer\n<< /Root 2 0 R /Info 1 0 R >>\n"
+    )
+    meta = extract_pdf_metadata(pdf)
+    assert meta["title"] == "My Doc"
+    assert meta["producer"] == "genpdf"
+    assert meta["creationdate"] == "1704067200"
+
+
+def test_docx_metadata():
+    import io
+    import zipfile
+
+    core = (
+        '<?xml version="1.0"?>'
+        '<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" '
+        'xmlns:dc="http://purl.org/dc/elements/1.1/" xmlns:dcterms="http://purl.org/dc/terms/">'
+        "<dc:title>T</dc:title><dc:creator>A</dc:creator>"
+        "<dcterms:created>2024-01-01T00:00:00Z</dcterms:created></cp:coreProperties>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("docProps/core.xml", core)
+    meta = extract_docx_metadata(buf.getvalue())
+    assert meta == {"title": "T", "creator": "A", "created": "2024-01-01T00:00:00Z"}

@@ -1,0 +1,62 @@
+"""XLSX and PPTX reader tests (excel_reader / pptx_reader semantics over
+programmatically generated fixtures)."""
+
+import json
+
+from dedoc_spark.core.document import extract_document
+from dedoc_spark.core.office_extract import extract_pptx, extract_xlsx_tables
+from dedoc_spark.sources.office_fixture import build_pptx, build_xlsx
+
+
+def test_xlsx_one_table_per_sheet():
+    payload = build_xlsx(
+        [
+            [["name", "qty"], ["apple", "3"]],
+            [["only sheet two"]],
+        ]
+    )
+    tables, _ = extract_xlsx_tables(payload)
+    assert len(tables) == 2
+    assert [[c.get_text() for c in row] for row in tables[0].cells] == [
+        ["name", "qty"],
+        ["apple", "3"],
+    ]
+    assert tables[0].page_id == 0 and tables[1].page_id == 1
+    assert tables[1].cells[0][0].get_text() == "only sheet two"
+
+
+def test_xlsx_rectangular_padding():
+    payload = build_xlsx([[["a", "b", "c"], ["d"]]])
+    tables, _ = extract_xlsx_tables(payload)
+    assert [[c.get_text() for c in row] for row in tables[0].cells] == [
+        ["a", "b", "c"],
+        ["d", "", ""],
+    ]
+
+
+def test_pptx_slides_and_title():
+    payload = build_pptx(
+        [
+            {"shapes": [["Slide One Title"], ["bullet a", "bullet b"]]},
+            {"shapes": [["Second Slide"]], "table": [["h1", "h2"], ["v1", "v2"]]},
+        ]
+    )
+    lines, tables, _ = extract_pptx(payload)
+    assert [ln.line for ln in lines] == ["Slide One Title", "bullet a", "bullet b", "Second Slide"]
+    # first shape of each slide gets the title/header tag
+    assert lines[0].tag_hl.line_type == "header"
+    assert lines[1].tag_hl.is_unknown()
+    assert lines[3].tag_hl.line_type == "header"
+    assert [ln.page_id for ln in lines] == [0, 0, 0, 1]
+    assert len(tables) == 1
+    assert [[c.get_text() for c in row] for row in tables[0].cells] == [["h1", "h2"], ["v1", "v2"]]
+
+
+def test_dispatch_xlsx_pptx():
+    d = extract_document("https://x/book", build_xlsx([[["z"]]]), None)
+    assert d["error"] is None and d["n_tables"] == 1
+    d2 = extract_document("https://x/deck", build_pptx([{"shapes": [["T"]]}]), None)
+    assert d2["error"] is None
+    tree = json.loads(d2["tree_json"])
+    assert tree["subparagraphs"][0]["text"] == "T"
+    assert tree["subparagraphs"][0]["metadata"]["paragraph_type"] == "header"
