@@ -30,9 +30,24 @@ def url_hash(url: str) -> str:
     return hashlib.md5(url.encode()).hexdigest()
 
 
-def _finalize(url: str, lines: List[Line], tables, warnings) -> Dict:
-    assign_hierarchy_levels(lines)
-    tree = construct_tree(lines)
+def _finalize(url: str, lines: List[Line], tables, warnings, params: Optional[Dict] = None) -> Dict:
+    """Structure extraction + construction with the reference's parameter
+    surface (api_args.py:7-54 subset): ``patterns`` replaces the default
+    chain, ``structure_type`` picks tree|linear."""
+    params = params or {}
+    patterns = params.get("patterns")
+    if patterns:
+        from dedoc_spark.core.constructors import assign_levels_with_patterns
+
+        assign_levels_with_patterns(lines, patterns)
+    else:
+        assign_hierarchy_levels(lines)
+    if params.get("structure_type") == "linear":
+        from dedoc_spark.core.constructors import construct_linear
+
+        tree = construct_linear(lines)
+    else:
+        tree = construct_tree(lines)
     text_extracted = tree_to_text(tree)
     # UnstructuredDocument.get_text() semantics (unstructured_document.py:44-45)
     text_linear = "\n".join(line.line for line in lines)
@@ -52,13 +67,14 @@ def _finalize(url: str, lines: List[Line], tables, warnings) -> Dict:
 
 
 def extract_html_document(
-    url: str, html: bytes | str, handle_invisible_table: bool = False
+    url: str, html: bytes | str, handle_invisible_table: bool = False,
+    params: Optional[Dict] = None,
 ) -> Dict:
     """Full HTML pipeline for one document."""
     lines, tables, warnings = _HTML_EXTRACTOR.extract(
         html, url_hash(url), handle_invisible_table=handle_invisible_table
     )
-    return _finalize(url, lines, tables, warnings)
+    return _finalize(url, lines, tables, warnings, params)
 
 
 def extract_txt_document(url: str, text: str) -> Dict:
@@ -128,6 +144,7 @@ def extract_document(
     html: Optional[bytes],
     text: Optional[str],
     handle_invisible_table: bool = False,
+    params: Optional[Dict] = None,
 ) -> Dict:
     """Format dispatch for one input-table row (ReaderComposition
     first-match semantics, reader_composition.py:21-46: extension first,
@@ -137,9 +154,11 @@ def extract_document(
     from dedoc_spark.core.formats import detect_format
 
     try:
+        params = params or {}
+        handle_invisible_table = bool(params.get("handle_invisible_table", handle_invisible_table))
         fmt = detect_format(url, html, text)
         if fmt == "html" and html:
-            return extract_html_document(url, html, handle_invisible_table)
+            return extract_html_document(url, html, handle_invisible_table, params)
         if fmt == "json" and html:
             return extract_json_document(url, html.decode("utf-8", errors="replace"))
         if fmt in ("csv", "tsv") and html:

@@ -31,7 +31,15 @@ def explode_archives(df: DataFrame, max_members: int = 1000) -> DataFrame:
     Broken archives produce a single error row (error channel, not job
     failure)."""
 
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
         from dedoc_spark.core.formats import list_archive_members
 
         for pdf in it:

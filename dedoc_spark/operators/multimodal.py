@@ -55,7 +55,17 @@ def media_features(
     """Vectorized (Arrow-batched) media feature extraction with the same
     error-channel semantics as the document pipeline."""
 
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.operators.multimodal import _fake_decode_image as decode
+
         for pdf in it:
             out = []
             for mid, mtype, data in zip(pdf[id_col], pdf[type_col], pdf[media_col]):
@@ -70,7 +80,7 @@ def media_features(
                 }
                 try:
                     if mtype == "image":
-                        w, h, feat = _fake_decode_image(data)
+                        w, h, feat = decode(data)
                         row.update(width=w, height=h, feature=feat)
                     else:
                         raise NotImplementedError(f"decode for {mtype} not available")

@@ -33,12 +33,36 @@ Scale notes (100 TB / 10^12 rows):
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# baked into UDF closures so python workers can import dedoc_spark no
+# matter what cwd/PYTHONPATH the driver was launched with
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bootstrapped(fn_name: str, **kwargs):
+    """Return a closure (pickled BY VALUE by cloudpickle, unlike module
+    functions which pickle by reference) that fixes sys.path on the worker
+    before importing this module and delegating to ``fn_name``; kwargs are
+    baked into the closure (e.g. the extraction params dict)."""
+    repo = _REPO_ROOT
+
+    def fn(it):
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        import dedoc_spark.operators.pipeline as pl
+
+        yield from getattr(pl, fn_name)(it, **kwargs)
+
+    return fn
 
 EXTRACT_SCHEMA = T.StructType(
     [
@@ -117,7 +141,9 @@ NODE_SCHEMA = T.ArrayType(
 )
 
 
-def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(
+    it: Iterator[pd.DataFrame], params: Optional[dict] = None
+) -> Iterator[pd.DataFrame]:
     # import inside the worker so the function pickles cheaply
     from dedoc_spark.core.document import extract_document
 
@@ -125,7 +151,7 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         urls = pdf["url"].tolist()
         htmls = pdf["html"].tolist() if "html" in pdf.columns else [None] * len(urls)
         texts = pdf["text"].tolist() if "text" in pdf.columns else [None] * len(urls)
-        out = [extract_document(u, h, t) for u, h, t in zip(urls, htmls, texts)]
+        out = [extract_document(u, h, t, params=params) for u, h, t in zip(urls, htmls, texts)]
         yield pd.DataFrame(
             out,
             columns=[f.name for f in EXTRACT_SCHEMA.fields],
@@ -135,6 +161,7 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_stage(
     df: DataFrame,
     salt_partitions: Optional[int] = None,
+    params: Optional[dict] = None,
 ) -> DataFrame:
     """Run the extraction pipeline over a web_pages-shaped DataFrame.
 
@@ -147,7 +174,7 @@ def extract_stage(
         # explicit salting on url hash: uniform placement regardless of the
         # input file layout; keeps oversized-doc clusters apart
         src = src.repartition(salt_partitions, F.pmod(F.xxhash64("url"), F.lit(salt_partitions)))
-    return src.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+    return src.mapInPandas(bootstrapped("_extract_batches", params=params), schema=EXTRACT_SCHEMA)
 
 
 def split_oversized(df: DataFrame, big_doc_threshold: int = 1 << 20) -> Tuple[DataFrame, DataFrame]:

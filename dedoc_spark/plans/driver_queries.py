@@ -842,9 +842,17 @@ def _binary_roundtrip(spark: SparkSession, sf_dir: str, builder) -> DataFrame:
     """documents → per-row synthesized binary payload → full extraction."""
     import pandas as pd
 
-    from dedoc_spark.core.document import extract_document
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
 
     def fn(it):
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.document import extract_document
+
         for pdf in it:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -909,13 +917,19 @@ Q23_SQL = Q21_SQL
 
 
 def q24_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import json as jsonlib
-
     import pandas as pd
 
-    from dedoc_spark.core.document import extract_document
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
 
     def fn(it):
+        import json as jsonlib
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.document import extract_document
         from dedoc_spark.sources.office_fixture import build_xlsx
 
         for pdf in it:

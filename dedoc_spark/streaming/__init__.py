@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dedoc_spark.operators.pipeline import EXTRACT_SCHEMA, _extract_batches
+from dedoc_spark.operators.pipeline import EXTRACT_SCHEMA, bootstrapped
 
 WEB_PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -30,7 +30,7 @@ def read_web_pages_stream(
 def extract_stream(stream_df: DataFrame) -> DataFrame:
     """Attach the extraction stage to a streaming web_pages DataFrame."""
     cols = [c for c in ("url", "html", "text") if c in stream_df.columns]
-    return stream_df.select(*cols).mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+    return stream_df.select(*cols).mapInPandas(bootstrapped("_extract_batches"), schema=EXTRACT_SCHEMA)
 
 
 def start_extraction_stream(

@@ -114,3 +114,29 @@ def test_projection_pushdown(spark, web_pages):
     plan = extract_stage(web_pages)._jdf.queryExecution().executedPlan().toString()
     assert "warc_ts" not in plan
     assert "lang" not in plan
+
+
+def test_params_surface(spark, web_pages):
+    """The reference's parameters (api_args.py subset): structure_type,
+    patterns, handle_invisible_table flow through the Spark stage."""
+    import json as jsonlib
+
+    from pyspark.sql import functions as F
+
+    from dedoc_spark.operators.pipeline import extract_stage as ex
+
+    sample = web_pages.filter(F.length("html") > 0).limit(5)
+    linear = ex(sample, params={"structure_type": "linear"}).collect()
+    for r in linear:
+        tree = jsonlib.loads(r.tree_json)
+        # linear: no grandchildren
+        for child in tree["subparagraphs"]:
+            assert child["subparagraphs"] == []
+
+    pat = ex(
+        sample,
+        params={"patterns": [{"name": "regexp", "regexp": "^.*", "line_type": "custom", "level_1": 1, "can_be_multiline": "false"}]},
+    ).collect()
+    for r in pat:
+        lines = jsonlib.loads(r.lines_json)
+        assert all(ln["hl"]["line_type"] == "custom" for ln in lines)
