@@ -110,9 +110,10 @@ _SQL_PREFIX = (
 
 
 def q01_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
+    exploded = _docs(spark, sf_dir).select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+    return exploded.select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
 
 
 Q01_SQL = """
@@ -740,7 +741,7 @@ def q17_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   tree: root "" → header → raw_text; json2txt appends "\n" per node:
 #   "\n" + "Doc {id}\n" + "\n" + "{text}\n" + "\n"
 Q17_SQL = """
-SELECT doc_id, 2 AS n_lines, 0 AS n_tables,
+SELECT doc_id, CAST(2 AS BIGINT) AS n_lines, CAST(0 AS BIGINT) AS n_tables,
        chr(10) || 'Doc ' || doc_id || chr(10) || chr(10) || text || chr(10) || chr(10) AS text_extracted
 FROM documents
 """
@@ -767,7 +768,7 @@ def q18_txt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q18_SQL = """
-SELECT doc_id, 1 AS n_lines, chr(10) || text || chr(10) AS text_extracted
+SELECT doc_id, CAST(1 AS BIGINT) AS n_lines, chr(10) || text || chr(10) AS text_extracted
 FROM documents
 """
 
@@ -814,7 +815,7 @@ def q19_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rowspan expansion: the clone of (0,1) is inserted at row-1 position 1
 # (after the DOM cell), so row 1 reads [lang, source-clone(invisible)]
 Q19_SQL = """
-SELECT doc_id, 1 AS n_tables, 2 AS n_rows, 2 AS n_cols,
+SELECT doc_id, CAST(1 AS BIGINT) AS n_tables, CAST(2 AS BIGINT) AS n_rows, CAST(2 AS BIGINT) AS n_cols,
        'A' AS c00, source AS c01, lang AS c10, source AS c11,
        TRUE AS clone_invisible
 FROM documents
@@ -879,7 +880,7 @@ def q21_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tree: root "" → header "Doc {id}" → raw_text "{text}"; json2txt →
 # "\nDoc {id}\n{text}\n"
 Q21_SQL = """
-SELECT doc_id, 2 AS n_lines,
+SELECT doc_id, CAST(2 AS BIGINT) AS n_lines,
        chr(10) || 'Doc ' || doc_id || chr(10) || text || chr(10) AS text_extracted
 FROM documents
 """
@@ -897,7 +898,7 @@ def q22_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both pdf lines are raw_text+multiline → they merge into ONE tree node with
 # no separator (tree add_text); json2txt → "\nDoc {id}{text}\n"
 Q22_SQL = """
-SELECT doc_id, 2 AS n_lines,
+SELECT doc_id, CAST(2 AS BIGINT) AS n_lines,
        chr(10) || 'Doc ' || doc_id || text || chr(10) AS text_extracted
 FROM documents
 """
@@ -956,7 +957,7 @@ def q24_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q24_SQL = """
-SELECT doc_id, 1 AS n_tables, 'id' AS c00, CAST(doc_id AS VARCHAR) AS c01,
+SELECT doc_id, CAST(1 AS BIGINT) AS n_tables, 'id' AS c00, CAST(doc_id AS VARCHAR) AS c01,
        source AS c10, lang AS c11
 FROM documents
 """
