@@ -132,11 +132,12 @@ def extract_pptx_document(url: str, payload: bytes) -> Dict:
     return _finalize(url, lines, tables, warnings)
 
 
-def extract_pdf_document(url: str, payload: bytes) -> Dict:
+def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None) -> Dict:
     from dedoc_spark.core.pdf_extract import extract_pdf_lines
 
-    lines, warnings = extract_pdf_lines(payload, url_hash(url))
-    return _finalize(url, lines, [], warnings)
+    pages_range = (params or {}).get("pages")
+    lines, warnings = extract_pdf_lines(payload, url_hash(url), pages_range=pages_range)
+    return _finalize(url, lines, [], warnings, params)
 
 
 def extract_document(
@@ -174,7 +175,7 @@ def extract_document(
         if fmt == "docx" and html:
             return extract_docx_document(url, html)
         if fmt == "pdf" and html:
-            return extract_pdf_document(url, html)
+            return extract_pdf_document(url, html, params)
         if fmt == "xlsx" and html:
             return extract_xlsx_document(url, html)
         if fmt == "pptx" and html:

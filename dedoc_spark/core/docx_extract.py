@@ -219,6 +219,9 @@ class DocxExtractor:
         lines: List[Line] = []
         tables: List[Table] = []
         prev_spacing_after = 0
+        # caption join (docx_document.py:121-131): "Таблица N"-style paragraph
+        # two-before the table gets the table annotation, else the one-before
+        table_ref_reg = re.compile(r"^[Тт](аблица|абл?\.) ")
         if body is not None:
             for child in body:
                 if child.tag == _w("p"):
@@ -227,7 +230,16 @@ class DocxExtractor:
                     )
                     lines.append(line)
                 elif child.tag == _w("tbl"):
-                    tables.append(self._read_table(child, url_hash, len(tables)))
+                    table = self._read_table(child, url_hash, len(tables))
+                    tables.append(table)
+                    if lines:
+                        if len(lines) >= 2 and table_ref_reg.match(lines[-2].line):
+                            target = lines[-2]
+                        else:
+                            target = lines[-1]
+                        target.annotations.append(
+                            Annotation(0, len(target.line), "table", table.uid)
+                        )
         self._fix_lines(lines)
         for i, line in enumerate(lines):
             line.line_id = i

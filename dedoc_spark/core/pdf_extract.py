@@ -237,11 +237,24 @@ def extract_pdf_pages(payload: bytes) -> List[List[Tuple[str, bool]]]:
     return pages
 
 
-def extract_pdf_lines(payload: bytes, url_hash: str = "") -> Tuple[List[Line], List[str]]:
+def extract_pdf_lines(
+    payload: bytes, url_hash: str = "", pages_range: Optional[str] = None
+) -> Tuple[List[Line], List[str]]:
     """Full txt-layer read: per-page lines with page_id, bold annotations,
-    header/footer voting applied for multi-page documents."""
+    header/footer voting applied for multi-page documents.
+
+    ``pages_range`` = "l:r" (1-based, inclusive) prunes pages at the source
+    like the reference's ``pages`` parameter (pdf_base_reader.py:108-128),
+    appending the partial-parse warning."""
     pages = extract_pdf_pages(payload)
     warnings: List[str] = []
+    if pages_range:
+        left, _, right = pages_range.partition(":")
+        lo = int(left) if left else 1
+        hi = int(right) if right else len(pages)
+        if lo > 1 or hi < len(pages):
+            warnings.append("The document is partially parsed")
+        pages = pages[lo - 1 : hi]
     page_lines: List[List[Line]] = []
     for page_id, page in enumerate(pages):
         cur: List[Line] = []

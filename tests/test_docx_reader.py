@@ -113,3 +113,22 @@ def test_full_pipeline_docx_tree():
     types = {n["paragraph_type"] for n in flat}
     assert "list" in types and "list_item" in types
     assert doc["n_tables"] == 1
+
+
+def test_table_caption_annotation_join():
+    # "Таблица N" caption two-before the table receives the table uid
+    # (docx_document.py:121-131)
+    body = (
+        paragraph([("Таблица 1 — результаты", "")])
+        + paragraph([("вводный текст", "")])
+        + table([[("x", 1, None)]])
+        + paragraph([("другой абзац", "")])
+        + table([[("y", 1, None)]])
+    )
+    lines, tables, _ = extract_docx(build_docx(body))
+    ann0 = [(a.name, a.value) for a in lines[0].annotations if a.name == "table"]
+    assert ann0 == [("table", tables[0].uid)]
+    # second table: no caption two-before → annotation on the line just before
+    ann2 = [(a.name, a.value) for a in lines[2].annotations if a.name == "table"]
+    assert ann2 == [("table", tables[1].uid)]
+    assert not [a for a in lines[1].annotations if a.name == "table"]

@@ -78,3 +78,22 @@ def test_full_pipeline_pdf():
     assert "body alpha paragraph" in doc["text_extracted"]
     assert "ACME Corp" not in doc["text_extracted"]
     assert "Section" not in doc["text_extracted"]
+
+
+def test_pages_param_prunes():
+    from dedoc_spark.sources.pdf_fixture import example_pdf
+
+    doc_all = extract_document("https://x/r.pdf", example_pdf(5, with_header_footer=False), None)
+    doc_slice = extract_document(
+        "https://x/r.pdf", example_pdf(5, with_header_footer=False), None,
+        params={"pages": "2:3"},
+    )
+    import json
+
+    pages_all = {ln["page_id"] for ln in json.loads(doc_all["lines_json"])}
+    pages_slice = {ln["page_id"] for ln in json.loads(doc_slice["lines_json"])}
+    assert pages_all == {0, 1, 2, 3, 4}
+    assert pages_slice == {0, 1}  # two pages kept, re-numbered from 0
+    assert "partially parsed" in " ".join(doc_slice["warnings"])
+    assert "Section 2" in doc_slice["text_extracted"]
+    assert "Section 1" not in doc_slice["text_extracted"]
