@@ -171,7 +171,11 @@ def extract_document(
         if fmt == "mhtml" and html:
             return extract_mhtml_document(url, html)
         if fmt == "txt" and html:
-            return extract_txt_document(url, html.decode("utf-8", errors="replace"))
+            from dedoc_spark.core.formats import decode_text_payload
+
+            return extract_txt_document(
+                url, decode_text_payload(html, params.get("encoding"))
+            )
         if fmt == "docx" and html:
             return extract_docx_document(url, html)
         if fmt == "pdf" and html:

@@ -213,6 +213,33 @@ def list_archive_members(payload: bytes, max_members: int = 1000) -> List[Tuple[
     return out
 
 
+# --- text encoding detection (utils.get_encoding semantics, §2.9) -----------
+
+
+def decode_text_payload(payload: bytes, encoding: Optional[str] = None) -> str:
+    """Decode a plain-text payload: explicit encoding param wins
+    (raw_text_reader.py:46-52), then BOM, then utf-8, then
+    charset-normalizer detection (the reference uses chardet-style
+    ``get_encoding``; gated behind import-try), then cp1251."""
+    if encoding:
+        return payload.decode(encoding, errors="ignore")
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", errors="ignore")
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    try:
+        from charset_normalizer import from_bytes
+
+        best = from_bytes(payload).best()
+        if best is not None:
+            return str(best)
+    except ImportError:
+        pass
+    return payload.decode("cp1251", errors="replace")
+
+
 # --- format dispatch ------------------------------------------------------------
 
 _EXT_FORMATS = {

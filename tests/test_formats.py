@@ -187,3 +187,15 @@ def test_archive_explosion_spark(spark):
     assert "plain notes" in out["https://a/x.zip#notes.txt"].text_extracted
     assert "nested" in out["https://a/nested.zip#nested.zip#deep.html"].text_extracted
     assert "direct" in out["https://a/plain.html"].text_extracted
+
+
+def test_txt_encoding_detection():
+    from dedoc_spark.core.formats import decode_text_payload
+
+    ru = "русский текст в кодировке"
+    assert decode_text_payload(ru.encode("utf-8")) == ru
+    assert decode_text_payload(ru.encode("cp1251")) == ru  # detected
+    assert decode_text_payload(ru.encode("koi8-r"), encoding="koi8-r") == ru  # explicit wins
+    assert decode_text_payload(b"\xef\xbb\xbfbom text") == "bom text"
+    d = extract_document("https://x/notes.txt", ru.encode("cp1251"), None)
+    assert ru in d["text_extracted"]
