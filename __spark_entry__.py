@@ -5,9 +5,8 @@ semantics: block walk → annotations → structure patterns → tree →
 json2txt) over HTML synthesized deterministically from the sf0.001
 documents table, via the Arrow-batched mapInPandas stage.
 
-queries()/oracle_sql() — 20 operators from SURVEY.md §2 mapped onto the
-driver tables, each with an expression-mirrored DuckDB oracle (except
-q20_simhash, whose bit-parallel form is not SQL-expressible → rows-only).
+queries()/oracle_sql() — operators from SURVEY.md §2 mapped onto the
+driver tables, each with an expression-mirrored DuckDB oracle.
 """
 
 from __future__ import annotations

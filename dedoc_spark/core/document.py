@@ -140,6 +140,24 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
     return _finalize(url, lines, [], warnings, params)
 
 
+def _error_row(url: str, error: str, warnings: Optional[List[str]] = None) -> Dict:
+    """Typed error-channel row: same schema as a successful extraction, so
+    every input url yields exactly one output row."""
+    return {
+        "url": url,
+        "text_extracted": "",
+        "text_linear": "",
+        "n_lines": 0,
+        "n_tables": 0,
+        "lines_json": "[]",
+        "tree_json": "{}",
+        "nodes_json": "[]",
+        "tables_json": "[]",
+        "warnings": list(warnings or []),
+        "error": error,
+    }
+
+
 def extract_document(
     url: str,
     html: Optional[bytes],
@@ -184,20 +202,25 @@ def extract_document(
             return extract_xlsx_document(url, html)
         if fmt == "pptx" and html:
             return extract_pptx_document(url, html)
-        if html:  # unsupported binary formats (pdf/docx/zip v1): html fallback
-            return extract_html_document(url, html, handle_invisible_table)
+        if fmt == "zip" and html:
+            # archives are exploded into member rows by
+            # operators/archives.extract_with_archives; a bare per-row call
+            # reports the members instead of parsing zip bytes as markup
+            from dedoc_spark.core.formats import list_archive_members
+
+            names = [n for n, _ in list_archive_members(html, max_members=100)]
+            return _error_row(
+                url,
+                "needs_explosion:zip (use operators.archives.extract_with_archives)",
+                warnings=[f"archive member: {n}" for n in names],
+            )
+        if fmt.startswith("needs_conversion:") and html:
+            # reference converts these via soffice (converters/concrete_converters/
+            # docx_converter.py:15-28); soffice is absent here, so emit a typed
+            # error row rather than html-fallback garbage lines
+            return _error_row(url, fmt)
+        if html:  # unknown markup-ish bytes: html fallback (web default)
+            return extract_html_document(url, html, handle_invisible_table, params)
         return extract_txt_document(url, text or "")
     except Exception as e:  # error channel, never job failure
-        return {
-            "url": url,
-            "text_extracted": "",
-            "text_linear": "",
-            "n_lines": 0,
-            "n_tables": 0,
-            "lines_json": "[]",
-            "tree_json": "{}",
-            "nodes_json": "[]",
-            "tables_json": "[]",
-            "warnings": [],
-            "error": f"{type(e).__name__}: {e}",
-        }
+        return _error_row(url, f"{type(e).__name__}: {e}")

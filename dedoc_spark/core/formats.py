@@ -218,26 +218,42 @@ def list_archive_members(payload: bytes, max_members: int = 1000) -> List[Tuple[
 
 def decode_text_payload(payload: bytes, encoding: Optional[str] = None) -> str:
     """Decode a plain-text payload: explicit encoding param wins
-    (raw_text_reader.py:46-52), then BOM, then utf-8, then
-    charset-normalizer detection (the reference uses chardet-style
-    ``get_encoding``; gated behind import-try), then cp1251."""
+    (raw_text_reader.py:46-52), then BOM, then utf-8, then a deterministic
+    legacy-Cyrillic scorer (cp1251 vs koi8-r vs cp866, scored by the share
+    of Cyrillic letters + whitespace in the decode — stdlib-only so the
+    result is identical on every driver/executor; the reference's
+    chardet-style ``get_encoding`` would make the same bytes decode
+    differently depending on what's installed where)."""
     if encoding:
         return payload.decode(encoding, errors="ignore")
     if payload.startswith(b"\xef\xbb\xbf"):
         return payload[3:].decode("utf-8", errors="ignore")
+    if payload.startswith(b"\xff\xfe") or payload.startswith(b"\xfe\xff"):
+        return payload.decode("utf-16", errors="ignore")
     try:
         return payload.decode("utf-8")
     except UnicodeDecodeError:
         pass
-    try:
-        from charset_normalizer import from_bytes
-
-        best = from_bytes(payload).best()
-        if best is not None:
-            return str(best)
-    except ImportError:
-        pass
-    return payload.decode("cp1251", errors="replace")
+    best_text = None
+    best_score = -1.0
+    for candidate in ("cp1251", "koi8-r", "cp866"):
+        text = payload.decode(candidate, errors="replace")
+        if not text:
+            continue
+        # lowercase Cyrillic weighs full, uppercase 0.3: a wrong legacy
+        # decode case-swaps the text, so real (mostly-lowercase) prose
+        # separates the candidates deterministically
+        good = sum(
+            1.0 if (("а" <= ch <= "я") or ch == "ё" or ch.isspace() or ch.isascii())
+            else 0.3 if (("А" <= ch <= "Я") or ch == "Ё")
+            else 0.0
+            for ch in text
+        )
+        score = good / len(text)
+        if score > best_score:  # strict > — first candidate wins ties
+            best_score = score
+            best_text = text
+    return best_text if best_text is not None else payload.decode("cp1251", errors="replace")
 
 
 # --- format dispatch ------------------------------------------------------------
@@ -254,7 +270,21 @@ _EXT_FORMATS = {
     "xlsx": "xlsx",
     "pptx": "pptx",
     "pdf": "pdf",
+    # formats the reference routes through a soffice converter
+    # (converters/concrete_converters/docx_converter.py:15-28 etc.) —
+    # soffice is not a library dependency, so these get a typed
+    # needs_conversion error row instead of the html-fallback garbage path
+    "doc": "needs_conversion:doc",
+    "rtf": "needs_conversion:rtf",
+    "odt": "needs_conversion:odt",
+    "ods": "needs_conversion:ods",
+    "odp": "needs_conversion:odp",
+    "xls": "needs_conversion:xls",
+    "ppt": "needs_conversion:ppt",
 }
+
+# OLE2 compound file (legacy .doc/.xls/.ppt share one magic)
+_OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
 
 def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> str:
@@ -265,6 +295,10 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
         return _EXT_FORMATS[ext]
     if payload:
         head = payload[:512].lstrip()
+        if payload[:8] == _OLE2_MAGIC:
+            return "needs_conversion:ole2"
+        if payload[:5] == b"{\\rtf":
+            return "needs_conversion:rtf"
         if payload[:4] == b"PK\x03\x04":
             try:
                 with zipfile.ZipFile(io.BytesIO(payload)) as zf:
@@ -275,6 +309,11 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
                         return "xlsx"
                     if "ppt/presentation.xml" in members:
                         return "pptx"
+                    if "mimetype" in members:
+                        mt = zf.read("mimetype")[:64].decode("ascii", "replace")
+                        if mt.startswith("application/vnd.oasis.opendocument"):
+                            kind = {"text": "odt", "spreadsheet": "ods", "presentation": "odp"}
+                            return "needs_conversion:" + kind.get(mt.rsplit(".", 1)[-1].strip(), "odf")
             except Exception:
                 pass
             return "zip"

@@ -6,6 +6,10 @@ attachments_handler.py:46-61, depth ≤ 10). Spark-first shape: members
 become rows (url → url#member), which then flow through the ordinary
 extraction stage — the recursion is a bounded iteration of DataFrame
 passes, not per-file Python recursion.
+
+Every input url yields at least one output row: broken archives and
+archives still unexploded after max_depth surface as typed error-channel
+extraction rows, never silently vanish.
 """
 
 from __future__ import annotations
@@ -14,6 +18,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MEMBER_SCHEMA = T.StructType(
@@ -22,14 +27,19 @@ MEMBER_SCHEMA = T.StructType(
         T.StructField("html", T.BinaryType()),
         T.StructField("text", T.StringType()),
         T.StructField("error", T.StringType()),
+        # 'member' = extracted from a zip; 'passthrough' = PK bytes that are
+        # actually an OOXML/ODF document, not an archive; 'error' = broken
+        T.StructField("kind", T.StringType()),
     ]
 )
 
 
 def explode_archives(df: DataFrame, max_members: int = 1000) -> DataFrame:
-    """(url, html=zip bytes) rows → one row per member: url#member, bytes.
-    Broken archives produce a single error row (error channel, not job
-    failure)."""
+    """(url, html) rows → one row per zip member (url#member, bytes).
+
+    Rows whose PK bytes are really a single document (docx/xlsx/pptx/odf —
+    detect_format inspects the member list) pass through unchanged with
+    kind='passthrough'. Broken archives produce one kind='error' row."""
 
     from dedoc_spark.operators.pipeline import _REPO_ROOT
 
@@ -40,42 +50,78 @@ def explode_archives(df: DataFrame, max_members: int = 1000) -> DataFrame:
 
         if repo not in sys.path:
             sys.path.insert(0, repo)
-        from dedoc_spark.core.formats import list_archive_members
+        from dedoc_spark.core.formats import detect_format, list_archive_members
 
         for pdf in it:
             out = []
             for url, payload in zip(pdf["url"], pdf["html"]):
+                raw = bytes(payload) if payload is not None else b""
+                # strip the member suffix when sniffing: "x.zip#doc.docx"
+                # must dispatch on the member's own name
+                sniff_url = url.rsplit("#", 1)[-1] if "#" in url else url
+                fmt = detect_format(sniff_url, raw, None)
+                if fmt != "zip":
+                    out.append({"url": url, "html": raw, "text": "", "error": None, "kind": "passthrough"})
+                    continue
                 try:
-                    for name, data in list_archive_members(payload, max_members):
-                        out.append(
-                            {"url": f"{url}#{name}", "html": data, "text": "", "error": None}
-                        )
+                    for name, data in list_archive_members(raw, max_members):
+                        out.append({"url": f"{url}#{name}", "html": data, "text": "", "error": None, "kind": "member"})
                 except Exception as e:
-                    out.append(
-                        {"url": url, "html": None, "text": "", "error": f"{type(e).__name__}: {e}"}
-                    )
+                    out.append({"url": url, "html": None, "text": "", "error": f"{type(e).__name__}: {e}", "kind": "error"})
             yield pd.DataFrame(out, columns=[f.name for f in MEMBER_SCHEMA.fields])
 
     return df.select("url", "html").mapInPandas(fn, MEMBER_SCHEMA)
 
 
-def extract_with_archives(df: DataFrame, max_depth: int = 2) -> DataFrame:
-    """Full pipeline with bounded archive recursion: non-archive rows are
-    extracted directly; archive rows are exploded and re-fed, up to
-    max_depth (nested zips beyond that are dropped with a warning row)."""
-    from pyspark.sql import functions as F
+def _error_extract_rows(df: DataFrame, error_col) -> DataFrame:
+    """Shape (url, error) rows into the EXTRACT_SCHEMA error channel."""
+    return df.select(
+        F.col("url"),
+        F.lit("").alias("text_extracted"),
+        F.lit("").alias("text_linear"),
+        F.lit(0).cast("int").alias("n_lines"),
+        F.lit(0).cast("int").alias("n_tables"),
+        F.lit("[]").alias("lines_json"),
+        F.lit("{}").alias("tree_json"),
+        F.lit("[]").alias("nodes_json"),
+        F.lit("[]").alias("tables_json"),
+        F.array().cast("array<string>").alias("warnings"),
+        error_col.cast("string").alias("error"),
+    )
+
+
+def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None = None) -> DataFrame:
+    """Full pipeline with bounded archive recursion.
+
+    Non-archive rows extract directly; PK-magic rows are classified
+    (OOXML/ODF documents pass through, real zips explode into member rows)
+    and re-fed up to max_depth. Broken archives and zips still nested
+    deeper than max_depth come back as typed error-channel rows, so the
+    per-row invariant (every input url → ≥1 output row) holds."""
+    from pyspark.storagelevel import StorageLevel
 
     from dedoc_spark.operators.pipeline import extract_stage
 
-    is_zip = F.col("html").isNotNull() & (
+    maybe_zip = F.col("html").isNotNull() & (
         F.substring(F.col("html").cast("binary"), 1, 4) == F.lit(b"PK\x03\x04")
     )
-    plain = df.filter(~is_zip)
-    archives = df.filter(is_zip)
-    out = extract_stage(plain)
+    out = extract_stage(df.filter(~maybe_zip), params=params)
+    pending = df.filter(maybe_zip).select("url", "html")
     for _ in range(max_depth):
-        members = explode_archives(archives).filter(F.col("error").isNull())
-        is_zip_m = F.substring(F.col("html"), 1, 4) == F.lit(b"PK\x03\x04")
-        out = out.unionByName(extract_stage(members.filter(~is_zip_m)))
-        archives = members.filter(is_zip_m)
+        # persist: classified feeds three branches (errors, extractables,
+        # next-level zips) — without it each branch re-runs the explode
+        classified = explode_archives(pending).persist(StorageLevel.DISK_ONLY)
+        out = out.unionByName(
+            _error_extract_rows(classified.filter(F.col("kind") == "error"), F.col("error"))
+        )
+        ok = classified.filter(F.col("kind") != "error")
+        is_zip_m = (F.col("kind") == "member") & (
+            F.substring(F.col("html"), 1, 4) == F.lit(b"PK\x03\x04")
+        )
+        out = out.unionByName(extract_stage(ok.filter(~is_zip_m), params=params))
+        pending = ok.filter(is_zip_m).select("url", "html")
+    # archives still unexploded after max_depth: typed error rows, not silence
+    out = out.unionByName(
+        _error_extract_rows(pending, F.lit(f"needs_explosion:zip beyond max_depth={max_depth}"))
+    )
     return out

@@ -6,10 +6,17 @@ All variants are declarative DataFrame compositions (no Python UDFs):
   minhash_lsh_pairs    shingle → minhash → band → bucket-join — the scale
                        path: candidate pairs come from equi-joins on band
                        keys, never from a cross join
-  ngram_jaccard_pairs  exact verification of candidate pairs (or small
-                       blocked self-join)
+  jaccard_for_pairs    exact n-gram Jaccard driven by candidate pairs —
+                       cost linear in |candidates| (the blessed verify path)
+  cosine_for_pairs     exact cosine driven by candidate pairs
+  embedding_lsh_pairs  sign-bucket LSH candidate pairs over embeddings
+  ngram_jaccard_pairs  blocked all-pairs Jaccard — SMALL BLOCKS ONLY
   simhash              64-bit simhash via bit-counted token hashes
-  embedding_near_dup   cosine > threshold pairs within LSH-ish buckets
+  embedding_near_dup   blocked all-pairs cosine — SMALL BLOCKS ONLY
+
+The 100 TB dedup chain is candidates → pair-driven verify:
+  minhash_lsh_pairs(df)  → jaccard_for_pairs(pairs, df)
+  embedding_lsh_pairs(e) → cosine_for_pairs(pairs, e)
 
 Scale notes: minhash banding makes the self-join linear in the number of
 colliding pairs; the band-key join shuffles on (band_idx, band_hash) which
@@ -68,6 +75,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int = 1000,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -75,9 +83,18 @@ def minhash_lsh_pairs(
     sharing any full band collide. Returns distinct (a, b) id pairs, a < b.
     Buckets larger than max_bucket are dropped (degenerate content) — the
     cap is logged in the plan as a filter, not silently inside a UDF.
+
+    persist_signatures materializes the signature table once
+    (StorageLevel.DISK_ONLY — lineage stays attached, so it survives
+    executor loss on a real cluster, unlike localCheckpoint) instead of
+    recomputing the shingle+hash subtree on both sides of the self-join.
     """
     rows_per_band = num_hashes // bands
     sigs = with_minhash(df, text_col, id_col, num_hashes, shingle_n)
+    if persist_signatures:
+        from pyspark.storagelevel import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.DISK_ONLY)
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -105,6 +122,81 @@ def minhash_lsh_pairs(
     )
 
 
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for pre-generated candidate pairs — the 100 TB
+    verify path: feed ``minhash_lsh_pairs`` output, so cost is linear in the
+    number of candidates (two equi-joins on the id, no self-join anywhere).
+
+    pairs: DataFrame(a, b) of id pairs; df: the corpus. Returns
+    (a, b, jaccard) with jaccard rounded to 6.
+    """
+    from dedoc_spark.functions import shingle_rows
+
+    sets = (
+        shingle_rows(df, text_col, id_col, shingle_n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    joined = pairs.join(
+        sets.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a"
+    ).join(sets.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return joined.select("a", "b", F.round(jac, 6).alias("jaccard"))
+
+
+def cosine_for_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    decimals: int = 4,
+) -> DataFrame:
+    """Exact cosine for pre-generated candidate pairs (embedding analogue of
+    ``jaccard_for_pairs``): two equi-joins on the id, linear in candidates."""
+    e = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    joined = pairs.join(
+        e.select(F.col(id_col).alias("a"), F.col("v").alias("va")), "a"
+    ).join(e.select(F.col(id_col).alias("b"), F.col("v").alias("vb")), "b")
+    return joined.select(
+        "a", "b", F.round(cosine(F.col("va"), F.col("vb")), decimals).alias("cos")
+    )
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    dim: int,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via random-hyperplane sign buckets —
+    the embedding analogue of ``minhash_lsh_pairs``. Vectors sharing all
+    ``planes`` dot-product signs collide; candidates come from an equi-join
+    on the bucket id, never a cross join. Degenerate buckets (> max_bucket)
+    are dropped before the self-join."""
+    from dedoc_spark.operators.similarity import with_sign_bucket
+
+    bucketed = with_sign_bucket(df, dim, planes, vec_col).select(id_col, "bucket")
+    sizes = bucketed.groupBy("bucket").agg(F.count("*").alias("sz"))
+    bucketed = bucketed.join(
+        sizes.filter(F.col("sz") <= max_bucket).select("bucket"), "bucket"
+    )
+    a = bucketed.select("bucket", F.col(id_col).alias("a"))
+    b = bucketed.select("bucket", F.col(id_col).alias("b"))
+    return (
+        a.join(b, "bucket").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -113,8 +205,9 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.0,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs within a blocking key
-    (small blocks → broadcastable; at scale feed LSH candidates instead)."""
+    """Blocked all-pairs n-gram Jaccard — SMALL BLOCKS ONLY (quadratic and
+    skew-prone within each block value). The scale path is
+    ``jaccard_for_pairs(minhash_lsh_pairs(df), df)``."""
     from dedoc_spark.functions import shingle_rows
 
     sets = (
@@ -176,7 +269,9 @@ def embedding_near_dup(
     block_col: str = "label",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a blocking key."""
+    """Blocked all-pairs embedding-cosine near-dup — SMALL BLOCKS ONLY
+    (quadratic within each block value). The scale path is
+    ``cosine_for_pairs(embedding_lsh_pairs(df, dim), df)``."""
     e = df.select(F.col(block_col).alias("blk"), F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     a = e.select("blk", F.col(id_col).alias("a"), F.col("v").alias("va"))
     b = e.select("blk", F.col(id_col).alias("b"), F.col("v").alias("vb"))

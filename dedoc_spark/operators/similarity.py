@@ -42,6 +42,65 @@ def cosine_topk(
     )
 
 
+def cosine_topk_multi(
+    df: DataFrame,
+    queries: Sequence,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    decimals: int = 4,
+) -> DataFrame:
+    """Multi-query cosine top-k with a two-phase plan that survives scale.
+
+    ``queries`` is a sequence of (query_id, vector). A naive
+    ``Window.partitionBy(query_id)`` over the scored corpus shuffles EVERY
+    row into |queries| partitions — at 10^12 rows a handful of tasks own the
+    whole corpus. Instead:
+
+      phase 1: per-(query, input-partition) local top-k — the window key
+               includes spark_partition_id(), so parallelism stays at the
+               scan's partition count and nothing shuffles;
+      phase 2: global top-k over the ≤ |queries|·n_partitions·k survivors —
+               a trivially small window.
+
+    Ties are broken by id, so the result is deterministic and identical to
+    the single-window plan.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(vec_col).cast("array<double>")
+    # rank on the RAW cosine (round only the output) so tie behavior is
+    # identical to a single-window plan and to the SQL oracle
+    scored = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[cosine(v, _vec_lit(vec)).alias(f"__cos_{qid}") for qid, vec in queries],
+    )
+    melted = scored.select(
+        "neighbor_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(int(qid)).cast("bigint") for qid, _ in queries]),
+                F.array(*[F.col(f"__cos_{qid}") for qid, _ in queries]),
+            )
+        ).alias("query_id", "cos"),
+        F.spark_partition_id().alias("__pid"),
+    )
+    w_local = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("cos").desc(), "neighbor_id"
+    )
+    local = (
+        melted.withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__pid")
+    )
+    w_glob = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        local.withColumn("__rn", F.row_number().over(w_glob))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", decimals).alias("cos"))
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> List[float]:
     """Deterministic pseudo-random unit-ish hyperplane from md5 bytes."""
     import hashlib
@@ -56,13 +115,17 @@ def _hyperplane(plane: int, dim: int) -> List[float]:
 def with_sign_bucket(
     df: DataFrame, dim: int, planes: int = 8, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket id (0..2^planes-1) per row."""
+    """Random-hyperplane LSH bucket id (0..2^planes-1) per row.
+
+    The dot product is rounded to 6 decimals before the sign test so the
+    bucket assignment is reproducible across engines (the DuckDB oracle
+    mirrors the same md5-derived hyperplanes and rounding)."""
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0)
     for p in range(planes):
         hp = _vec_lit(_hyperplane(p, dim))
         d = F.aggregate(F.zip_with(v, hp, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
-        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + F.when(F.round(d, 6) > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return df.withColumn("bucket", bucket)
 
 

@@ -352,9 +352,13 @@ FROM sh
 
 
 def q08_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # materialize signatures once: a self-join would otherwise recompute
-    # the full shingle+md5 subtree on both sides
-    sig = q07_minhash(spark, sf_dir).localCheckpoint()
+    # materialize signatures once: a self-join would otherwise recompute the
+    # full shingle+md5 subtree on both sides. persist(DISK_ONLY) (not
+    # localCheckpoint) — survives executor loss on a real cluster because the
+    # lineage stays attached; the plan shows InMemoryTableScan reuse.
+    from pyspark.storagelevel import StorageLevel
+
+    sig = q07_minhash(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -516,23 +520,20 @@ FROM documents GROUP BY source
 
 
 def q12_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    """Two-phase multi-query top-k (operators/similarity.cosine_topk_multi):
+    the query vectors ship with the plan as literals; phase 1 is a local
+    per-scan-partition top-k (no corpus shuffle into |queries| partitions),
+    phase 2 ranks only the tiny survivor set."""
+    from dedoc_spark.operators.similarity import cosine_topk_multi
+
+    emb = _emb(spark, sf_dir)
+    qrows = (
+        emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
     )
-    dot = F.aggregate(F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
-    na = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, b: a + b * b))
-    nb = F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), lambda a, b: a + b * b))
-    cos = dot / (na * nb)
-    scored = emb.crossJoin(F.broadcast(q)).select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
-    )
+    queries = sorted((int(r.vec_id), list(r.v)) for r in qrows)
+    return cosine_topk_multi(emb, queries, k=10)
 
 
 Q12_SQL = """
@@ -822,13 +823,39 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
-# q20 simhash (rows-only: bit-level SQL mirror is out of DuckDB's reach)
+# q20 simhash — mirrored bit-for-bit in DuckDB: unnest tokens ×
+# generate_series(0,63), sign-vote per bit position, recombine with
+# BIGINT shifts (bit 63 is the two's-complement sign bit).
 
 
 def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedoc_spark.operators.dedup import simhash64
 
     return simhash64(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+Q20_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^0-9a-zа-яё]+'), t -> len(t) > 0)) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(tok || '#1001'), 1, 8)) AS BIGINT) AS h_lo,
+    CAST(('0x' || substr(md5(tok || '#2002'), 1, 8)) AS BIGINT) AS h_hi
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b.b AS bit,
+    CASE WHEN ((CASE WHEN b.b < 32 THEN h_lo >> b.b ELSE h_hi >> (b.b - 32) END) & 1) = 1 THEN 1 ELSE -1 END AS vote
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+),
+votes AS (SELECT doc_id, bit, sum(vote) AS s FROM bits GROUP BY doc_id, bit)
+SELECT doc_id,
+  CAST(sum(CASE WHEN s > 0 THEN CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS HUGEINT) ELSE CAST(CAST(1 AS BIGINT) << bit AS HUGEINT) END ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -963,6 +990,85 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# q25 LSH candidates → exact Jaccard verify (the blessed 100 TB dedup chain:
+# cost linear in |candidates|, no all-pairs self-join anywhere)
+
+
+def q25_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.operators.dedup import jaccard_for_pairs
+
+    pairs = q08_lsh_pairs(spark, sf_dir)
+    return jaccard_for_pairs(pairs, _docs(spark, sf_dir), "text", "doc_id", 3)
+
+
+Q25_SQL = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES3} AS sh FROM tok),
+sig AS (
+  SELECT doc_id, {_sql_minhash_hex(0)} AS h0, {_sql_minhash_hex(1)} AS h1,
+         {_sql_minhash_hex(2)} AS h2, {_sql_minhash_hex(3)} AS h3 FROM sh
+),
+banded AS (
+  SELECT doc_id, 0 AS band_idx, h0 || ',' || h1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, h2 || ',' || h3 AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+)
+SELECT c.a, c.b,
+       round(len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+"""
+
+# ---------------------------------------------------------------------------
+# q26 embedding LSH candidates → exact cosine verify (embedding analogue of
+# q25; hyperplanes are md5-derived so DuckDB mirrors them bit-for-bit)
+
+
+def q26_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.operators.dedup import cosine_for_pairs, embedding_lsh_pairs
+
+    emb = _emb(spark, sf_dir)
+    pairs = embedding_lsh_pairs(emb, dim=64, planes=8)
+    return cosine_for_pairs(pairs, emb)
+
+
+Q26_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT p.p AS p,
+         list_transform(generate_series(1, 64), d ->
+           CAST(('0x' || substr(md5('plane' || CAST(p.p AS VARCHAR) || 'dim' || CAST(d - 1 AS VARCHAR)), 1, 8)) AS BIGINT)
+             / 2147483648.0 - 1.0) AS hp
+  FROM (SELECT unnest(generate_series(0, 7)) AS p) p
+),
+dots AS (
+  SELECT e.vec_id, pl.p,
+         round(list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * pl.hp[i])), 6) AS dot
+  FROM e CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+capped AS (
+  SELECT vec_id, bucket FROM buckets
+  QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM capped x JOIN capped y ON x.bucket = y.bucket WHERE x.vec_id < y.vec_id
+)
+SELECT c.a, c.b,
+       round(list_sum(list_transform(generate_series(1, len(ea.v)), i -> ea.v[i] * eb.v[i]))
+         / (sqrt(list_sum(list_transform(ea.v, t -> t * t))) * sqrt(list_sum(list_transform(eb.v, t -> t * t)))), 4) AS cos
+FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -989,6 +1095,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_pdf_extract": q22_pdf_extract,
     "q23_pptx_extract": q23_pptx_extract,
     "q24_xlsx_extract": q24_xlsx_extract,
+    "q25_lsh_jaccard": q25_lsh_jaccard,
+    "q26_lsh_cosine": q26_lsh_cosine,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1011,9 +1119,11 @@ ORACLES: Dict[str, str] = {
     "q17_html_extract": Q17_SQL,
     "q18_txt_extract": Q18_SQL,
     "q19_html_tables": Q19_SQL,
-    # q20_simhash: rows-only (bit-parallel simhash not SQL-expressible)
+    "q20_simhash": Q20_SQL,
     "q21_docx_extract": Q21_SQL,
     "q22_pdf_extract": Q22_SQL,
     "q23_pptx_extract": Q23_SQL,
     "q24_xlsx_extract": Q24_SQL,
+    "q25_lsh_jaccard": Q25_SQL,
+    "q26_lsh_cosine": Q26_SQL,
 }

@@ -199,3 +199,104 @@ def test_txt_encoding_detection():
     assert decode_text_payload(b"\xef\xbb\xbfbom text") == "bom text"
     d = extract_document("https://x/notes.txt", ru.encode("cp1251"), None)
     assert ru in d["text_extracted"]
+
+
+def test_needs_conversion_magics():
+    """OLE2 / RTF / ODT payloads route to typed needs_conversion errors —
+    never the html-fallback garbage path (reference converts via soffice,
+    converters/concrete_converters/docx_converter.py:15-28)."""
+    ole2 = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 100
+    rtf = b"{\\rtf1\\ansi Hello}"
+    odt_buf = io.BytesIO()
+    with zipfile.ZipFile(odt_buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml", "<office/>")
+    # content magic (extension-less urls)
+    assert detect_format("https://x/download", ole2, None) == "needs_conversion:ole2"
+    assert detect_format("https://x/download", rtf, None) == "needs_conversion:rtf"
+    assert detect_format("https://x/download", odt_buf.getvalue(), None) == "needs_conversion:odt"
+    # extension dispatch for all legacy office formats
+    for ext in ("doc", "rtf", "odt", "ods", "odp", "xls", "ppt"):
+        assert detect_format(f"https://x/f.{ext}", b"whatever", None) == f"needs_conversion:{ext}"
+    # each yields a typed error row, not garbage lines
+    d = extract_document("https://x/report.doc", ole2, None)
+    assert d["error"] == "needs_conversion:doc"
+    assert d["n_lines"] == 0 and d["text_extracted"] == ""
+    d = extract_document("https://x/download", rtf, None)
+    assert d["error"] == "needs_conversion:rtf"
+
+
+def test_zip_routes_to_explosion_hint_not_html():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("a.html", "<p>hi</p>")
+        zf.writestr("b.txt", "notes")
+    d = extract_document("https://x/bundle.zip", buf.getvalue(), None)
+    assert d["error"].startswith("needs_explosion:zip")
+    assert d["text_extracted"] == ""  # no garbage lines from raw zip bytes
+    assert any("a.html" in w for w in d["warnings"])
+
+
+def test_archive_error_channel_spark(spark):
+    """Broken archives and zips nested beyond max_depth surface as error
+    rows — every input url yields ≥1 output row."""
+    from dedoc_spark.operators.archives import extract_with_archives
+
+    broken = b"PK\x03\x04" + b"\x00" * 40  # PK magic, invalid central dir
+    z3 = io.BytesIO()
+    with zipfile.ZipFile(z3, "w") as zf:
+        zf.writestr("leaf.txt", "deep leaf")
+    z2 = io.BytesIO()
+    with zipfile.ZipFile(z2, "w") as zf:
+        zf.writestr("level2.zip", z3.getvalue())
+    z1 = io.BytesIO()
+    with zipfile.ZipFile(z1, "w") as zf:
+        zf.writestr("level1.zip", z2.getvalue())
+
+    rows = [
+        ("https://a/broken.zip", bytearray(broken), ""),
+        ("https://a/deep.zip", bytearray(z1.getvalue()), ""),
+        ("https://a/ok.html", bytearray(b"<p>fine</p>"), ""),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary, text string")
+    out = extract_with_archives(df, max_depth=2).collect()
+    by_url = {r.url: r for r in out}
+    assert by_url["https://a/broken.zip"].error is not None
+    # the depth-2 zip is still unexploded at max_depth=2 → typed error row
+    deep_err = [r for r in out if r.url.startswith("https://a/deep.zip") and r.error]
+    assert deep_err and "needs_explosion" in deep_err[0].error
+    assert "fine" in by_url["https://a/ok.html"].text_extracted
+
+
+def test_docx_inside_zip_is_not_exploded(spark):
+    """A .docx member (PK bytes) must extract as a document, not be torn
+    into its XML members."""
+    from dedoc_spark.operators.archives import extract_with_archives
+    from dedoc_spark.sources.docx_fixture import build_docx, paragraph
+
+    docx_bytes = build_docx(paragraph([("Inside text", "")]))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("report.docx", docx_bytes)
+    df = spark.createDataFrame(
+        [("https://a/docs.zip", bytearray(buf.getvalue()), "")],
+        "url string, html binary, text string",
+    )
+    out = {r.url: r for r in extract_with_archives(df).collect()}
+    assert "Inside text" in out["https://a/docs.zip#report.docx"].text_extracted
+
+
+def test_direct_docx_row_passes_through_archive_operator(spark):
+    """A bare .docx url (PK magic at top level) goes through passthrough
+    classification, not member explosion."""
+    from dedoc_spark.operators.archives import extract_with_archives
+    from dedoc_spark.sources.docx_fixture import build_docx, paragraph
+
+    docx_bytes = build_docx(paragraph([("Top level doc", "")]))
+    df = spark.createDataFrame(
+        [("https://a/r.docx", bytearray(docx_bytes), "")],
+        "url string, html binary, text string",
+    )
+    out = extract_with_archives(df).collect()
+    assert len(out) == 1
+    assert "Top level doc" in out[0].text_extracted

@@ -7,14 +7,21 @@ import pytest
 from pyspark.sql import functions as F
 
 from dedoc_spark.operators.dedup import (
+    cosine_for_pairs,
+    embedding_lsh_pairs,
     embedding_near_dup,
     exact_dedup,
+    jaccard_for_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash64,
     with_minhash,
 )
-from dedoc_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from dedoc_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    cosine_topk_multi,
+)
 from dedoc_spark.operators.textstats import (
     boilerplate_patterns,
     classify_lines,
@@ -65,6 +72,49 @@ def test_ngram_jaccard(spark, docs):
     assert pairs[(1, 2)] == 1.0
     assert 0 < pairs[(1, 3)] < 1.0
     assert pairs[(1, 5)] == 0.0
+
+
+def test_jaccard_for_pairs_matches_all_pairs(spark, docs):
+    """The blessed chain: LSH candidates → pair-driven exact Jaccard must
+    agree with the all-pairs form on every candidate it covers."""
+    cand = minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+    verified = {(r.a, r.b): r.jaccard for r in jaccard_for_pairs(cand, docs).collect()}
+    all_pairs = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    assert verified, "LSH produced no candidates to verify"
+    for pair, jac in verified.items():
+        assert jac == all_pairs[pair]
+    assert verified[(1, 2)] == 1.0
+
+
+def test_embedding_lsh_pairs_then_cosine(spark, embeddings):
+    """Embedding analogue: sign-bucket candidates → pair-driven exact cosine
+    finds the planted duplicate and matches the all-pairs cosine values."""
+    cand = embedding_lsh_pairs(embeddings, dim=8, planes=4)
+    verified = {(r.a, r.b): r.cos for r in cosine_for_pairs(cand, embeddings).collect()}
+    assert (7, 99) in verified  # identical vectors share every sign bucket
+    assert verified[(7, 99)] == pytest.approx(1.0, abs=1e-3)
+    # exactness: spot-check against directly computed cosine
+    rows = {r.vec_id: r.embedding for r in embeddings.collect()}
+    for (a, b), got in list(verified.items())[:10]:
+        va, vb = rows[a], rows[b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        assert got == pytest.approx(dot / (na * nb), abs=1e-4)
+
+
+def test_cosine_topk_multi_matches_single(spark, embeddings):
+    """Two-phase multi-query top-k returns exactly what per-query
+    cosine_topk returns (same scores, same neighbor ranking)."""
+    rows = {r.vec_id: [float(x) for x in r.embedding] for r in embeddings.collect()}
+    queries = [(3, rows[3]), (7, rows[7])]
+    multi = cosine_topk_multi(embeddings, queries, k=5).collect()
+    by_query = {}
+    for r in multi:
+        by_query.setdefault(r.query_id, []).append((r.neighbor_id, r.cos))
+    for qid, vec in queries:
+        single = [(r.vec_id, round(r.cos, 4)) for r in cosine_topk(embeddings, vec, k=5).collect()]
+        assert by_query[qid] == single
 
 
 def test_simhash_near_dup_close(spark, docs):
