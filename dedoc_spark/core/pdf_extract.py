@@ -14,10 +14,14 @@ References:
     pattern kept if frequency > 0.4 (step 2) / 0.7 (step 1); matching
     lines removed.
 
-The parser targets the classic text-layer subset: uncompressed or
-FlateDecode content streams, BT/ET blocks, Tf/Td/TD/Tm/T* positioning,
-Tj/TJ/quote shows, literal and hex strings. Page fan-out at scale: explode
-(url, page_id, page_lines) rows — SURVEY.md §2.1 PDF fan-out.
+The parser covers the text-layer subset pdfminer handles for the
+reference's tests: uncompressed or FlateDecode content streams, BT/ET
+blocks, Tf/Td/TD/Tm/T* positioning, Tj/TJ/quote shows, literal and hex
+strings, PDF 1.5+ object streams (/ObjStm — xref streams are irrelevant to
+the full-scan object parser), and composite Type0/Identity-H fonts with
+/ToUnicode CMap decoding (bfchar + bfrange, both increment and array
+forms) so Cyrillic/CID text layers come out as real Unicode. Page fan-out
+at scale: explode (url, page_id, page_lines) rows — SURVEY.md §2.1.
 """
 
 from __future__ import annotations
@@ -31,13 +35,82 @@ from typing import Dict, List, Optional, Tuple
 
 from dedoc_spark.core.model import Annotation, HierarchyLevel, Line
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 
 
 def _parse_objects(data: bytes) -> Dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+    """Full-scan object parser: every ``N G obj … endobj`` span, with stream
+    payloads skipped via /Length (or an endstream scan) so binary stream
+    bytes can't truncate an object or fabricate a fake one."""
+    objects: Dict[int, bytes] = {}
+    pos = 0
+    for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", data):
+        if m.start() < pos:  # match is inside a previous object's stream
+            continue
+        start = m.end()
+        sm = _STREAM_START_RE.search(data, start)
+        endobj = data.find(b"endobj", start)
+        if endobj == -1:
+            continue
+        if sm and sm.start() < endobj:
+            lm = re.search(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)", data[start : sm.start()])
+            search_from = sm.end() + int(lm.group(1)) if lm else sm.end()
+            es = data.find(b"endstream", search_from)
+            if es != -1:
+                endobj = data.find(b"endobj", es)
+                if endobj == -1:
+                    continue
+        objects[int(m.group(1))] = data[start:endobj]
+        pos = endobj
+    return objects
+
+
+def _stream_data(obj: bytes) -> Optional[bytes]:
+    """Stream payload of an object body, FlateDecode-decompressed."""
+    sm = _STREAM_START_RE.search(obj)
+    if not sm:
+        return None
+    start = sm.end()
+    lm = re.search(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)", obj[: sm.start()])
+    if lm:
+        data = obj[start : start + int(lm.group(1))]
+    else:
+        end = obj.find(b"endstream", start)
+        if end == -1:
+            return None
+        data = obj[start:end]
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
+        elif data.endswith((b"\n", b"\r")):
+            data = data[:-1]
+    if b"/FlateDecode" in obj[: sm.start()]:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            return None
+    return data
+
+
+def _expand_object_streams(objects: Dict[int, bytes]) -> None:
+    """PDF 1.5 object streams: unpack /Type /ObjStm members into the object
+    table (xref streams never need parsing — the full scan already found
+    every top-level object)."""
+    for obj in list(objects.values()):
+        if b"/ObjStm" not in obj:
+            continue
+        data = _stream_data(obj)
+        nm = re.search(rb"/N\s+(\d+)", obj)
+        fm = re.search(rb"/First\s+(\d+)", obj)
+        if data is None or not nm or not fm:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header = data[:first].split()
+        pairs = [int(x) for x in header[: 2 * n]]
+        ids, offs = pairs[0::2], pairs[1::2]
+        for i, (sid, off) in enumerate(zip(ids, offs)):
+            end = first + offs[i + 1] if i + 1 < len(offs) else len(data)
+            objects.setdefault(sid, data[first + off : end])
 
 
 def _dict_value(obj: bytes, key: bytes) -> Optional[bytes]:
@@ -62,6 +135,107 @@ def _resolve_refs(value: bytes) -> List[int]:
     return [int(m.group(1)) for m in _REF_RE.finditer(value)]
 
 
+class _FontInfo:
+    """Resolved font: base name (bold detection), optional ToUnicode map,
+    and whether codes are 2-byte (Type0/Identity-H composite fonts)."""
+
+    __slots__ = ("base", "to_unicode", "two_byte")
+
+    def __init__(self, base: str = "", to_unicode: Optional[Dict[int, str]] = None, two_byte: bool = False) -> None:
+        self.base = base
+        self.to_unicode = to_unicode
+        self.two_byte = two_byte
+
+
+def _parse_tounicode(data: bytes) -> Dict[int, str]:
+    """ToUnicode CMap → {code: str}. Handles bfchar pairs and bfrange in
+    both increment (<lo> <hi> <dst>) and array (<lo> <hi> [<d0> <d1> …])
+    forms; destination hex is UTF-16BE and may be multi-codepoint."""
+
+    def uni(hexs: bytes) -> str:
+        h = hexs if len(hexs) % 4 == 0 else hexs.rjust((len(hexs) + 3) // 4 * 4, b"0")
+        return bytes.fromhex(h.decode("ascii")).decode("utf-16-be", "ignore")
+
+    cmap: Dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[int(src, 16)] = uni(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>|(\[)|(\])", m.group(1))
+        i = 0
+        while i < len(toks):
+            if not toks[i][0] or i + 2 >= len(toks) or not toks[i + 1][0]:
+                i += 1
+                continue
+            lo, hi = int(toks[i][0], 16), int(toks[i + 1][0], 16)
+            if toks[i + 2][1]:  # array form
+                j = i + 3
+                code = lo
+                while j < len(toks) and not toks[j][2]:
+                    if toks[j][0]:
+                        cmap[code] = uni(toks[j][0])
+                        code += 1
+                    j += 1
+                i = j + 1
+            else:  # increment form
+                base = toks[i + 2][0]
+                base_str = uni(base)
+                base_cp = int(base, 16) if len(base) <= 4 else (ord(base_str[-1]) if base_str else 0)
+                for k in range(hi - lo + 1):
+                    if len(base) <= 4:
+                        cmap[lo + k] = chr(base_cp + k)
+                    else:
+                        cmap[lo + k] = base_str[:-1] + chr(base_cp + k) if base_str else ""
+                i += 3
+    return cmap
+
+
+def _page_fonts(page_obj: bytes, objects: Dict[int, bytes]) -> Dict[str, _FontInfo]:
+    """Font resources for a page: resolves indirect /Resources and /Font
+    refs and walks /Parent inheritance (pages-tree nodes may own the
+    resources). Each entry resolves BaseFont, Type0/Identity-H 2-byte
+    coding, and the ToUnicode CMap when present."""
+    fonts: Dict[str, _FontInfo] = {}
+    src = page_obj
+    region = None
+    for _ in range(6):  # page → parents, bounded
+        m = re.search(rb"/Font\s*<<(.*?)>>", src, re.S)
+        if m:
+            region = m.group(1)
+            break
+        rres = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", src)
+        if rres:
+            res_obj = objects.get(int(rres.group(1)), b"")
+            m = re.search(rb"/Font\s*<<(.*?)>>", res_obj, re.S)
+            if m:
+                region = m.group(1)
+                break
+            rf = re.search(rb"/Font\s+(\d+)\s+\d+\s+R", res_obj)
+            if rf:
+                region = objects.get(int(rf.group(1)), b"")
+                break
+        pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", src)
+        if not pm:
+            break
+        src = objects.get(int(pm.group(1)), b"")
+    if region is None:
+        return fonts
+    for fm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", region):
+        font_obj = objects.get(int(fm.group(2)), b"")
+        base_m = re.search(rb"/BaseFont\s*/([^\s/<>\[\]]+)", font_obj)
+        base = base_m.group(1).decode("latin-1") if base_m else ""
+        two_byte = b"/Type0" in font_obj or b"/Identity-H" in font_obj
+        to_unicode: Optional[Dict[int, str]] = None
+        tum = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_obj)
+        if tum:
+            cmap_data = _stream_data(objects.get(int(tum.group(1)), b""))
+            if cmap_data:
+                to_unicode = _parse_tounicode(cmap_data)
+        fonts[fm.group(1).decode("latin-1")] = _FontInfo(base, to_unicode, two_byte)
+    return fonts
+
+
 class _TextState:
     __slots__ = ("x", "y", "lx", "ly", "font", "size", "leading")
 
@@ -81,38 +255,63 @@ _ESCAPES = {b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
              b"(": "(", b")": ")", b"\\": "\\"}
 
 
-def _decode_pdf_string(tok: bytes) -> str:
+def _string_bytes(tok: bytes) -> bytes:
+    """Raw bytes of a literal ``(…)`` or hex ``<…>`` PDF string token."""
     if tok.startswith(b"<"):
         hexstr = re.sub(rb"\s", b"", tok[1:-1])
         if len(hexstr) % 2:
             hexstr += b"0"
-        return bytes.fromhex(hexstr.decode("ascii")).decode("latin-1")
+        return bytes.fromhex(hexstr.decode("ascii"))
     body = tok[1:-1]
-    out: List[str] = []
+    out = bytearray()
     i = 0
     while i < len(body):
         c = body[i : i + 1]
         if c == b"\\" and i + 1 < len(body):
             nxt = body[i + 1 : i + 2]
             if nxt in _ESCAPES:
-                out.append(_ESCAPES[nxt])
+                out.extend(_ESCAPES[nxt].encode("latin-1"))
                 i += 2
                 continue
             if nxt.isdigit():  # octal
-                oct_digits = body[i + 1 : i + 4]
-                oct_digits = re.match(rb"[0-7]{1,3}", oct_digits).group(0)
-                out.append(chr(int(oct_digits, 8)))
+                oct_digits = re.match(rb"[0-7]{1,3}", body[i + 1 : i + 4]).group(0)
+                out.append(int(oct_digits, 8) & 0xFF)
                 i += 1 + len(oct_digits)
                 continue
             i += 1
             continue
-        out.append(c.decode("latin-1"))
+        out.extend(c)
         i += 1
+    return bytes(out)
+
+
+def _decode_pdf_string(tok: bytes, font: Optional[_FontInfo] = None) -> str:
+    """String token → text. Simple fonts decode as latin-1 (pdfminer's
+    default-encoding behavior); fonts with a ToUnicode CMap map each code
+    (2-byte for Type0/Identity-H composites) through the CMap."""
+    raw = _string_bytes(tok)
+    if font is None or (font.to_unicode is None and not font.two_byte):
+        return raw.decode("latin-1")
+    step = 2 if font.two_byte else 1
+    cmap = font.to_unicode or {}
+    out: List[str] = []
+    for i in range(0, len(raw) - step + 1, step):
+        code = int.from_bytes(raw[i : i + step], "big")
+        mapped = cmap.get(code)
+        out.append(mapped if mapped is not None else chr(code))
     return "".join(out)
 
 
-def _extract_page_shows(content: bytes, fonts: Dict[str, str]) -> List[Tuple[float, float, str, str]]:
+def _extract_page_shows(content: bytes, fonts: Dict[str, _FontInfo]) -> List[Tuple[float, float, str, str]]:
     """Content stream → list of (y, x, text, font_base) text shows."""
+
+    def dec(tok: bytes) -> str:
+        return _decode_pdf_string(tok, fonts.get(st.font))
+
+    def base(name: str) -> str:
+        fi = fonts.get(name)
+        return fi.base if fi is not None and fi.base else name
+
     shows: List[Tuple[float, float, str, str]] = []
     st = _TextState()
     stack: List[bytes] = []
@@ -156,18 +355,18 @@ def _extract_page_shows(content: bytes, fonts: Dict[str, str]) -> List[Tuple[flo
             st.ly -= st.leading
             st.x, st.y = st.lx, st.ly
         elif op == b"Tj" and stack:
-            shows.append((st.y, st.x, _decode_pdf_string(stack[-1]), fonts.get(st.font, st.font)))
+            shows.append((st.y, st.x, dec(stack[-1]), base(st.font)))
         elif op == b"'" and stack:
             st.ly -= st.leading
             st.x, st.y = st.lx, st.ly
-            shows.append((st.y, st.x, _decode_pdf_string(stack[-1]), fonts.get(st.font, st.font)))
+            shows.append((st.y, st.x, dec(stack[-1]), base(st.font)))
         elif op == b"TJ" and stack:
             arr = stack[-1]
             text = "".join(
-                _decode_pdf_string(m.group(0))
+                dec(m.group(0))
                 for m in re.finditer(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>", arr)
             )
-            shows.append((st.y, st.x, text, fonts.get(st.font, st.font)))
+            shows.append((st.y, st.x, text, base(st.font)))
         stack.clear()
     return shows
 
@@ -175,6 +374,7 @@ def _extract_page_shows(content: bytes, fonts: Dict[str, str]) -> List[Tuple[flo
 def extract_pdf_pages(payload: bytes) -> List[List[Tuple[str, bool]]]:
     """Payload → per-page list of (line_text, is_bold), lines top-down."""
     objects = _parse_objects(payload)
+    _expand_object_streams(objects)
 
     # page objects in document order via the /Pages tree when present
     page_ids: List[int] = []
@@ -201,27 +401,13 @@ def extract_pdf_pages(payload: bytes) -> List[List[Tuple[str, bool]]]:
     pages: List[List[Tuple[str, bool]]] = []
     for pid in page_ids:
         page_obj = objects[pid]
-        # fonts: /Resources /Font << /F1 n 0 R ... >> → basefont names
-        fonts: Dict[str, str] = {}
-        res = re.search(rb"/Font\s*<<(.*?)>>", page_obj, re.S)
-        if res:
-            for fm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", res.group(1)):
-                font_obj = objects.get(int(fm.group(2)), b"")
-                base = re.search(rb"/BaseFont\s*/([^\s/>]+)", font_obj)
-                fonts[fm.group(1).decode()] = base.group(1).decode() if base else ""
+        fonts = _page_fonts(page_obj, objects)
         contents = _dict_value(page_obj, b"/Contents") or b""
         shows: List[Tuple[float, float, str, str]] = []
         for cid in _resolve_refs(contents):
-            cobj = objects.get(cid, b"")
-            sm = _STREAM_RE.search(cobj)
-            if not sm:
+            data = _stream_data(objects.get(cid, b""))
+            if data is None:
                 continue
-            data = sm.group(1)
-            if b"/FlateDecode" in cobj:
-                try:
-                    data = zlib.decompress(data)
-                except zlib.error:
-                    continue
             shows.extend(_extract_page_shows(data, fonts))
         # group shows into lines by y, top-down (pdfminer sort, height − y1)
         by_y: Dict[float, List[Tuple[float, str, str]]] = {}

@@ -914,10 +914,15 @@ FROM documents
 
 
 def q22_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def builder(doc_id: int, text: str):
-        from dedoc_spark.sources.pdf_fixture import build_pdf
+    """Rotates packaging per doc: classic 1.4, object-stream 1.5, and
+    Type0/Identity-H+ToUnicode — all must extract identical text (the
+    closed-form oracle doesn't change with packaging)."""
 
-        return build_pdf([[(f"Doc {doc_id}", True), (text, False)]]), f"{doc_id}.pdf"
+    def builder(doc_id: int, text: str):
+        from dedoc_spark.sources.pdf_fixture import build_pdf, build_pdf_objstm, build_pdf_type0
+
+        build = (build_pdf, build_pdf_objstm, build_pdf_type0)[doc_id % 3]
+        return build([[(f"Doc {doc_id}", True), (text, False)]]), f"{doc_id}.pdf"
 
     return _binary_roundtrip(spark, sf_dir, builder)
 

@@ -1,10 +1,19 @@
-"""Hand-built PDF generation for tests (FIXTURES.md §5): uncompressed
-content streams, Helvetica/Helvetica-Bold, known line positions — no
-external writer."""
+"""Hand-built PDF generation for tests (FIXTURES.md §5) — no external
+writer. Three packaging variants with identical text layout:
+
+  build_pdf         classic PDF 1.4: uncompressed streams, classic xref
+  build_pdf_objstm  PDF 1.5: non-stream objects packed in a FlateDecode
+                    /ObjStm, FlateDecode content streams, xref stream
+  build_pdf_type0   composite Type0/Identity-H fonts with a /ToUnicode
+                    CMap (2-byte codes NOT equal to Unicode codepoints, so
+                    only real CMap decoding extracts the text) — covers
+                    Cyrillic/any-Unicode text layers
+"""
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+import zlib
+from typing import Dict, List, Optional, Sequence, Tuple
 
 PageLines = Sequence[Tuple[str, bool]]  # (text, bold)
 
@@ -55,6 +64,189 @@ def build_pdf(pages: Sequence[PageLines]) -> bytes:
     catalog_id = add(f"<< /Type /Catalog /Pages {pages_id} 0 R >>")
 
     out: List[bytes] = [b"%PDF-1.4\n"]
+    offsets = [0]
+    for i, obj in enumerate(objects, start=1):
+        offsets.append(sum(len(b) for b in out))
+        out.append(f"{i} 0 obj\n".encode() + obj + b"\nendobj\n")
+    xref_pos = sum(len(b) for b in out)
+    xref = [f"xref\n0 {len(objects) + 1}\n0000000000 65535 f \n"]
+    for off in offsets[1:]:
+        xref.append(f"{off:010d} 00000 n \n")
+    out.append("".join(xref).encode())
+    out.append(
+        f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_id} 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    )
+    return b"".join(out)
+
+
+def build_pdf_objstm(pages: Sequence[PageLines]) -> bytes:
+    """Same text layout as build_pdf, PDF 1.5 packaging: fonts/pages/catalog
+    live inside a compressed object stream, content streams are FlateDecode,
+    and the xref is an xref stream (/Type /XRef, W [1 2 2])."""
+    # object numbering: 1..P content streams, then packed objects (fonts,
+    # pages, page objects, catalog) inside the ObjStm, then ObjStm, XRef
+    n_pages = len(pages)
+    content_ids = list(range(1, n_pages + 1))
+    font_regular = n_pages + 1
+    font_bold = n_pages + 2
+    page_ids = [n_pages + 3 + i for i in range(n_pages)]
+    pages_id = n_pages + 3 + n_pages
+    catalog_id = pages_id + 1
+    objstm_id = catalog_id + 1
+    xref_id = objstm_id + 1
+
+    def content_ops(lines: PageLines) -> bytes:
+        ops = ["BT", "/F1 12 Tf", "1 0 0 1 72 760 Tm", "20 TL"]
+        for i, (text, bold) in enumerate(lines):
+            ops.append("/F2 12 Tf" if bold else "/F1 12 Tf")
+            if i > 0:
+                ops.append("T*")
+            ops.append(f"({_escape(text)}) Tj")
+        ops.append("ET")
+        return "\n".join(ops).encode("latin-1")
+
+    # packed (non-stream) objects for the ObjStm
+    packed: List[Tuple[int, bytes]] = [
+        (font_regular, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (font_bold, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>"),
+    ]
+    for pid, cid in zip(page_ids, content_ids):
+        packed.append((
+            pid,
+            (f"<< /Type /Page /Parent {pages_id} 0 R /MediaBox [0 0 612 792] "
+             f"/Resources << /Font << /F1 {font_regular} 0 R /F2 {font_bold} 0 R >> >> "
+             f"/Contents {cid} 0 R >>").encode("latin-1"),
+        ))
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    packed.append((pages_id, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()))
+    packed.append((catalog_id, f"<< /Type /Catalog /Pages {pages_id} 0 R >>".encode()))
+
+    offsets: List[int] = []
+    bodies = b""
+    for _, body in packed:
+        offsets.append(len(bodies))
+        bodies += body + b"\n"
+    header = " ".join(f"{oid} {off}" for (oid, _), off in zip(packed, offsets)).encode() + b"\n"
+    objstm_payload = zlib.compress(header + bodies)
+
+    out: List[bytes] = [b"%PDF-1.5\n"]
+    byte_offsets: Dict[int, int] = {}
+
+    def emit(oid: int, body: bytes) -> None:
+        byte_offsets[oid] = sum(len(b) for b in out)
+        out.append(f"{oid} 0 obj\n".encode() + body + b"\nendobj\n")
+
+    for cid, lines in zip(content_ids, pages):
+        data = zlib.compress(content_ops(lines))
+        emit(cid, f"<< /Length {len(data)} /Filter /FlateDecode >>\nstream\n".encode() + data + b"\nendstream")
+    emit(
+        objstm_id,
+        (f"<< /Type /ObjStm /N {len(packed)} /First {len(header)} "
+         f"/Length {len(objstm_payload)} /Filter /FlateDecode >>\nstream\n").encode()
+        + objstm_payload + b"\nendstream",
+    )
+    # xref stream: W [1 4 2]; type-1 rows for top-level, type-2 for packed
+    xref_pos = sum(len(b) for b in out)
+    byte_offsets[xref_id] = xref_pos
+    nobj = xref_id + 1
+    rows = bytearray()
+    rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+    packed_index = {oid: i for i, (oid, _) in enumerate(packed)}
+    for oid in range(1, nobj):
+        if oid in packed_index:
+            rows += bytes([2]) + objstm_id.to_bytes(4, "big") + packed_index[oid].to_bytes(2, "big")
+        else:
+            rows += bytes([1]) + byte_offsets[oid].to_bytes(4, "big") + (0).to_bytes(2, "big")
+    xref_payload = zlib.compress(bytes(rows))
+    out.append(
+        (f"{xref_id} 0 obj\n<< /Type /XRef /Size {nobj} /W [1 4 2] /Root {catalog_id} 0 R "
+         f"/Length {len(xref_payload)} /Filter /FlateDecode >>\nstream\n").encode()
+        + xref_payload + b"\nendstream\nendobj\n"
+    )
+    out.append(f"startxref\n{xref_pos}\n%%EOF\n".encode())
+    return b"".join(out)
+
+
+def build_pdf_type0(pages: Sequence[PageLines]) -> bytes:
+    """Composite-font variant: every character is shown as a 2-byte code
+    (sequential CIDs starting at 1 — deliberately ≠ the Unicode codepoint)
+    through an Identity-H Type0 font whose /ToUnicode CMap recovers the
+    text. Handles any Unicode text, e.g. Cyrillic."""
+    charset = sorted({ch for lines in pages for text, _ in lines for ch in text})
+    code_of = {ch: i + 1 for i, ch in enumerate(charset)}
+
+    def cmap_stream() -> bytes:
+        parts = [
+            "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+            "/CMapName /TestToUnicode def\n/CMapType 2 def\n"
+            "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        ]
+        items = list(code_of.items())
+        for i in range(0, len(items), 100):  # bfchar blocks cap at 100 entries
+            chunk = items[i : i + 100]
+            parts.append(f"{len(chunk)} beginbfchar\n")
+            for ch, code in chunk:
+                dst = ch.encode("utf-16-be").hex().upper()
+                parts.append(f"<{code:04X}> <{dst}>\n")
+            parts.append("endbfchar\n")
+        parts.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+        return "".join(parts).encode("ascii")
+
+    objects: List[bytes] = []
+
+    def add(obj: bytes) -> int:
+        objects.append(obj)
+        return len(objects)
+
+    cmap = cmap_stream()
+    tounicode_id = add(f"<< /Length {len(cmap)} >>\nstream\n".encode() + cmap + b"\nendstream")
+    desc_reg = add(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /TestUni "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>"
+    )
+    desc_bold = add(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /TestUni-Bold "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>"
+    )
+    font_regular = add(
+        (f"<< /Type /Font /Subtype /Type0 /BaseFont /TestUni /Encoding /Identity-H "
+         f"/DescendantFonts [{desc_reg} 0 R] /ToUnicode {tounicode_id} 0 R >>").encode()
+    )
+    font_bold = add(
+        (f"<< /Type /Font /Subtype /Type0 /BaseFont /TestUni-Bold /Encoding /Identity-H "
+         f"/DescendantFonts [{desc_bold} 0 R] /ToUnicode {tounicode_id} 0 R >>").encode()
+    )
+
+    page_obj_ids: List[int] = []
+    content_ids: List[int] = []
+    for lines in pages:
+        ops = ["BT", "/F1 12 Tf", "1 0 0 1 72 760 Tm", "20 TL"]
+        for i, (text, bold) in enumerate(lines):
+            ops.append("/F2 12 Tf" if bold else "/F1 12 Tf")
+            if i > 0:
+                ops.append("T*")
+            hexcodes = "".join(f"{code_of[ch]:04X}" for ch in text)
+            ops.append(f"<{hexcodes}> Tj")
+        ops.append("ET")
+        stream = "\n".join(ops)
+        content_ids.append(add(f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream".encode()))
+
+    pages_id_placeholder = len(objects) + len(pages) + 1
+    for content_id in content_ids:
+        page_obj_ids.append(
+            add(
+                (f"<< /Type /Page /Parent {pages_id_placeholder} 0 R /MediaBox [0 0 612 792] "
+                 f"/Resources << /Font << /F1 {font_regular} 0 R /F2 {font_bold} 0 R >> >> "
+                 f"/Contents {content_id} 0 R >>").encode()
+            )
+        )
+    kids = " ".join(f"{pid} 0 R" for pid in page_obj_ids)
+    pages_id = add(f"<< /Type /Pages /Kids [{kids}] /Count {len(page_obj_ids)} >>".encode())
+    assert pages_id == pages_id_placeholder
+    catalog_id = add(f"<< /Type /Catalog /Pages {pages_id} 0 R >>".encode())
+
+    out: List[bytes] = [b"%PDF-1.6\n"]
     offsets = [0]
     for i, obj in enumerate(objects, start=1):
         offsets.append(sum(len(b) for b in out))

@@ -97,3 +97,49 @@ def test_pages_param_prunes():
     assert "partially parsed" in " ".join(doc_slice["warnings"])
     assert "Section 2" in doc_slice["text_extracted"]
     assert "Section 1" not in doc_slice["text_extracted"]
+
+
+def test_objstm_packaging_same_text():
+    """PDF 1.5 object-stream packaging (compressed xref era) extracts the
+    same lines as classic packaging (pdfminer parity: PDF 1.5+ files are
+    most PDFs in the wild)."""
+    from dedoc_spark.sources.pdf_fixture import build_pdf, build_pdf_objstm
+
+    pages = [
+        [("Doc 7", True), ("first body line", False), ("second body line", False)],
+        [("Page two", True), ("tail content", False)],
+    ]
+    classic = extract_pdf_pages(build_pdf(pages))
+    modern = extract_pdf_pages(build_pdf_objstm(pages))
+    assert modern == classic == [list(p) for p in pages]
+
+
+def test_type0_cmap_cyrillic():
+    """Identity-H composite font with ToUnicode CMap: codes are sequential
+    CIDs (≠ codepoints), so only real CMap decoding recovers the text."""
+    from dedoc_spark.sources.pdf_fixture import build_pdf_type0
+
+    pages = [[("Заголовок отчёта", True), ("Привет, мир — кириллица работает.", False)]]
+    got = extract_pdf_pages(build_pdf_type0(pages))
+    assert got == [list(p) for p in pages]
+    # bold detection still works through the Type0 BaseFont
+    assert got[0][0][1] is True and got[0][1][1] is False
+    doc = extract_document("https://x/отчёт.pdf", build_pdf_type0(pages), None)
+    assert doc["error"] is None
+    assert "кириллица работает" in doc["text_extracted"]
+
+
+def test_tounicode_bfrange_forms():
+    """bfrange increment and array forms both decode."""
+    from dedoc_spark.core.pdf_extract import _parse_tounicode
+
+    cmap = (
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<0010> <0012> <0410>\nendbfrange\n"
+        b"1 beginbfrange\n<0020> <0022> [<042F> <0401> <00410042>]\nendbfrange\n"
+        b"2 beginbfchar\n<0001> <0416>\n<0002> <04160417>\nendbfchar\n"
+    )
+    m = _parse_tounicode(cmap)
+    assert m[0x10] == "А" and m[0x11] == "Б" and m[0x12] == "В"  # increment
+    assert m[0x20] == "Я" and m[0x21] == "Ё" and m[0x22] == "AB"  # array
+    assert m[0x1] == "Ж" and m[0x2] == "ЖЗ"  # bfchar, multi-codepoint dst
