@@ -6,12 +6,20 @@ data_structures/paragraph.py:49-93 (style cascade),
 line_with_meta_converter.py:34-67 (annotations + tag HL),
 numbering_extractor.py (list numbering rendering).
 
-v1 subset, same output contract:
+Same output contract:
   - body walk: w:p → line, w:tbl → table (+ tag HL rules: heading style →
     (1, style_level, False, header); numbered paragraph → (2, ilvl+1,
     False, list_item); else unknown)
-  - style cascade subset: docDefaults → paragraph style (heading name and
-    run props, one basedOn hop) → direct pPr/rPr
+  - full style cascade (paragraph.py:50-59 order): docDefaults → default
+    paragraph style → paragraph style with the complete basedOn chain
+    applied root-first (styles_extractor.py:90-113) → paragraph direct
+    pPr/rPr → per-run character style (rStyle chain, then the paragraph's
+    direct rPr re-applied, run.py/__make_run_list) → direct run rPr
+  - runs found recursively (hyperlink-wrapped runs included), adjacent
+    equal-property runs merged, w:sym and w:caps handled
+  - footnotes/endnotes (footnote_extractor.py:17-22): id → space-joined
+    w:t texts; each referenced note becomes a linked_text annotation
+    spanning the whole line (line_with_meta_converter.py:40-41)
   - per-run bold/italic/underlined/strike/sub/superscript annotations at
     run offsets; size = half-points/2; line-wide indentation/alignment/
     spacing/style annotations; annotation merger applied per line
@@ -60,7 +68,7 @@ def _to_int(s: Optional[str], default: int = 0) -> int:
 
 
 class _RunProps:
-    __slots__ = ("bold", "italic", "underlined", "strike", "superscript", "subscript", "size")
+    __slots__ = ("bold", "italic", "underlined", "strike", "superscript", "subscript", "size", "caps")
 
     def __init__(self) -> None:
         self.bold = False
@@ -70,12 +78,19 @@ class _RunProps:
         self.superscript = False
         self.subscript = False
         self.size = 20  # half-points (10 pt default)
+        self.caps = False
 
     def copy(self) -> "_RunProps":
         c = _RunProps()
         for k in self.__slots__:
             setattr(c, k, getattr(self, k))
         return c
+
+    def key(self) -> tuple:
+        """Equality key for adjacent-run merging (run.py:52-59 __eq__:
+        size + font flags + scripts — caps excluded, as in the reference)."""
+        return (self.size, self.bold, self.italic, self.underlined,
+                self.superscript, self.subscript)
 
     def apply_rpr(self, rpr: Optional[ET.Element]) -> None:
         if rpr is None:
@@ -95,6 +110,9 @@ class _RunProps:
         if va is not None:
             self.superscript = _val(va) == "superscript"
             self.subscript = _val(va) == "subscript"
+        caps = rpr.find(_w("caps"))
+        if caps is not None:
+            self.caps = caps.get(_w("val"), "true").lower() not in ("false", "0")
         sz = rpr.find(_w("sz"))
         if sz is not None:
             self.size = _to_int(_val(sz), self.size)
@@ -113,6 +131,9 @@ class _Style:
 
 
 def _parse_styles(data: Optional[bytes]) -> Tuple[Dict[str, _Style], _RunProps]:
+    """styles.xml → style table + defaults. Defaults fold docDefaults AND
+    the w:default="1" paragraph style (styles_extractor.py:52-55 applies
+    both on every parse)."""
     styles: Dict[str, _Style] = {}
     defaults = _RunProps()
     if not data:
@@ -127,7 +148,37 @@ def _parse_styles(data: Optional[bytes]) -> Tuple[Dict[str, _Style], _RunProps]:
         name = _val(st.find(_w("name")), style_id) or style_id
         based_on = _val(st.find(_w("basedOn")))
         styles[style_id] = _Style(style_id, name, st.find(_w("rPr")), based_on)
+        if st.get(_w("default")) == "1" and st.get(_w("type")) == "paragraph":
+            defaults.apply_rpr(st.find(_w("rPr")))
     return styles, defaults
+
+
+def _style_chain(styles: Dict[str, _Style], style_id: str) -> List[_Style]:
+    """Full basedOn ancestry, root-first (styles_extractor.py:90-113) —
+    cycle-safe, so a style based on itself can't loop."""
+    chain: List[_Style] = []
+    seen = set()
+    cur = styles.get(style_id)
+    while cur is not None and cur.style_id not in seen:
+        seen.add(cur.style_id)
+        chain.append(cur)
+        cur = styles.get(cur.based_on) if cur.based_on else None
+    return chain[::-1]
+
+
+def _parse_notes(data: Optional[bytes], kind: str) -> Dict[str, str]:
+    """footnotes.xml / endnotes.xml → {id: space-joined w:t texts}
+    (footnote_extractor.py:17-22)."""
+    notes: Dict[str, str] = {}
+    if not data:
+        return notes
+    root = ET.fromstring(data)
+    for note in root.iter(_w(kind)):
+        note_id = note.get(_w("id"))
+        text = " ".join(t.text for t in note.iter(_w("t")) if t.text)
+        if note_id and text:
+            notes[note_id] = text
+    return notes
 
 
 class _Numbering:
@@ -213,6 +264,8 @@ class DocxExtractor:
                 raise ValueError("no word/document.xml")
             styles, defaults = _parse_styles(read("word/styles.xml"))
             numbering = _Numbering(read("word/numbering.xml"))
+            footnotes = _parse_notes(read("word/footnotes.xml"), "footnote")
+            footnotes.update(_parse_notes(read("word/endnotes.xml"), "endnote"))
 
         root = ET.fromstring(document)
         body = root.find(_w("body"))
@@ -226,7 +279,8 @@ class DocxExtractor:
             for child in body:
                 if child.tag == _w("p"):
                     line, prev_spacing_after = self._paragraph_to_line(
-                        child, styles, defaults, numbering, url_hash, len(lines), prev_spacing_after
+                        child, styles, defaults, numbering, url_hash, len(lines),
+                        prev_spacing_after, footnotes,
                     )
                     lines.append(line)
                 elif child.tag == _w("tbl"):
@@ -256,24 +310,29 @@ class DocxExtractor:
         url_hash: str,
         index: int,
         prev_spacing_after: int,
+        footnotes: Optional[Dict[str, str]] = None,
     ) -> Tuple[Line, int]:
         ppr = p.find(_w("pPr"))
         base = defaults.copy()
         style_name = None
         heading_level = None
 
-        # style cascade: paragraph style (one basedOn hop) → direct rPr later
+        # cascade steps 1-3 (paragraph.py:50-59): docDefaults+default style
+        # (in `defaults`) → paragraph style with full basedOn chain root-first
         if ppr is not None:
             pstyle = _val(ppr.find(_w("pStyle")))
             if pstyle and pstyle in styles:
                 st = styles[pstyle]
                 style_name = st.name
                 heading_level = st.heading_level
-                if st.based_on and st.based_on in styles:
-                    base.apply_rpr(styles[st.based_on].rpr)
-                base.apply_rpr(st.rpr)
+                for ancestor in _style_chain(styles, pstyle):
+                    base.apply_rpr(ancestor.rpr)
 
-        # numbering (step 7 of paragraph.py:50-59): rendered text as a run
+        # step 6: paragraph direct rPr inherits into every run
+        ppr_rpr = ppr.find(_w("rPr")) if ppr is not None else None
+        base.apply_rpr(ppr_rpr)
+
+        # step 7: numbering direct formatting → rendered text as a run
         list_level = None
         num_text = None
         if ppr is not None:
@@ -286,13 +345,32 @@ class DocxExtractor:
                     if num_text is not None:
                         list_level = ilvl + 1
 
-        # runs
+        # step 8: runs — found recursively so hyperlink-wrapped runs are
+        # included (the reference's find_all("w:r") recurses); character
+        # style chain, then paragraph rPr re-applied, then direct rPr
         runs: List[Tuple[str, _RunProps]] = []
+
+        def push(run_text: str, props: _RunProps) -> None:
+            if props.caps:
+                run_text = run_text.upper()
+            if not run_text:
+                return
+            if runs and runs[-1][1].key() == props.key():  # run.py:52-59 merge
+                runs[-1] = (runs[-1][0] + run_text, runs[-1][1])
+            else:
+                runs.append((run_text, props))
+
         if num_text:
             runs.append((num_text, base.copy()))
-        for r in p.findall(_w("r")):
+        for r in p.iter(_w("r")):
             props = base.copy()
-            props.apply_rpr(r.find(_w("rPr")))
+            rpr = r.find(_w("rPr"))
+            rstyle = _val(rpr.find(_w("rStyle"))) if rpr is not None else None
+            if rstyle and rstyle in styles:
+                for ancestor in _style_chain(styles, rstyle):
+                    props.apply_rpr(ancestor.rpr)
+                props.apply_rpr(ppr_rpr)
+            props.apply_rpr(rpr)
             parts: List[str] = []
             for el in r:
                 if el.tag == _w("t"):
@@ -301,8 +379,16 @@ class DocxExtractor:
                     parts.append("\t")
                 elif el.tag == _w("br"):
                     parts.append("\n")
-            if parts:
-                runs.append(("".join(parts), props))
+                elif el.tag == _w("cr"):
+                    parts.append("\r")
+                elif el.tag == _w("sym"):
+                    char = el.get(_w("char"))
+                    if char:
+                        try:
+                            parts.append(chr(int(char, 16)))
+                        except ValueError:
+                            pass
+            push("".join(parts), props)
 
         text = "".join(t for t, _ in runs)
 
@@ -323,6 +409,14 @@ class DocxExtractor:
             Annotation(0, len(text), "alignment", jc),
             Annotation(0, len(text), "spacing", str(spacing)),
         ]
+        # footnote/endnote references → linked_text spanning the whole line
+        # (paragraph.py:85-90 + line_with_meta_converter.py:40-41)
+        if footnotes:
+            for tag in ("footnoteReference", "endnoteReference"):
+                for ref in p.iter(_w(tag)):
+                    note = footnotes.get(ref.get(_w("id")))
+                    if note:
+                        annotations.append(Annotation(0, len(text), "linked_text", note))
         if style_name is not None:
             annotations.append(Annotation(0, len(text), "style", style_name))
         pos = 0

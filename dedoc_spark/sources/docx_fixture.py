@@ -21,7 +21,15 @@ STYLES = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <w:style w:styleId="Heading1"><w:name w:val="heading 1"/><w:rPr><w:b/><w:sz w:val="32"/></w:rPr></w:style>
 <w:style w:styleId="Heading2"><w:name w:val="heading 2"/><w:rPr><w:b/><w:sz w:val="28"/></w:rPr></w:style>
 <w:style w:styleId="Quote" w:basedOn="Heading2"><w:name w:val="Quote"/><w:basedOn w:val="Heading2"/><w:rPr><w:i/></w:rPr></w:style>
+<w:style w:styleId="QuoteDeep" w:basedOn="Quote"><w:name w:val="Quote Deep"/><w:basedOn w:val="Quote"/><w:rPr><w:u w:val="single"/></w:rPr></w:style>
+<w:style w:styleId="Emph" w:type="character"><w:name w:val="Emphasis"/><w:rPr><w:i/><w:sz w:val="24"/></w:rPr></w:style>
 </w:styles>"""
+
+FOOTNOTES = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<w:footnotes {W_NS}>
+<w:footnote w:id="1"><w:p><w:r><w:t>first note</w:t></w:r><w:r><w:t>text</w:t></w:r></w:p></w:footnote>
+<w:footnote w:id="2"><w:p><w:r><w:t>second note</w:t></w:r></w:p></w:footnote>
+</w:footnotes>"""
 
 NUMBERING = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <w:numbering {W_NS}>
@@ -101,7 +109,7 @@ def table(rows: Sequence[Sequence[Tuple[str, int, Optional[str]]]]) -> str:
     return "".join(out)
 
 
-def build_docx(body_xml: str) -> bytes:
+def build_docx(body_xml: str, with_footnotes: bool = False) -> bytes:
     document = (
         f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f"<w:document {W_NS}><w:body>{body_xml}</w:body></w:document>"
@@ -112,6 +120,8 @@ def build_docx(body_xml: str) -> bytes:
         zf.writestr("word/document.xml", document)
         zf.writestr("word/styles.xml", STYLES)
         zf.writestr("word/numbering.xml", NUMBERING)
+        if with_footnotes:
+            zf.writestr("word/footnotes.xml", FOOTNOTES)
     return buf.getvalue()
 
 

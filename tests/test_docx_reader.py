@@ -132,3 +132,92 @@ def test_table_caption_annotation_join():
     ann2 = [(a.name, a.value) for a in lines[2].annotations if a.name == "table"]
     assert ann2 == [("table", tables[1].uid)]
     assert not [a for a in lines[1].annotations if a.name == "table"]
+
+
+def test_full_basedon_chain():
+    """QuoteDeep ← Quote ← Heading2: props accumulate root-first
+    (styles_extractor.py:90-113), so a 2-deep chain yields bold (Heading2)
+    + italic (Quote) + underline (QuoteDeep) on the same run."""
+    from dedoc_spark.sources.docx_fixture import build_docx, paragraph
+
+    lines, _, _ = extract_docx(build_docx(paragraph([("chained", "")], style="QuoteDeep")))
+    names = {(a.name, a.value) for a in lines[0].annotations}
+    assert ("bold", "True") in names
+    assert ("italic", "True") in names
+    assert ("underlined", "True") in names
+    assert ("style", "Quote Deep") in names
+    assert ("size", "14.0") in names  # sz 28 from Heading2 via the chain
+
+
+def test_character_style_rstyle():
+    """rStyle applies the character-style chain per run (paragraph.py
+    __make_run_list): only the styled run goes italic at sz 24."""
+    from dedoc_spark.sources.docx_fixture import build_docx
+
+    body = (
+        '<w:p><w:r><w:t xml:space="preserve">plain </w:t></w:r>'
+        '<w:r><w:rPr><w:rStyle w:val="Emph"/></w:rPr><w:t>emphasized</w:t></w:r></w:p>'
+    )
+    lines, _, _ = extract_docx(build_docx(body))
+    assert lines[0].line == "plain emphasized"
+    ital = [a for a in lines[0].annotations if a.name == "italic"]
+    assert len(ital) == 1
+    assert (ital[0].start, ital[0].end) == (6, 16)
+    sizes = {(a.start, a.end): a.value for a in lines[0].annotations if a.name == "size"}
+    assert sizes[(0, 6)] == "10.0" and sizes[(6, 16)] == "12.0"
+
+
+def test_hyperlink_runs_included():
+    """Runs wrapped in w:hyperlink are part of the paragraph text (the
+    reference's recursive find_all('w:r'))."""
+    from dedoc_spark.sources.docx_fixture import build_docx
+
+    body = (
+        '<w:p><w:r><w:t xml:space="preserve">see </w:t></w:r>'
+        '<w:hyperlink><w:r><w:rPr><w:u w:val="single"/></w:rPr><w:t>the site</w:t></w:r></w:hyperlink>'
+        '<w:r><w:t xml:space="preserve"> now</w:t></w:r></w:p>'
+    )
+    lines, _, _ = extract_docx(build_docx(body))
+    assert lines[0].line == "see the site now"
+    under = [a for a in lines[0].annotations if a.name == "underlined"]
+    assert len(under) == 1 and (under[0].start, under[0].end) == (4, 12)
+
+
+def test_footnotes_linked_text():
+    """footnoteReference → linked_text annotation over the whole line with
+    the note's space-joined text (footnote_extractor.py:17-22)."""
+    from dedoc_spark.sources.docx_fixture import build_docx
+
+    body = (
+        '<w:p><w:r><w:t>claim one</w:t></w:r>'
+        '<w:r><w:footnoteReference w:id="1"/></w:r></w:p>'
+        '<w:p><w:r><w:t>claim two</w:t></w:r>'
+        '<w:r><w:footnoteReference w:id="2"/></w:r></w:p>'
+    )
+    lines, _, _ = extract_docx(build_docx(body, with_footnotes=True))
+    l1 = [a for a in lines[0].annotations if a.name == "linked_text"]
+    l2 = [a for a in lines[1].annotations if a.name == "linked_text"]
+    assert [a.value for a in l1] == ["first note text"]
+    assert [a.value for a in l2] == ["second note"]
+    assert (l1[0].start, l1[0].end) == (0, len(lines[0].line))
+
+
+def test_caps_and_sym():
+    from dedoc_spark.sources.docx_fixture import build_docx
+
+    body = (
+        '<w:p><w:r><w:rPr><w:caps/></w:rPr><w:t>shout</w:t></w:r>'
+        '<w:r><w:sym w:font="Wingdings" w:char="0041"/></w:r></w:p>'
+    )
+    lines, _, _ = extract_docx(build_docx(body))
+    assert lines[0].line == "SHOUTA"
+
+
+def test_adjacent_equal_runs_merge():
+    """Equal-property adjacent runs merge into one span (run.py:52-59 ==),
+    so annotations don't fragment."""
+    from dedoc_spark.sources.docx_fixture import build_docx, paragraph
+
+    lines, _, _ = extract_docx(build_docx(paragraph([("one ", "b"), ("two", "b")])))
+    bolds = [a for a in lines[0].annotations if a.name == "bold"]
+    assert len(bolds) == 1 and (bolds[0].start, bolds[0].end) == (0, 7)
