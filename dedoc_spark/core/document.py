@@ -219,6 +219,12 @@ def extract_document(
             # docx_converter.py:15-28); soffice is absent here, so emit a typed
             # error row rather than html-fallback garbage lines
             return _error_row(url, fmt)
+        if fmt.startswith("media:") and html:
+            # binary media route to the multimodal decode channel
+            # (operators/multimodal.py); the per-row reader emits a typed row
+            return _error_row(
+                url, f"needs_decoder:{fmt[6:]}", warnings=[f"media bytes: {len(html)}"]
+            )
         if html:  # unknown markup-ish bytes: html fallback (web default)
             return extract_html_document(url, html, handle_invisible_table, params)
         return extract_txt_document(url, text or "")

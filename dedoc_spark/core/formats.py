@@ -213,6 +213,64 @@ def list_archive_members(payload: bytes, max_members: int = 1000) -> List[Tuple[
     return out
 
 
+# --- attachments (attachments_handler.py:31-81 re-entry semantics) -----------
+
+
+def list_attachments(url: str, payload: bytes, max_members: int = 1000) -> List[Tuple[str, bytes]]:
+    """Attachment payloads of one document as (name, bytes) — the pure
+    function behind the Spark attachment-explosion channel. Covers:
+
+      email  non-text leaf parts (email_reader.py:109-120: skip multipart,
+             text/plain, text/html; filename from the part header)
+      docx/xlsx/pptx  media + embeddings zip members
+             (docx_attachments_extractor.py semantics, media dir per format)
+      mhtml  non-html leaf parts (mhtml_reader.py attachments)
+      zip    members (archive_reader.py:18-55)
+    """
+    fmt = detect_format(url, payload, None)
+    out: List[Tuple[str, bytes]] = []
+    if fmt == "zip":
+        return list_archive_members(payload, max_members)
+    if fmt == "email" or fmt == "mhtml":
+        msg = email.message_from_bytes(payload)
+        idx = 0
+        for part in msg.walk():
+            ctype = part.get_content_type()
+            if part.is_multipart() or ctype in ("text/plain", "text/html"):
+                continue
+            if fmt == "mhtml" and ctype == "application/xhtml+xml":
+                continue
+            body = part.get_payload(decode=True)
+            if body is None:
+                continue
+            name = part.get_filename()
+            if name:
+                name = _decode_header_value(name)
+            else:
+                loc = part.get("Content-Location")
+                ext = ctype.rsplit("/", 1)[-1]
+                name = loc.rsplit("/", 1)[-1] if loc else f"attachment_{idx}.{ext}"
+            out.append((name, body))
+            idx += 1
+            if len(out) >= max_members:
+                break
+        return out
+    if fmt in ("docx", "xlsx", "pptx"):
+        media_dirs = {"docx": ("word/media/", "word/embeddings/"),
+                      "xlsx": ("xl/media/", "xl/embeddings/"),
+                      "pptx": ("ppt/media/", "ppt/embeddings/")}[fmt]
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            for info in zf.infolist():
+                if info.is_dir():
+                    continue
+                if any(info.filename.startswith(d) for d in media_dirs):
+                    out.append((info.filename.rsplit("/", 1)[-1], zf.read(info)))
+                    if len(out) >= max_members:
+                        break
+        return out
+    return out
+
+
 # --- text encoding detection (utils.get_encoding semantics, §2.9) -----------
 
 
@@ -281,7 +339,28 @@ _EXT_FORMATS = {
     "odp": "needs_conversion:odp",
     "xls": "needs_conversion:xls",
     "ppt": "needs_conversion:ppt",
+    # binary media: typed routing to the (stubbed) decoder channel instead
+    # of markup fallback — the reference's image path needs OCR (de-scoped)
+    "png": "media:image/png",
+    "jpg": "media:image/jpeg", "jpeg": "media:image/jpeg",
+    "gif": "media:image/gif",
+    "bmp": "media:image/bmp",
+    "tiff": "media:image/tiff", "tif": "media:image/tiff",
+    "webp": "media:image/webp",
+    "mp3": "media:audio/mpeg", "wav": "media:audio/wav",
+    "mp4": "media:video/mp4", "avi": "media:video/avi",
 }
+
+# only magics that can't collide with plain text (BM/RIFF deliberately
+# excluded — "BMW…"/"RIFF raff" text would misroute; extensions cover those)
+_MEDIA_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "media:image/png"),
+    (b"\xff\xd8\xff", "media:image/jpeg"),
+    (b"GIF87a", "media:image/gif"),
+    (b"GIF89a", "media:image/gif"),
+    (b"II*\x00", "media:image/tiff"),
+    (b"MM\x00*", "media:image/tiff"),
+]
 
 # OLE2 compound file (legacy .doc/.xls/.ppt share one magic)
 _OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
@@ -295,6 +374,9 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
         return _EXT_FORMATS[ext]
     if payload:
         head = payload[:512].lstrip()
+        for magic, fmt in _MEDIA_MAGIC:
+            if payload[:len(magic)] == magic:
+                return fmt
         if payload[:8] == _OLE2_MAGIC:
             return "needs_conversion:ole2"
         if payload[:5] == b"{\\rtf":

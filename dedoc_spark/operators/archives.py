@@ -1,4 +1,4 @@
-"""Archive handling: explode zip members into new web_pages-shaped rows.
+"""Archive + attachment handling: explode contained payloads into rows.
 
 The reference turns archive members into attached files re-entering the
 parse loop with a depth bound (archive_reader.py:18-55,
@@ -124,4 +124,60 @@ def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None
     out = out.unionByName(
         _error_extract_rows(pending, F.lit(f"needs_explosion:zip beyond max_depth={max_depth}"))
     )
+    return out
+
+
+def explode_attachments(df: DataFrame, max_members: int = 1000) -> DataFrame:
+    """(url, html) rows → one row per attachment payload (url#name, bytes):
+    email parts, office media/embeddings members, mhtml parts, zip members —
+    formats.list_attachments. Rows with no attachments produce nothing."""
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.formats import list_attachments
+
+        for pdf in it:
+            out = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                sniff_url = url.rsplit("#", 1)[-1] if "#" in url else url
+                try:
+                    for name, data in list_attachments(sniff_url, raw, max_members):
+                        out.append({"url": f"{url}#{name}", "html": data, "text": "", "error": None, "kind": "member"})
+                except Exception as e:
+                    out.append({"url": url, "html": None, "text": "", "error": f"{type(e).__name__}: {e}", "kind": "error"})
+            yield pd.DataFrame(out, columns=[f.name for f in MEMBER_SCHEMA.fields])
+
+    return df.select("url", "html").mapInPandas(fn, MEMBER_SCHEMA)
+
+
+def extract_with_attachments(df: DataFrame, max_depth: int = 2, params: dict | None = None) -> DataFrame:
+    """Full pipeline with attachments as first-class recursive documents
+    (attachments_handler.py:31-81: re-enter parse per attached file, depth
+    bounded — the reference caps at 10). Every original row extracts
+    normally; each level's attachment payloads become url#name rows that
+    re-enter extraction. Attachment-listing failures surface as typed error
+    rows."""
+    from pyspark.storagelevel import StorageLevel
+
+    from dedoc_spark.operators.pipeline import extract_stage
+
+    out = extract_stage(df, params=params)
+    pending = df.filter(F.col("html").isNotNull()).select("url", "html")
+    for _ in range(max_depth):
+        atts = explode_attachments(pending).persist(StorageLevel.DISK_ONLY)
+        out = out.unionByName(
+            _error_extract_rows(atts.filter(F.col("kind") == "error"), F.col("error"))
+        )
+        members = atts.filter(F.col("kind") == "member")
+        out = out.unionByName(extract_stage(members, params=params))
+        pending = members.select("url", "html")
     return out

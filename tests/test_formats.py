@@ -300,3 +300,76 @@ def test_direct_docx_row_passes_through_archive_operator(spark):
     out = extract_with_archives(df).collect()
     assert len(out) == 1
     assert "Top level doc" in out[0].text_extracted
+
+
+PNG_BYTES = bytes.fromhex("89504e470d0a1a0a0000000d49484452") + b"\x00" * 32
+
+
+def test_list_attachments_email_and_office():
+    from dedoc_spark.core.formats import list_attachments
+    import email.mime.multipart, email.mime.text, email.mime.application, email.mime.image
+
+    inner_zip = io.BytesIO()
+    with zipfile.ZipFile(inner_zip, "w") as zf:
+        zf.writestr("inner.html", "<p>zipped page</p>")
+
+    msg = email.mime.multipart.MIMEMultipart()
+    msg["Subject"] = "with attachments"
+    msg.attach(email.mime.text.MIMEText("body text", "plain"))
+    zip_part = email.mime.application.MIMEApplication(inner_zip.getvalue(), "zip")
+    zip_part.add_header("Content-Disposition", "attachment", filename="bundle.zip")
+    msg.attach(zip_part)
+    img_part = email.mime.image.MIMEImage(PNG_BYTES, "png")
+    img_part.add_header("Content-Disposition", "attachment", filename="photo.png")
+    msg.attach(img_part)
+
+    atts = list_attachments("m.eml", msg.as_bytes())
+    assert [n for n, _ in atts] == ["bundle.zip", "photo.png"]
+    assert atts[0][1] == inner_zip.getvalue()
+    assert atts[1][1] == PNG_BYTES
+
+    # docx with an embedded media image
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", "<w:document/>")
+        zf.writestr("word/media/image1.png", PNG_BYTES)
+    atts = list_attachments("r.docx", buf.getvalue())
+    assert atts == [("image1.png", PNG_BYTES)]
+
+
+def test_media_typed_routing():
+    d = extract_document("https://x/photo.png", PNG_BYTES, None)
+    assert d["error"] == "needs_decoder:image/png"
+    d = extract_document("https://x/noext", PNG_BYTES, None)  # by magic
+    assert d["error"] == "needs_decoder:image/png"
+
+
+def test_extract_with_attachments_spark(spark):
+    """.eml carrying a zip (with an html member) + a png: attachments become
+    rows, the zip's member extracts at depth 2, the png routes to the typed
+    decoder channel — VERDICT item 7's done-criterion."""
+    import email.mime.multipart, email.mime.text, email.mime.application, email.mime.image
+
+    from dedoc_spark.operators.archives import extract_with_attachments
+
+    inner_zip = io.BytesIO()
+    with zipfile.ZipFile(inner_zip, "w") as zf:
+        zf.writestr("inner.html", "<p>zipped page</p>")
+    msg = email.mime.multipart.MIMEMultipart()
+    msg["Subject"] = "report mail"
+    msg.attach(email.mime.text.MIMEText("covering note", "plain"))
+    zp = email.mime.application.MIMEApplication(inner_zip.getvalue(), "zip")
+    zp.add_header("Content-Disposition", "attachment", filename="bundle.zip")
+    msg.attach(zp)
+    ip = email.mime.image.MIMEImage(PNG_BYTES, "png")
+    ip.add_header("Content-Disposition", "attachment", filename="photo.png")
+    msg.attach(ip)
+
+    df = spark.createDataFrame(
+        [("https://a/m.eml", bytearray(msg.as_bytes()), "")],
+        "url string, html binary, text string",
+    )
+    out = {r.url: r for r in extract_with_attachments(df, max_depth=2).collect()}
+    assert "report mail" in out["https://a/m.eml"].text_extracted
+    assert out["https://a/m.eml#photo.png"].error == "needs_decoder:image/png"
+    assert "zipped page" in out["https://a/m.eml#bundle.zip#inner.html"].text_extracted
