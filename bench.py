@@ -86,6 +86,19 @@ def main() -> None:
     timed("q04_boilerplate_votes", lambda: dq.q04_boilerplate_votes(spark, SF_DIR).count())
     timed("q10_text_profile", lambda: dq.q10_text_profile(spark, SF_DIR).agg(F.count("*")).collect())
     timed("q15_spacing_indent", lambda: dq.q15_spacing_indent(spark, SF_DIR).agg(F.count("*")).collect())
+    timed("q25_lsh_jaccard", lambda: dq.q25_lsh_jaccard(spark, SF_DIR).count())
+    timed("q26_lsh_cosine", lambda: dq.q26_lsh_cosine(spark, SF_DIR).count())
+
+    # broadcast-model batch classifier over the extracted pages
+    from dedoc_spark.operators.classifier import score_text_quality, train_default_model
+
+    model = train_default_model()
+    timed(
+        "classifier_score",
+        lambda: score_text_quality(pages, model, text_col="text")
+        .agg(F.count("*"), F.sum(F.col("is_good").cast("int")))
+        .collect(),
+    )
 
     result = {
         "metric": "html_extract_docs_per_sec",
