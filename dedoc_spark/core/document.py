@@ -133,10 +133,24 @@ def extract_pptx_document(url: str, payload: bytes) -> Dict:
 
 
 def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None) -> Dict:
-    from dedoc_spark.core.pdf_extract import extract_pdf_lines
+    """PdfAutoReader routing (pdf_auto_reader.py:49-70): in auto mode the
+    txt-layer detector classifies the extracted layer and records the
+    reference's routing warnings. The OCR branch (pdf_image_reader) is
+    de-scoped — an incorrect layer keeps the extracted lines plus the
+    routing warning instead of re-reading through OCR."""
+    from dedoc_spark.core.pdf_extract import detect_txt_layer, extract_pdf_lines
 
-    pages_range = (params or {}).get("pages")
+    params = params or {}
+    pages_range = params.get("pages")
     lines, warnings = extract_pdf_lines(payload, url_hash(url), pages_range=pages_range)
+    if params.get("pdf_with_text_layer", "auto") in ("auto", "auto_tabby"):
+        is_correct, first_correct = detect_txt_layer(lines)
+        if is_correct:
+            warnings.append("Assume document has a correct textual layer")
+            if not first_correct:
+                warnings.append("Assume the first page hasn't a textual layer")
+        else:
+            warnings.append("Assume document has incorrect textual layer")
     return _finalize(url, lines, [], warnings, params)
 
 
@@ -214,7 +228,7 @@ def extract_document(
                 "needs_explosion:zip (use operators.archives.extract_with_archives)",
                 warnings=[f"archive member: {n}" for n in names],
             )
-        if fmt.startswith("needs_conversion:") and html:
+        if fmt.startswith(("needs_conversion:", "needs_unpacker:")) and html:
             # reference converts these via soffice (converters/concrete_converters/
             # docx_converter.py:15-28); soffice is absent here, so emit a typed
             # error row rather than html-fallback garbage lines

@@ -46,6 +46,16 @@ from dedoc_spark.core.annotation_merger import merge_annotations
 from dedoc_spark.core.model import Annotation, Cell, HierarchyLevel, Line, Table
 
 W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def attachment_uid(url_hash: str, name: str) -> str:
+    """Deterministic uid for a docx media attachment — matches the row uid
+    the attachments channel derives for url#name (the reference joins
+    attachment_name2uid built from extractor uids, docx_document.py:27)."""
+    return hashlib.md5(f"{url_hash}_attach_{name}".encode()).hexdigest()
 
 _HEADING_RE = re.compile(r"heading\s*(\d+)", re.I)
 
@@ -266,6 +276,14 @@ class DocxExtractor:
             numbering = _Numbering(read("word/numbering.xml"))
             footnotes = _parse_notes(read("word/footnotes.xml"), "footnote")
             footnotes.update(_parse_notes(read("word/endnotes.xml"), "endnote"))
+            # rels: rId → media member name (docx_document.py:138-143)
+            media_rels: Dict[str, str] = {}
+            rels_data = read("word/_rels/document.xml.rels")
+            if rels_data:
+                for rel in ET.fromstring(rels_data).iter(f"{REL}Relationship"):
+                    target = rel.get("Target") or ""
+                    if target.startswith("media/"):
+                        media_rels[rel.get("Id") or ""] = target[6:]
 
         root = ET.fromstring(document)
         body = root.find(_w("body"))
@@ -282,6 +300,14 @@ class DocxExtractor:
                         child, styles, defaults, numbering, url_hash, len(lines),
                         prev_spacing_after, footnotes,
                     )
+                    # image refs → attachment annotations on the hosting line
+                    # (docx_document.py:104-108 + __handle_images_xml:133-154)
+                    for blip in child.iter(f"{A}blip"):
+                        name = media_rels.get(blip.get(f"{R}embed") or "")
+                        if name:
+                            line.annotations.append(
+                                Annotation(0, len(line.line), "attachment", attachment_uid(url_hash, name))
+                            )
                     lines.append(line)
                 elif child.tag == _w("tbl"):
                     table = self._read_table(child, url_hash, len(tables))

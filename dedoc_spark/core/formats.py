@@ -339,6 +339,11 @@ _EXT_FORMATS = {
     "odp": "needs_conversion:odp",
     "xls": "needs_conversion:xls",
     "ppt": "needs_conversion:ppt",
+    # archive formats needing external unpackers (reference archive_reader
+    # handles rar/7z via rarfile/py7zr — absent here, typed error instead)
+    "rar": "needs_unpacker:rar",
+    "7z": "needs_unpacker:7z",
+    "gz": "needs_unpacker:gz", "tar": "needs_unpacker:tar",
     # binary media: typed routing to the (stubbed) decoder channel instead
     # of markup fallback — the reference's image path needs OCR (de-scoped)
     "png": "media:image/png",
@@ -381,6 +386,10 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
             return "needs_conversion:ole2"
         if payload[:5] == b"{\\rtf":
             return "needs_conversion:rtf"
+        if payload[:6] == b"Rar!\x1a\x07":
+            return "needs_unpacker:rar"
+        if payload[:6] == b"7z\xbc\xaf\x27\x1c":
+            return "needs_unpacker:7z"
         if payload[:4] == b"PK\x03\x04":
             try:
                 with zipfile.ZipFile(io.BytesIO(payload)) as zf:

@@ -461,6 +461,39 @@ def extract_pdf_lines(
     return lines, warnings
 
 
+# --- txt-layer correctness detection (pdf_auto_reader) ----------------------
+
+_TXT_LAYER_MODEL = None
+
+
+def detect_txt_layer(lines: List[Line]) -> Tuple[bool, bool]:
+    """PdfAutoReader routing decision (txtlayer_detector.py:22-58): classify
+    the first ≤8 pages' text with the broadcast-style quality model; the
+    first page is re-classified separately only when the whole layer is
+    judged correct. Returns (is_correct_text_layer, is_first_page_correct).
+    """
+    global _TXT_LAYER_MODEL
+    import pandas as pd
+
+    from dedoc_spark.operators.classifier import features_frame, train_default_model
+
+    if _TXT_LAYER_MODEL is None:
+        _TXT_LAYER_MODEL = train_default_model()
+    sample = [ln for ln in lines if (ln.page_id or 0) < 8]  # pages "1:8"
+    text = "\n".join(ln.line for ln in sample)
+    if not text.strip():
+        return False, False
+    proba = float(_TXT_LAYER_MODEL.predict_proba(features_frame(pd.Series([text])))[0])
+    is_correct = proba >= 0.5
+    if not is_correct:
+        return False, False
+    first = "\n".join(ln.line for ln in sample if (ln.page_id or 0) == 0)
+    if not first.strip():
+        return True, False
+    p_first = float(_TXT_LAYER_MODEL.predict_proba(features_frame(pd.Series([first])))[0])
+    return True, p_first >= 0.5
+
+
 # --- header/footer voting (header_footers_analysis.py:84-155) ---------------
 
 

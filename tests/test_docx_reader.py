@@ -221,3 +221,43 @@ def test_adjacent_equal_runs_merge():
     lines, _, _ = extract_docx(build_docx(paragraph([("one ", "b"), ("two", "b")])))
     bolds = [a for a in lines[0].annotations if a.name == "bold"]
     assert len(bolds) == 1 and (bolds[0].start, bolds[0].end) == (0, 7)
+
+
+def test_docx_image_attachment_annotation_join():
+    """a:blip r:embed → document.xml.rels → media name → attachment
+    annotation on the hosting line, uid matching the attachments channel
+    (docx_document.py:104-108,133-154)."""
+    import io
+    import zipfile
+
+    from dedoc_spark.core.docx_extract import attachment_uid
+    from dedoc_spark.sources.docx_fixture import CONTENT_TYPES, W_NS
+
+    document = (
+        f'<?xml version="1.0"?><w:document {W_NS} '
+        'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        "<w:body>"
+        "<w:p><w:r><w:t>figure below</w:t></w:r>"
+        '<w:r><w:drawing><a:blip r:embed="rId5"/></w:drawing></w:r></w:p>'
+        "<w:p><w:r><w:t>no image here</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId5" Type="image" Target="media/image1.png"/>'
+        "</Relationships>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", CONTENT_TYPES)
+        zf.writestr("word/document.xml", document)
+        zf.writestr("word/_rels/document.xml.rels", rels)
+        zf.writestr("word/media/image1.png", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    lines, _, _ = extract_docx(buf.getvalue(), url_hash="h123")
+    att = [a for a in lines[0].annotations if a.name == "attachment"]
+    assert len(att) == 1
+    assert att[0].value == attachment_uid("h123", "image1.png")
+    assert (att[0].start, att[0].end) == (0, len(lines[0].line))
+    assert not any(a.name == "attachment" for a in lines[1].annotations)

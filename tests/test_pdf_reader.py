@@ -143,3 +143,24 @@ def test_tounicode_bfrange_forms():
     assert m[0x10] == "А" and m[0x11] == "Б" and m[0x12] == "В"  # increment
     assert m[0x20] == "Я" and m[0x21] == "Ё" and m[0x22] == "AB"  # array
     assert m[0x1] == "Ж" and m[0x2] == "ЖЗ"  # bfchar, multi-codepoint dst
+
+
+def test_auto_reader_routing_warnings():
+    """PdfAutoReader decision (txtlayer_detector.py:22-58): a real text
+    layer gets the correct-layer warning; a mojibake layer gets the
+    incorrect-layer warning (OCR branch de-scoped, lines kept)."""
+    from dedoc_spark.sources.pdf_fixture import build_pdf
+
+    good = build_pdf([[("A perfectly normal document heading", True),
+                       ("with several plain readable body words here", False)]])
+    d = extract_document("https://x/good.pdf", good, None)
+    assert "Assume document has a correct textual layer" in d["warnings"]
+
+    garbage = build_pdf([[("".join(chr(33 + (j * 7) % 14) for j in range(60)), False)]])
+    d = extract_document("https://x/bad.pdf", garbage, None)
+    assert "Assume document has incorrect textual layer" in d["warnings"]
+    assert d["error"] is None  # lines kept; no OCR rerouting available
+
+    # explicit non-auto mode skips detection entirely
+    d = extract_document("https://x/good.pdf", good, None, params={"pdf_with_text_layer": "tabby"})
+    assert not any(w.startswith("Assume") for w in d["warnings"])
