@@ -125,6 +125,13 @@ def extract_xlsx_document(url: str, payload: bytes) -> Dict:
     return _finalize(url, [], tables, warnings)
 
 
+def extract_xls_document(url: str, payload: bytes) -> Dict:
+    from dedoc_spark.core.xls_extract import extract_xls_tables
+
+    tables, warnings = extract_xls_tables(payload, url_hash(url))
+    return _finalize(url, [], tables, warnings)
+
+
 def extract_pptx_document(url: str, payload: bytes) -> Dict:
     from dedoc_spark.core.office_extract import extract_pptx
 
@@ -214,6 +221,8 @@ def extract_document(
             return extract_pdf_document(url, html, params)
         if fmt == "xlsx" and html:
             return extract_xlsx_document(url, html)
+        if fmt == "xls" and html:
+            return extract_xls_document(url, html)
         if fmt == "pptx" and html:
             return extract_pptx_document(url, html)
         if fmt == "zip" and html:

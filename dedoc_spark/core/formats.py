@@ -337,7 +337,7 @@ _EXT_FORMATS = {
     "odt": "needs_conversion:odt",
     "ods": "needs_conversion:ods",
     "odp": "needs_conversion:odp",
-    "xls": "needs_conversion:xls",
+    "xls": "xls",  # native BIFF8 reader (core/xls_extract.py)
     "ppt": "needs_conversion:ppt",
     # archive formats needing external unpackers (reference archive_reader
     # handles rar/7z via rarfile/py7zr — absent here, typed error instead)
@@ -383,6 +383,16 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
             if payload[:len(magic)] == magic:
                 return fmt
         if payload[:8] == _OLE2_MAGIC:
+            # xls is natively readable; doc/ppt compound files still need
+            # conversion — sniff the directory for a Workbook/Book stream
+            try:
+                from dedoc_spark.core.xls_extract import ole2_streams
+
+                streams = ole2_streams(payload)
+                if "Workbook" in streams or "Book" in streams:
+                    return "xls"
+            except Exception:
+                pass
             return "needs_conversion:ole2"
         if payload[:5] == b"{\\rtf":
             return "needs_conversion:rtf"

@@ -79,3 +79,125 @@ def build_pptx(slides: Sequence[dict]) -> bytes:
             )
             zf.writestr(f"ppt/slides/slide{i}.xml", xml)
     return buf.getvalue()
+
+
+# --- legacy .xls (BIFF8 in an OLE2 compound file) ---------------------------
+
+
+def _biff_rec(op: int, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack("<HH", op, len(body)) + body
+
+
+def build_xls(sheets: Sequence[Sequence[Sequence[object]]]) -> bytes:
+    """Minimal BIFF8 workbook in a minimal OLE2 container: str cells become
+    SST+LABELSST, numeric cells NUMBER records. One FAT sector, one
+    directory sector, workbook stream in regular sectors (padded past the
+    4096-byte mini-stream cutoff)."""
+    import struct
+
+    strings: List[str] = []
+    index: dict = {}
+    refs = 0
+    for sheet in sheets:
+        for row in sheet:
+            for v in row:
+                if isinstance(v, str):
+                    refs += 1
+                    if v not in index:
+                        index[v] = len(strings)
+                        strings.append(v)
+
+    def bof(dt: int) -> bytes:
+        return _biff_rec(0x0809, struct.pack("<HHHHII", 0x0600, dt, 0x0DBB, 0x07CC, 0, 0))
+
+    sst_body = struct.pack("<II", refs, len(strings))
+    for s in strings:
+        sst_body += struct.pack("<HB", len(s), 0x01) + s.encode("utf-16-le")
+    sst = _biff_rec(0x00FC, sst_body)
+
+    sheet_streams: List[bytes] = []
+    for sheet in sheets:
+        cells = b""
+        for r, row in enumerate(sheet):
+            for c, v in enumerate(row):
+                if isinstance(v, str):
+                    cells += _biff_rec(0x00FD, struct.pack("<HHHI", r, c, 0, index[v]))
+                else:
+                    cells += _biff_rec(0x0203, struct.pack("<HHHd", r, c, 0, float(v)))
+        sheet_streams.append(bof(0x0010) + cells + _biff_rec(0x000A, b""))
+
+    def boundsheet(offset: int, name: str) -> bytes:
+        nm = name.encode("latin-1")
+        return _biff_rec(0x0085, struct.pack("<IBBBB", offset, 0, 0, len(nm), 0) + nm)
+
+    # two-pass: boundsheet bodies are fixed-size once names are fixed
+    names = [f"Sheet{i + 1}" for i in range(len(sheets))]
+    globals_size = len(bof(0x0005)) + sum(len(boundsheet(0, n)) for n in names) + len(sst) + 4
+    offsets = []
+    pos = globals_size
+    for ss in sheet_streams:
+        offsets.append(pos)
+        pos += len(ss)
+    workbook = (
+        bof(0x0005)
+        + b"".join(boundsheet(o, n) for o, n in zip(offsets, names))
+        + sst
+        + _biff_rec(0x000A, b"")
+        + b"".join(sheet_streams)
+    )
+    assert len(workbook) == pos
+
+    # OLE2 container
+    stream_size = max(len(workbook), 4096)
+    stream = workbook.ljust(stream_size, b"\x00")
+    n_stream_sectors = (stream_size + 511) // 512
+    stream = stream.ljust(n_stream_sectors * 512, b"\x00")
+
+    FREE, END, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+    fat = [FREE] * 128
+    fat[0] = FATSECT
+    fat[1] = END  # directory
+    for i in range(n_stream_sectors):
+        fat[2 + i] = 2 + i + 1 if i + 1 < n_stream_sectors else END
+    fat_sector = struct.pack("<128I", *fat)
+
+    def dir_entry(name: str, etype: int, child: int, start: int, size: int) -> bytes:
+        nm = name.encode("utf-16-le")
+        e = nm.ljust(64, b"\x00")
+        e += struct.pack("<HBB", len(nm) + 2, etype, 1)
+        e += struct.pack("<III", FREE, FREE, child)
+        e += b"\x00" * 16  # CLSID
+        e += struct.pack("<I", 0)  # state
+        e += b"\x00" * 16  # times
+        e += struct.pack("<II", start, size)
+        return e.ljust(128, b"\x00")
+
+    directory = (
+        dir_entry("Root Entry", 5, 1, END, 0)
+        + dir_entry("Workbook", 2, FREE, 2, stream_size)
+        + b"\x00" * 64 + struct.pack("<HBB", 0, 0, 0) + struct.pack("<III", FREE, FREE, FREE) + b"\x00" * 48
+        + b"\x00" * 64 + struct.pack("<HBB", 0, 0, 0) + struct.pack("<III", FREE, FREE, FREE) + b"\x00" * 48
+    )
+    assert len(directory) == 512
+
+    header = bytearray(512)
+    header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 24, 0x003E)  # minor
+    struct.pack_into("<H", header, 26, 0x0003)  # major (v3)
+    struct.pack_into("<H", header, 28, 0xFFFE)  # little-endian
+    struct.pack_into("<H", header, 30, 9)  # sector 512
+    struct.pack_into("<H", header, 32, 6)  # mini sector 64
+    struct.pack_into("<I", header, 44, 1)  # one FAT sector
+    struct.pack_into("<I", header, 48, 1)  # dir starts at sector 1
+    struct.pack_into("<I", header, 56, 4096)  # mini cutoff
+    struct.pack_into("<I", header, 60, END)  # no miniFAT
+    struct.pack_into("<I", header, 64, 0)
+    struct.pack_into("<I", header, 68, END)  # no DIFAT chain
+    struct.pack_into("<I", header, 72, 0)
+    struct.pack_into("<I", header, 76, 0)  # DIFAT[0] → FAT sector 0
+    for i in range(1, 109):
+        struct.pack_into("<I", header, 76 + 4 * i, FREE)
+
+    return bytes(header) + fat_sector + directory + stream

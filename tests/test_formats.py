@@ -215,8 +215,9 @@ def test_needs_conversion_magics():
     assert detect_format("https://x/download", ole2, None) == "needs_conversion:ole2"
     assert detect_format("https://x/download", rtf, None) == "needs_conversion:rtf"
     assert detect_format("https://x/download", odt_buf.getvalue(), None) == "needs_conversion:odt"
-    # extension dispatch for all legacy office formats
-    for ext in ("doc", "rtf", "odt", "ods", "odp", "xls", "ppt"):
+    # extension dispatch for legacy office formats needing conversion
+    # (.xls is handled natively by the BIFF8 reader, so it's absent here)
+    for ext in ("doc", "rtf", "odt", "ods", "odp", "ppt"):
         assert detect_format(f"https://x/f.{ext}", b"whatever", None) == f"needs_conversion:{ext}"
     # each yields a typed error row, not garbage lines
     d = extract_document("https://x/report.doc", ole2, None)
