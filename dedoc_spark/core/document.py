@@ -244,10 +244,17 @@ def extract_document(
             return _error_row(url, fmt)
         if fmt.startswith("media:") and html:
             # binary media route to the multimodal decode channel
-            # (operators/multimodal.py); the per-row reader emits a typed row
-            return _error_row(
-                url, f"needs_decoder:{fmt[6:]}", warnings=[f"media bytes: {len(html)}"]
-            )
+            # (operators/multimodal.py); the per-row reader emits a typed row.
+            # EXIF metadata is real (ImageMetadataExtractor field set) even
+            # though pixel decode is stubbed.
+            warnings_list = [f"media bytes: {len(html)}"]
+            if fmt in ("media:image/jpeg", "media:image/tiff"):
+                from dedoc_spark.core.metadata import extract_image_metadata
+
+                warnings_list.extend(
+                    f"exif.{k}={v}" for k, v in sorted(extract_image_metadata(html).items())
+                )
+            return _error_row(url, f"needs_decoder:{fmt[6:]}", warnings=warnings_list)
         if html:  # unknown markup-ish bytes: html fallback (web default)
             return extract_html_document(url, html, handle_invisible_table, params)
         return extract_txt_document(url, text or "")

