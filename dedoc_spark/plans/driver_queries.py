@@ -1074,6 +1074,106 @@ FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
 """
 
 # ---------------------------------------------------------------------------
+# q27 legacy .xls roundtrip: per-row BIFF8-in-OLE2 synthesis → native reader
+# (core/xls_extract.py) → same closed-form oracle family as q24
+
+
+def q27_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
+    def fn(it):
+        import json as jsonlib
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.document import extract_document
+        from dedoc_spark.sources.office_fixture import build_xls
+
+        for pdf in it:
+            out = []
+            for doc_id, source, lang in zip(pdf["doc_id"], pdf["source"], pdf["lang"]):
+                payload = build_xls([[["id", str(int(doc_id))], [source, lang]]])
+                d = extract_document(f"{int(doc_id)}.xls", payload, None)
+                cells = jsonlib.loads(d["tables_json"])[0]["cells"]
+                texts = ["\n".join(ln["line"] for ln in c["lines"]) for row in cells for c in row]
+                out.append(
+                    {
+                        "doc_id": int(doc_id), "n_tables": d["n_tables"],
+                        "c00": texts[0], "c01": texts[1], "c10": texts[2], "c11": texts[3],
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "n_tables", "c00", "c01", "c10", "c11"])
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "lang")
+        .mapInPandas(fn, "doc_id long, n_tables long, c00 string, c01 string, c10 string, c11 string")
+    )
+
+
+Q27_SQL = Q24_SQL
+
+# ---------------------------------------------------------------------------
+# q28 attachment roundtrip: per-row .eml with an attached text file carrying
+# the doc text → extract_with_attachments → the member row's extraction must
+# equal the plain-txt closed form (q18's oracle on the same text)
+
+
+def q28_attachment_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from dedoc_spark.operators.archives import extract_with_attachments
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
+    def build(it):
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                import email.mime.application
+                import email.mime.multipart
+                import email.mime.text
+
+                msg = email.mime.multipart.MIMEMultipart()
+                msg.set_boundary("====dedoc-spark-fixture====")
+                msg["Subject"] = f"doc {int(doc_id)}"
+                msg.attach(email.mime.text.MIMEText("cover", "plain"))
+                att = email.mime.application.MIMEApplication(text.encode("utf-8"), "octet-stream")
+                att.add_header("Content-Disposition", "attachment", filename="note.txt")
+                msg.attach(att)
+                out.append({"url": f"{int(doc_id)}.eml", "html": msg.as_bytes(), "text": ""})
+            yield pd.DataFrame(out, columns=["url", "html", "text"])
+
+    pages = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(build, "url string, html binary, text string")
+    )
+    out = extract_with_attachments(pages, max_depth=1)
+    members = out.filter(F.col("url").endswith("#note.txt"))
+    return members.select(
+        F.regexp_extract("url", r"^(\d+)\.eml", 1).cast("long").alias("doc_id"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("text_extracted").alias("member_text"),
+    )
+
+
+Q28_SQL = """
+SELECT doc_id, CAST(1 AS BIGINT) AS n_lines, chr(10) || text || chr(10) AS member_text
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1102,6 +1202,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_xlsx_extract": q24_xlsx_extract,
     "q25_lsh_jaccard": q25_lsh_jaccard,
     "q26_lsh_cosine": q26_lsh_cosine,
+    "q27_xls_extract": q27_xls_extract,
+    "q28_attachment_extract": q28_attachment_extract,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1131,4 +1233,6 @@ ORACLES: Dict[str, str] = {
     "q24_xlsx_extract": Q24_SQL,
     "q25_lsh_jaccard": Q25_SQL,
     "q26_lsh_cosine": Q26_SQL,
+    "q27_xls_extract": Q27_SQL,
+    "q28_attachment_extract": Q28_SQL,
 }
