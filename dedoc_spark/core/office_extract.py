@@ -19,7 +19,7 @@ import zipfile
 from typing import List, Optional, Tuple
 from xml.etree import ElementTree as ET
 
-from dedoc_spark.core.model import Cell, HierarchyLevel, Line, Table
+from dedoc_spark.core.model import Annotation, Cell, HierarchyLevel, Line, Table
 
 _SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _DRAW = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
@@ -83,12 +83,28 @@ def extract_xlsx_tables(payload: bytes, url_hash: str = "") -> Tuple[List[Table]
     return tables, warnings
 
 
+_R_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
 def extract_pptx(payload: bytes, url_hash: str = "") -> Tuple[List[Line], List[Table], List[str]]:
     """Slides (numeric filename order) → lines; first text shape of each
-    slide gets the title tag HL (1, 1, False, header); a:tbl → Table."""
+    slide gets the title tag HL (1, 1, False, header); a:tbl → Table with a
+    table annotation on the preceding line; p:pic/a:blip → attachment
+    annotation on the preceding line, rel id resolved through the slide's
+    rels (pptx_reader.py:62-68,100-117 semantics; an empty anchor line is
+    synthesized when the slide starts with a picture/table)."""
+    from dedoc_spark.core.docx_extract import attachment_uid
+
     lines: List[Line] = []
     tables: List[Table] = []
     warnings: List[str] = []
+
+    def anchor(slide_id: int) -> Line:
+        if not lines:
+            lines.append(Line(line="", page_id=slide_id, uid=f"{url_hash}_pptx_anchor{slide_id}"))
+        return lines[-1]
+
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
         names = zf.namelist()
         slide_names = sorted(
@@ -96,6 +112,13 @@ def extract_pptx(payload: bytes, url_hash: str = "") -> Tuple[List[Line], List[T
             key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[-1]).group()),
         )
         for slide_id, name in enumerate(slide_names):
+            rels_name = f"ppt/slides/_rels/{name.rsplit('/', 1)[-1]}.rels"
+            media_rels = {}
+            if rels_name in names:
+                for rel in ET.fromstring(zf.read(rels_name)).iter(f"{_REL_NS}Relationship"):
+                    target = rel.get("Target") or ""
+                    if "media/" in target:
+                        media_rels[rel.get("Id") or ""] = target.rsplit("/", 1)[-1]
             root = ET.fromstring(zf.read(name))
             sp_tree = next((el for el in root.iter() if el.tag.endswith("}spTree")), root)
             is_first_shape = True
@@ -113,9 +136,21 @@ def extract_pptx(payload: bytes, url_hash: str = "") -> Tuple[List[Line], List[T
                         uid = f"{url_hash}_{hashlib.md5(f'pptx{slide_id}:{len(lines)}:{t}'.encode()).hexdigest()}"
                         lines.append(Line(line=t, page_id=slide_id, tag_hl=tag_hl, uid=uid))
                     is_first_shape = False
+                elif node.tag.endswith("}pic"):
+                    blip = next(iter(node.iter(f"{_DRAW}blip")), None)
+                    if blip is not None:
+                        media = media_rels.get(blip.get(f"{_R_NS}embed") or "")
+                        if media:
+                            ln = anchor(slide_id)
+                            ln.annotations.append(
+                                Annotation(0, len(ln.line), "attachment", attachment_uid(url_hash, media))
+                            )
                 else:
                     for tbl in node.iter(f"{_DRAW}tbl"):
-                        tables.append(_pptx_table(tbl, slide_id, url_hash, len(tables)))
+                        table = _pptx_table(tbl, slide_id, url_hash, len(tables))
+                        tables.append(table)
+                        ln = anchor(slide_id)
+                        ln.annotations.append(Annotation(0, len(ln.line), "table", table.uid))
     for i, line in enumerate(lines):
         line.line_id = i
     return lines, tables, warnings

@@ -197,6 +197,57 @@ def embedding_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    persist_each: bool = True,
+) -> DataFrame:
+    """Duplicate-group clustering: (a, b) near-dup pairs → (id, comp) where
+    comp is the minimum id reachable in the pair graph — the step that turns
+    verified pairs into dedup groups (keep one representative per comp).
+
+    Min-label propagation: each iteration joins labels across edges and
+    keeps the per-node minimum; converges in O(graph diameter) iterations —
+    near-dup clusters are shallow (diameter ≤ a few hops), so the loop is
+    short. Each iteration is one shuffle on the node id; labels persist
+    (DISK_ONLY) so the next iteration doesn't recompute the chain. At
+    extreme scale swap in the large-star/small-star contraction — the
+    driver loop shape stays the same.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    fwd = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    edges = fwd.unionByName(fwd.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct()
+    if persist_each:
+        edges = edges.persist(StorageLevel.DISK_ONLY)
+    labels = edges.select(F.col("x").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.select(F.col("id").alias("y"), "comp"), "y")
+            .groupBy("x")
+            .agg(F.min("comp").alias("ncomp"))
+            .select(F.col("x").alias("id"), "ncomp")
+        )
+        new_labels = labels.join(neigh, "id", "left").select(
+            "id", F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp")
+        )
+        if persist_each:
+            new_labels = new_labels.persist(StorageLevel.DISK_ONLY)
+        changed = (
+            new_labels.join(labels.select("id", F.col("comp").alias("old")), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        if persist_each:
+            labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1174,6 +1174,46 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# q29 duplicate groups: LSH candidate pairs → connected components (min-id
+# label propagation; DuckDB mirrors it with a recursive reachability CTE)
+
+
+def q29_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.operators.dedup import connected_components
+
+    pairs = q08_lsh_pairs(spark, sf_dir)
+    return connected_components(pairs).select(
+        F.col("id").cast("long").alias("doc_id"), F.col("comp").cast("long").alias("comp")
+    )
+
+
+Q29_SQL = f"""
+WITH RECURSIVE tok AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SQL_SHINGLES3} AS sh FROM tok),
+sig AS (
+  SELECT doc_id, {_sql_minhash_hex(0)} AS h0, {_sql_minhash_hex(1)} AS h1,
+         {_sql_minhash_hex(2)} AS h2, {_sql_minhash_hex(3)} AS h3 FROM sh
+),
+banded AS (
+  SELECT doc_id, 0 AS band_idx, h0 || ',' || h1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, h2 || ',' || h3 AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+edges AS (SELECT a AS x, b AS y FROM cand UNION SELECT b, a FROM cand),
+reach(id, r) AS (
+  SELECT DISTINCT x, x FROM edges
+  UNION
+  SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS comp FROM reach GROUP BY id
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1204,6 +1244,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_lsh_cosine": q26_lsh_cosine,
     "q27_xls_extract": q27_xls_extract,
     "q28_attachment_extract": q28_attachment_extract,
+    "q29_dup_groups": q29_dup_groups,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1235,4 +1276,5 @@ ORACLES: Dict[str, str] = {
     "q26_lsh_cosine": Q26_SQL,
     "q27_xls_extract": Q27_SQL,
     "q28_attachment_extract": Q28_SQL,
+    "q29_dup_groups": Q29_SQL,
 }

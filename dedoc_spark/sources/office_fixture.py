@@ -65,7 +65,9 @@ def _pptx_table(rows: Sequence[Sequence[str]]) -> str:
 
 
 def build_pptx(slides: Sequence[dict]) -> bytes:
-    """slides: [{'shapes': [[line, ...], ...], 'table': [[...]] or None}]"""
+    """slides: [{'shapes': [[line, ...], ...], 'table': [[...]] or None,
+    'picture': 'image1.png' or None}] — picture emits a p:pic with an
+    a:blip rel resolved through the slide's rels part."""
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
         zf.writestr("[Content_Types].xml", "<Types/>")
@@ -74,6 +76,19 @@ def build_pptx(slides: Sequence[dict]) -> bytes:
             body = "".join(_pptx_shape(s) for s in slide.get("shapes", []))
             if slide.get("table"):
                 body += _pptx_table(slide["table"])
+            if slide.get("picture"):
+                body += (
+                    '<p:pic xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+                    '<p:blipFill><a:blip r:embed="rId2"/></p:blipFill></p:pic>'
+                )
+                zf.writestr(
+                    f"ppt/slides/_rels/slide{i}.xml.rels",
+                    '<?xml version="1.0"?>'
+                    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+                    f'<Relationship Id="rId2" Type="image" Target="../media/{slide["picture"]}"/>'
+                    "</Relationships>",
+                )
+                zf.writestr(f"ppt/media/{slide['picture']}", b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
             xml = (
                 f'<?xml version="1.0"?><p:sld {_P} {_A}><p:cSld><p:spTree>{body}</p:spTree></p:cSld></p:sld>'
             )

@@ -60,3 +60,33 @@ def test_dispatch_xlsx_pptx():
     tree = json.loads(d2["tree_json"])
     assert tree["subparagraphs"][0]["text"] == "T"
     assert tree["subparagraphs"][0]["metadata"]["paragraph_type"] == "header"
+
+
+def test_pptx_picture_and_table_annotations():
+    """p:pic → attachment annotation and a:tbl → table annotation, both on
+    the preceding line (pptx_reader.py:62-68,100-108), uid joined through
+    the slide rels."""
+    from dedoc_spark.core.docx_extract import attachment_uid
+    from dedoc_spark.core.office_extract import extract_pptx
+    from dedoc_spark.sources.office_fixture import build_pptx
+
+    pptx = build_pptx(
+        [{"shapes": [["Title here"], ["body line"]],
+          "table": [["a", "b"]],
+          "picture": "image1.png"}]
+    )
+    lines, tables, _ = extract_pptx(pptx, url_hash="h9")
+    assert len(tables) == 1
+    last = lines[-1]
+    names = [(a.name, a.value) for a in last.annotations]
+    assert ("table", tables[0].uid) in names
+    assert ("attachment", attachment_uid("h9", "image1.png")) in names
+
+
+def test_pptx_picture_only_slide_synthesizes_anchor():
+    from dedoc_spark.core.office_extract import extract_pptx
+    from dedoc_spark.sources.office_fixture import build_pptx
+
+    lines, _, _ = extract_pptx(build_pptx([{"shapes": [], "picture": "p.png"}]), "h")
+    assert len(lines) == 1 and lines[0].line == ""
+    assert any(a.name == "attachment" for a in lines[0].annotations)

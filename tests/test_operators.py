@@ -253,3 +253,26 @@ def test_streaming_extraction(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "out")).count() == 50
+
+
+def test_connected_components(spark):
+    """Pair graph → min-id components: chain 1-2-3, pair 10-11, singleton
+    edges don't exist (nodes come only from pairs)."""
+    from dedoc_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], "a bigint, b bigint"
+    )
+    comp = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dedup_chain_end_to_end(spark, docs):
+    """minhash_lsh_pairs → jaccard_for_pairs → connected_components: the
+    exact dup (1,2) lands in one group with rep 1."""
+    from dedoc_spark.operators.dedup import connected_components
+
+    cand = minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+    verified = jaccard_for_pairs(cand, docs).filter("jaccard >= 0.8")
+    comp = {r.id: r.comp for r in connected_components(verified).collect()}
+    assert comp[1] == 1 and comp[2] == 1
