@@ -234,6 +234,14 @@ def list_attachments(url: str, payload: bytes, max_members: int = 1000) -> List[
     if fmt == "email" or fmt == "mhtml":
         msg = email.message_from_bytes(payload)
         idx = 0
+        if fmt == "email":
+            # the reference saves ALL header fields into an attached json
+            # (email_reader.py:59-67, prefix "message_header_"); the unique
+            # suffix is content-derived here instead of uuid1 (determinism)
+            header_fields = dict(msg.items())
+            header_json = json.dumps(header_fields, ensure_ascii=False, indent=4)
+            suffix = hashlib.md5(header_json.encode("utf-8")).hexdigest()[:12]
+            out.append((f"message_header_{suffix}.json", header_json.encode("utf-8")))
         for part in msg.walk():
             ctype = part.get_content_type()
             if part.is_multipart() or ctype in ("text/plain", "text/html"):

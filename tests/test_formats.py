@@ -325,9 +325,15 @@ def test_list_attachments_email_and_office():
     msg.attach(img_part)
 
     atts = list_attachments("m.eml", msg.as_bytes())
-    assert [n for n, _ in atts] == ["bundle.zip", "photo.png"]
-    assert atts[0][1] == inner_zip.getvalue()
-    assert atts[1][1] == PNG_BYTES
+    # first attachment = the synthetic header json (email_reader.py:59-67),
+    # then the real parts in order
+    assert atts[0][0].startswith("message_header_") and atts[0][0].endswith(".json")
+    import json as jsonlib
+
+    assert jsonlib.loads(atts[0][1])["Subject"] == "with attachments"
+    assert [n for n, _ in atts[1:]] == ["bundle.zip", "photo.png"]
+    assert atts[1][1] == inner_zip.getvalue()
+    assert atts[2][1] == PNG_BYTES
 
     # docx with an embedded media image
     buf = io.BytesIO()
