@@ -11,6 +11,7 @@ Exactly-once comes from the sink checkpoint + deterministic extraction
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dedoc_spark.operators.pipeline import EXTRACT_SCHEMA, bootstrapped
 
@@ -47,3 +48,56 @@ def start_extraction_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """Stateful streaming exact-dedup: emit only the FIRST document seen per
+    normalized-content fingerprint, across micro-batches.
+
+    Custom stateful operator via applyInPandasWithState (SURVEY §2.13 /
+    brief: watermarks + custom stateful ops): state is one boolean per
+    fingerprint group, persisted in the state store, so a duplicate arriving
+    many batches later is still dropped. Keys partition the state store —
+    fingerprints are md5-uniform, no skew. timeout_ms > 0 expires idle
+    fingerprints (bounded state for endless crawls; expiry re-admits later
+    repeats, the standard freshness/size trade)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from dedoc_spark.functions import normalized_fingerprint
+
+    with_fp = stream_df.select(
+        F.col(id_col), F.col(text_col),
+        normalized_fingerprint(F.col(text_col)).alias("fp"),
+    )
+
+    out_schema = f"{id_col} string, {text_col} string, fp string"
+    state_schema = "seen boolean"
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        if timeout_ms > 0 and state.hasTimedOut:
+            state.remove()
+            return
+        first_rows = None
+        for pdf in pdf_iter:
+            if not state.exists and first_rows is None and len(pdf) > 0:
+                first_rows = pdf.iloc[[0]]
+        if not state.exists and first_rows is not None:
+            state.update((True,))
+            if timeout_ms > 0:
+                state.setTimeoutDuration(timeout_ms)
+            yield first_rows
+        elif state.exists and timeout_ms > 0:
+            state.setTimeoutDuration(timeout_ms)
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms > 0 else GroupStateTimeout.NoTimeout
+    )
+    return with_fp.groupBy("fp").applyInPandasWithState(
+        dedup_fn, out_schema, state_schema, "update", timeout_conf
+    )

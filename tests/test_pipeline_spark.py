@@ -140,3 +140,41 @@ def test_params_surface(spark, web_pages):
     for r in pat:
         lines = jsonlib.loads(r.lines_json)
         assert all(ln["hl"]["line_type"] == "custom" for ln in lines)
+
+
+def test_streaming_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState dedup keeps exactly the first row per content
+    fingerprint ACROSS micro-batches: the duplicate arrives in a later file
+    (= later micro-batch with maxFilesPerTrigger=1) and is dropped."""
+    import time
+
+    from dedoc_spark.streaming import streaming_dedup
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("u1", "same content here"), ("u2", "other content")], "url string, text string"
+    ).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    spark.createDataFrame(
+        [("u3", "same   CONTENT here"), ("u4", "third content")], "url string, text string"
+    ).coalesce(1).write.parquet(str(src / "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_sink").collect()
+    urls = sorted(r.url for r in rows)
+    # u3 normalizes to u1's fingerprint (case+whitespace fold) → dropped
+    assert urls == ["u1", "u2", "u4"]
