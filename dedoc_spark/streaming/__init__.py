@@ -101,3 +101,31 @@ def streaming_dedup(
     return with_fp.groupBy("fp").applyInPandasWithState(
         dedup_fn, out_schema, state_schema, "update", timeout_conf
     )
+
+
+def streaming_rollup(
+    stream_df: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "warc_ts",
+    key_col: str = "lang",
+) -> DataFrame:
+    """Windowed crawl-rate rollup with late-data handling: docs and bytes
+    per (key, event-time window), watermarked on the crawl timestamp so
+    state for closed windows is dropped and stragglers later than the
+    watermark are discarded (brief: watermarks + windowed aggs)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("html_bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_docs",
+            "html_bytes",
+        )
+    )

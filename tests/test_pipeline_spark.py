@@ -178,3 +178,46 @@ def test_streaming_dedup_stateful(spark, tmp_path):
     urls = sorted(r.url for r in rows)
     # u3 normalizes to u1's fingerprint (case+whitespace fold) → dropped
     assert urls == ["u1", "u2", "u4"]
+
+
+def test_streaming_rollup_windowed(spark, tmp_path):
+    """Watermarked event-time windows: two 1-hour windows, counts per lang;
+    append mode emits only watermark-closed windows (all of them under
+    availableNow once the source is exhausted)."""
+    from datetime import datetime
+
+    from dedoc_spark.streaming import streaming_rollup
+
+    src = tmp_path / "roll_src"
+    src.mkdir()
+    rows = [
+        ("u1", datetime(2026, 1, 1, 10, 5), bytearray(b"<p>a</p>"), "", "en"),
+        ("u2", datetime(2026, 1, 1, 10, 35), bytearray(b"<p>bb</p>"), "", "en"),
+        ("u3", datetime(2026, 1, 1, 10, 50), bytearray(b"<p>c</p>"), "", "ru"),
+        ("u4", datetime(2026, 1, 1, 11, 10), bytearray(b"<p>dd</p>"), "", "en"),
+        ("u5", datetime(2026, 1, 1, 14, 0), bytearray(b""), "", "en"),  # advances watermark
+    ]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).coalesce(1).write.parquet(str(src / "f1.parquet"))
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).parquet(str(src) + "/*/")
+    q = (
+        streaming_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("rollup_sink")
+        .option("checkpointLocation", str(tmp_path / "roll_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.hour, r.lang): (r.n_docs, r.html_bytes)
+        for r in spark.sql("SELECT * FROM rollup_sink").collect()
+    }
+    assert got[(10, "en")] == (2, 17)
+    assert got[(10, "ru")] == (1, 8)
+    assert got[(11, "en")] == (1, 9)
