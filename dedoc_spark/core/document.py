@@ -223,6 +223,25 @@ def extract_document(
             return extract_xlsx_document(url, html)
         if fmt == "xls" and html:
             return extract_xls_document(url, html)
+        if fmt in ("doc", "ppt") and html:
+            # native best-effort text layer (core/doc_extract.py); a payload
+            # the native parser can't read keeps the typed conversion row
+            try:
+                if fmt == "doc":
+                    from dedoc_spark.core.doc_extract import extract_doc_text
+
+                    texts, warnings_nat = extract_doc_text(html)
+                else:
+                    from dedoc_spark.core.doc_extract import extract_ppt_texts
+
+                    texts, warnings_nat = extract_ppt_texts(html)
+            except Exception as e:
+                return _error_row(
+                    url, f"needs_conversion:{fmt}", warnings=[f"native parse failed: {e}"]
+                )
+            lines = extract_txt_lines("\n".join(texts))
+            out = _finalize(url, lines, [], warnings_nat, params)
+            return out
         if fmt == "pptx" and html:
             return extract_pptx_document(url, html)
         if fmt == "zip" and html:

@@ -336,17 +336,16 @@ _EXT_FORMATS = {
     "xlsx": "xlsx",
     "pptx": "pptx",
     "pdf": "pdf",
-    # formats the reference routes through a soffice converter
-    # (converters/concrete_converters/docx_converter.py:15-28 etc.) —
-    # soffice is not a library dependency, so these get a typed
-    # needs_conversion error row instead of the html-fallback garbage path
-    "doc": "needs_conversion:doc",
+    # .doc/.ppt/.xls parse natively (core/doc_extract.py, xls_extract.py);
+    # the remaining soffice-converted formats get a typed needs_conversion
+    # error row instead of the html-fallback garbage path
+    "doc": "doc",
     "rtf": "needs_conversion:rtf",
     "odt": "needs_conversion:odt",
     "ods": "needs_conversion:ods",
     "odp": "needs_conversion:odp",
     "xls": "xls",  # native BIFF8 reader (core/xls_extract.py)
-    "ppt": "needs_conversion:ppt",
+    "ppt": "ppt",  # native record-scan reader (core/doc_extract.py)
     # archive formats needing external unpackers (reference archive_reader
     # handles rar/7z via rarfile/py7zr — absent here, typed error instead)
     "rar": "needs_unpacker:rar",
@@ -391,14 +390,18 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
             if payload[:len(magic)] == magic:
                 return fmt
         if payload[:8] == _OLE2_MAGIC:
-            # xls is natively readable; doc/ppt compound files still need
-            # conversion — sniff the directory for a Workbook/Book stream
+            # sniff the compound-file directory for the stream that names
+            # the format; unrecognized OLE2 keeps the typed conversion row
             try:
                 from dedoc_spark.core.xls_extract import ole2_streams
 
                 streams = ole2_streams(payload)
                 if "Workbook" in streams or "Book" in streams:
                     return "xls"
+                if "WordDocument" in streams:
+                    return "doc"
+                if "PowerPoint Document" in streams:
+                    return "ppt"
             except Exception:
                 pass
             return "needs_conversion:ole2"

@@ -164,18 +164,37 @@ def build_xls(sheets: Sequence[Sequence[Sequence[object]]]) -> bytes:
     )
     assert len(workbook) == pos
 
-    # OLE2 container
-    stream_size = max(len(workbook), 4096)
-    stream = workbook.ljust(stream_size, b"\x00")
-    n_stream_sectors = (stream_size + 511) // 512
-    stream = stream.ljust(n_stream_sectors * 512, b"\x00")
+    return build_ole2({"Workbook": workbook})
+
+
+def build_ole2(streams: dict) -> bytes:
+    """Minimal OLE2 compound file holding the given {name: bytes} streams —
+    every stream is padded past the 4096-byte mini-stream cutoff so all
+    live in regular FAT sectors (one FAT sector, one directory sector)."""
+    import struct
 
     FREE, END, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+    assert 1 + len(streams) <= 4, "one directory sector supports ≤3 streams"
+
+    padded: List[bytes] = []
+    sizes: List[int] = []
+    for data in streams.values():
+        size = max(len(data), 4096)
+        sizes.append(size)
+        n_sec = (size + 511) // 512
+        padded.append(data.ljust(n_sec * 512, b"\x00"))
+
     fat = [FREE] * 128
     fat[0] = FATSECT
     fat[1] = END  # directory
-    for i in range(n_stream_sectors):
-        fat[2 + i] = 2 + i + 1 if i + 1 < n_stream_sectors else END
+    starts: List[int] = []
+    sector = 2
+    for blob in padded:
+        n_sec = len(blob) // 512
+        starts.append(sector)
+        for i in range(n_sec):
+            fat[sector + i] = sector + i + 1 if i + 1 < n_sec else END
+        sector += n_sec
     fat_sector = struct.pack("<128I", *fat)
 
     def dir_entry(name: str, etype: int, child: int, start: int, size: int) -> bytes:
@@ -189,12 +208,16 @@ def build_xls(sheets: Sequence[Sequence[Sequence[object]]]) -> bytes:
         e += struct.pack("<II", start, size)
         return e.ljust(128, b"\x00")
 
-    directory = (
-        dir_entry("Root Entry", 5, 1, END, 0)
-        + dir_entry("Workbook", 2, FREE, 2, stream_size)
-        + b"\x00" * 64 + struct.pack("<HBB", 0, 0, 0) + struct.pack("<III", FREE, FREE, FREE) + b"\x00" * 48
-        + b"\x00" * 64 + struct.pack("<HBB", 0, 0, 0) + struct.pack("<III", FREE, FREE, FREE) + b"\x00" * 48
+    empty = (
+        b"\x00" * 64 + struct.pack("<HBB", 0, 0, 0)
+        + struct.pack("<III", FREE, FREE, FREE) + b"\x00" * 48
     )
+    entries = [dir_entry("Root Entry", 5, 1, END, 0)]
+    for (name, _), start, size in zip(streams.items(), starts, sizes):
+        entries.append(dir_entry(name, 2, FREE, start, size))
+    while len(entries) < 4:
+        entries.append(empty)
+    directory = b"".join(entries)
     assert len(directory) == 512
 
     header = bytearray(512)
@@ -215,4 +238,66 @@ def build_xls(sheets: Sequence[Sequence[Sequence[object]]]) -> bytes:
     for i in range(1, 109):
         struct.pack_into("<I", header, 76 + 4 * i, FREE)
 
-    return bytes(header) + fat_sector + directory + stream
+    return bytes(header) + fat_sector + directory + b"".join(padded)
+
+
+def build_doc(paragraphs: Sequence[str]) -> bytes:
+    """Minimal [MS-DOC] binary: WordDocument stream (FIB + text area) and a
+    0Table stream holding the Clx/piece table. Two pieces: the first
+    paragraphs go into a cp1252-compressed piece, the rest (any Unicode)
+    into a UTF-16LE piece, exercising both fc encodings."""
+    import struct
+
+    text = "\r".join(paragraphs) + "\r"
+    # split: longest ascii-only prefix by paragraph → compressed piece
+    split = 0
+    cp = 0
+    for i, p in enumerate(paragraphs):
+        try:
+            p.encode("cp1252")
+        except UnicodeEncodeError:
+            break
+        split = i + 1
+        cp += len(p) + 1
+    part1, part2 = text[:cp], text[cp:]
+
+    word = bytearray(2048)
+    struct.pack_into("<H", word, 0, 0xA5EC)  # wIdent
+    struct.pack_into("<H", word, 2, 0x00C1)  # nFib (Word 97)
+    struct.pack_into("<H", word, 0x000A, 0)  # flags → 0Table
+    text_off = 2048
+    blob1 = part1.encode("cp1252")
+    blob2 = part2.encode("utf-16-le")
+    word_stream = bytes(word) + blob1 + blob2
+
+    pieces = []
+    if part1:
+        pieces.append((len(part1), (text_off * 2) | 0x40000000))
+    if part2:
+        pieces.append((len(part2), text_off + len(blob1)))
+    n = len(pieces)
+    cps = [0]
+    for ln, _ in pieces:
+        cps.append(cps[-1] + ln)
+    plc = struct.pack(f"<{n + 1}I", *cps)
+    for _, fc in pieces:
+        plc += struct.pack("<HIH", 0, fc, 0)  # PCD: flags, fc, prm
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    table = b"\x00" * 512 + clx  # Clx at offset 512
+    struct.pack_into("<I", word, 154 + 33 * 8, 512)       # fcClx
+    struct.pack_into("<I", word, 154 + 33 * 8 + 4, len(clx))  # lcbClx
+    word_stream = bytes(word) + blob1 + blob2
+    return build_ole2({"WordDocument": word_stream, "0Table": table})
+
+
+def build_ppt(slide_texts: Sequence[str]) -> bytes:
+    """Minimal [MS-PPT] binary: a container record wrapping one
+    TextCharsAtom (UTF-16LE) per slide text."""
+    import struct
+
+    atoms = b""
+    for t in slide_texts:
+        body = t.encode("utf-16-le")
+        atoms += struct.pack("<HHI", 0x0000, 0x0FA0, len(body)) + body
+    container = struct.pack("<HHI", 0x000F, 0x03E8, len(atoms)) + atoms
+    return build_ole2({"PowerPoint Document": container})

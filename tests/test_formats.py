@@ -216,8 +216,8 @@ def test_needs_conversion_magics():
     assert detect_format("https://x/download", rtf, None) == "needs_conversion:rtf"
     assert detect_format("https://x/download", odt_buf.getvalue(), None) == "needs_conversion:odt"
     # extension dispatch for legacy office formats needing conversion
-    # (.xls is handled natively by the BIFF8 reader, so it's absent here)
-    for ext in ("doc", "rtf", "odt", "ods", "odp", "ppt"):
+    # (.xls/.doc/.ppt are handled by native readers, so absent here)
+    for ext in ("rtf", "odt", "ods", "odp"):
         assert detect_format(f"https://x/f.{ext}", b"whatever", None) == f"needs_conversion:{ext}"
     # each yields a typed error row, not garbage lines
     d = extract_document("https://x/report.doc", ole2, None)
