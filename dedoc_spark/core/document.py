@@ -223,6 +223,33 @@ def extract_document(
             return extract_xlsx_document(url, html)
         if fmt == "xls" and html:
             return extract_xls_document(url, html)
+        if fmt == "rtf" and html:
+            try:
+                from dedoc_spark.core.rtf_extract import extract_rtf_text
+
+                texts, warnings_nat = extract_rtf_text(html)
+            except Exception as e:
+                return _error_row(
+                    url, "needs_conversion:rtf", warnings=[f"native parse failed: {e}"]
+                )
+            lines = extract_txt_lines("\n".join(texts))
+            return _finalize(url, lines, [], warnings_nat, params)
+        if fmt in ("odt", "ods", "odp") and html:
+            try:
+                from dedoc_spark.core import odf_extract
+
+                if fmt == "odt":
+                    lines, tables, warnings_nat = odf_extract.extract_odt(html, url_hash(url))
+                elif fmt == "ods":
+                    tables, warnings_nat = odf_extract.extract_ods(html, url_hash(url))
+                    lines = []
+                else:
+                    lines, tables, warnings_nat = odf_extract.extract_odp(html, url_hash(url))
+            except Exception as e:
+                return _error_row(
+                    url, f"needs_conversion:{fmt}", warnings=[f"native parse failed: {e}"]
+                )
+            return _finalize(url, lines, tables, warnings_nat, params)
         if fmt in ("doc", "ppt") and html:
             # native best-effort text layer (core/doc_extract.py); a payload
             # the native parser can't read keeps the typed conversion row

@@ -340,10 +340,8 @@ _EXT_FORMATS = {
     # the remaining soffice-converted formats get a typed needs_conversion
     # error row instead of the html-fallback garbage path
     "doc": "doc",
-    "rtf": "needs_conversion:rtf",
-    "odt": "needs_conversion:odt",
-    "ods": "needs_conversion:ods",
-    "odp": "needs_conversion:odp",
+    "rtf": "rtf",  # native control-word parser (core/rtf_extract.py)
+    "odt": "odt", "ods": "ods", "odp": "odp",  # native (core/odf_extract.py)
     "xls": "xls",  # native BIFF8 reader (core/xls_extract.py)
     "ppt": "ppt",  # native record-scan reader (core/doc_extract.py)
     # archive formats needing external unpackers (reference archive_reader
@@ -406,7 +404,7 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
                 pass
             return "needs_conversion:ole2"
         if payload[:5] == b"{\\rtf":
-            return "needs_conversion:rtf"
+            return "rtf"
         if payload[:6] == b"Rar!\x1a\x07":
             return "needs_unpacker:rar"
         if payload[:6] == b"7z\xbc\xaf\x27\x1c":
@@ -425,7 +423,8 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
                         mt = zf.read("mimetype")[:64].decode("ascii", "replace")
                         if mt.startswith("application/vnd.oasis.opendocument"):
                             kind = {"text": "odt", "spreadsheet": "ods", "presentation": "odp"}
-                            return "needs_conversion:" + kind.get(mt.rsplit(".", 1)[-1].strip(), "odf")
+                            fmt = kind.get(mt.rsplit(".", 1)[-1].strip())
+                            return fmt if fmt else "needs_conversion:odf"
             except Exception:
                 pass
             return "zip"

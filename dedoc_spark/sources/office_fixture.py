@@ -301,3 +301,71 @@ def build_ppt(slide_texts: Sequence[str]) -> bytes:
         atoms += struct.pack("<HHI", 0x0000, 0x0FA0, len(body)) + body
     container = struct.pack("<HHI", 0x000F, 0x03E8, len(atoms)) + atoms
     return build_ole2({"PowerPoint Document": container})
+
+
+# --- OpenDocument fixtures ----------------------------------------------------
+
+_ODF_NS = (
+    'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+    'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+    'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+    'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"'
+)
+
+
+def _odf_zip(mimetype: str, body: str) -> bytes:
+    content = (
+        f'<?xml version="1.0"?><office:document-content {_ODF_NS}>'
+        f"<office:body>{body}</office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", mimetype)
+        zf.writestr("content.xml", content)
+    return buf.getvalue()
+
+
+def build_odt(items: Sequence[tuple]) -> bytes:
+    """items: ('h', level, text) | ('p', text) | ('list', [text, ...])"""
+    parts = []
+    for item in items:
+        if item[0] == "h":
+            parts.append(f'<text:h text:outline-level="{item[1]}">{item[2]}</text:h>')
+        elif item[0] == "p":
+            parts.append(f"<text:p>{item[1]}</text:p>")
+        elif item[0] == "list":
+            lis = "".join(f"<text:list-item><text:p>{t}</text:p></text:list-item>" for t in item[1])
+            parts.append(f"<text:list>{lis}</text:list>")
+    return _odf_zip(
+        "application/vnd.oasis.opendocument.text",
+        f"<office:text>{''.join(parts)}</office:text>",
+    )
+
+
+def build_ods(sheets: Sequence[Sequence[Sequence[str]]]) -> bytes:
+    out = []
+    for si, sheet in enumerate(sheets):
+        rows = "".join(
+            "<table:table-row>"
+            + "".join(f"<table:table-cell><text:p>{c}</text:p></table:table-cell>" for c in row)
+            + "</table:table-row>"
+            for row in sheet
+        )
+        out.append(f'<table:table table:name="S{si}">{rows}</table:table>')
+    return _odf_zip(
+        "application/vnd.oasis.opendocument.spreadsheet",
+        f"<office:spreadsheet>{''.join(out)}</office:spreadsheet>",
+    )
+
+
+def build_odp(slides: Sequence[Sequence[str]]) -> bytes:
+    pages = "".join(
+        '<draw:page><draw:frame><draw:text-box>'
+        + "".join(f"<text:p>{t}</text:p>" for t in texts)
+        + "</draw:text-box></draw:frame></draw:page>"
+        for texts in slides
+    )
+    return _odf_zip(
+        "application/vnd.oasis.opendocument.presentation",
+        f"<office:presentation>{pages}</office:presentation>",
+    )

@@ -202,29 +202,29 @@ def test_txt_encoding_detection():
 
 
 def test_needs_conversion_magics():
-    """OLE2 / RTF / ODT payloads route to typed needs_conversion errors —
-    never the html-fallback garbage path (reference converts via soffice,
-    converters/concrete_converters/docx_converter.py:15-28)."""
+    """Magic-based routing for legacy office payloads: rtf/odt/ods/odp and
+    OLE2-with-known-stream resolve to native readers; unrecognized OLE2 and
+    unparseable payloads keep typed needs_conversion rows — never the
+    html-fallback garbage path."""
     ole2 = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 100
-    rtf = b"{\\rtf1\\ansi Hello}"
+    rtf = b"{\\rtf1\\ansi Hello world\\par}"
     odt_buf = io.BytesIO()
     with zipfile.ZipFile(odt_buf, "w") as zf:
         zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
         zf.writestr("content.xml", "<office/>")
-    # content magic (extension-less urls)
+    # content magic (extension-less urls) → native formats
+    assert detect_format("https://x/download", rtf, None) == "rtf"
+    assert detect_format("https://x/download", odt_buf.getvalue(), None) == "odt"
+    for ext in ("rtf", "odt", "ods", "odp", "doc", "ppt", "xls"):
+        assert detect_format(f"https://x/f.{ext}", b"whatever", None) == ext
+    # OLE2 without a recognized stream keeps the typed error
     assert detect_format("https://x/download", ole2, None) == "needs_conversion:ole2"
-    assert detect_format("https://x/download", rtf, None) == "needs_conversion:rtf"
-    assert detect_format("https://x/download", odt_buf.getvalue(), None) == "needs_conversion:odt"
-    # extension dispatch for legacy office formats needing conversion
-    # (.xls/.doc/.ppt are handled by native readers, so absent here)
-    for ext in ("rtf", "odt", "ods", "odp"):
-        assert detect_format(f"https://x/f.{ext}", b"whatever", None) == f"needs_conversion:{ext}"
-    # each yields a typed error row, not garbage lines
     d = extract_document("https://x/report.doc", ole2, None)
     assert d["error"] == "needs_conversion:doc"
     assert d["n_lines"] == 0 and d["text_extracted"] == ""
+    # rtf now extracts natively
     d = extract_document("https://x/download", rtf, None)
-    assert d["error"] == "needs_conversion:rtf"
+    assert d["error"] is None and "Hello world" in d["text_extracted"]
 
 
 def test_zip_routes_to_explosion_hint_not_html():
