@@ -202,15 +202,46 @@ def extract_mhtml(payload: bytes, url_hash: str = "") -> Tuple[List[Line], List[
 
 
 def list_archive_members(payload: bytes, max_members: int = 1000) -> List[Tuple[str, bytes]]:
-    """Zip members → (name, bytes) for row-explosion (url#member rows feed
-    back through dispatch, bounded like the reference's recursion depth)."""
+    """Archive members → (name, bytes) for row-explosion (url#member rows
+    feed back through dispatch, bounded like the reference's recursion
+    depth). Zip, tar and tar.gz/gz are stdlib-native; a bare .gz (not a
+    tarball) yields one member with the .gz suffix stripped."""
     out: List[Tuple[str, bytes]] = []
-    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-        for info in zf.infolist()[:max_members]:
-            if info.is_dir():
-                continue
-            out.append((info.filename, zf.read(info)))
-    return out
+    if payload[:4] == b"PK\x03\x04":
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            for info in zf.infolist()[:max_members]:
+                if info.is_dir():
+                    continue
+                out.append((info.filename, zf.read(info)))
+        return out
+    import gzip
+    import tarfile
+
+    data = payload
+    if payload[:2] == b"\x1f\x8b":
+        data = gzip.decompress(payload)
+    if data[257:262] == b"ustar" or _is_tar(data):
+        with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+            for member in tf.getmembers()[:max_members]:
+                if not member.isfile():
+                    continue
+                f = tf.extractfile(member)
+                if f is not None:
+                    out.append((member.name.rsplit("/", 1)[-1], f.read()))
+        return out
+    if payload[:2] == b"\x1f\x8b":  # bare gzip of a single file
+        return [("member", data)]
+    raise ValueError("unsupported archive payload")
+
+
+def _is_tar(data: bytes) -> bool:
+    import tarfile
+
+    try:
+        with tarfile.open(fileobj=io.BytesIO(data)):
+            return True
+    except tarfile.TarError:
+        return False
 
 
 # --- attachments (attachments_handler.py:31-81 re-entry semantics) -----------
@@ -344,11 +375,11 @@ _EXT_FORMATS = {
     "odt": "odt", "ods": "ods", "odp": "odp",  # native (core/odf_extract.py)
     "xls": "xls",  # native BIFF8 reader (core/xls_extract.py)
     "ppt": "ppt",  # native record-scan reader (core/doc_extract.py)
-    # archive formats needing external unpackers (reference archive_reader
-    # handles rar/7z via rarfile/py7zr — absent here, typed error instead)
+    # rar/7z need external unpackers (reference uses rarfile/py7zr) →
+    # typed error; tar/gz are stdlib-native and join the archive channel
     "rar": "needs_unpacker:rar",
     "7z": "needs_unpacker:7z",
-    "gz": "needs_unpacker:gz", "tar": "needs_unpacker:tar",
+    "gz": "zip", "tgz": "zip", "tar": "zip",
     # binary media: typed routing to the (stubbed) decoder channel instead
     # of markup fallback — the reference's image path needs OCR (de-scoped)
     "png": "media:image/png",
@@ -409,6 +440,8 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
             return "needs_unpacker:rar"
         if payload[:6] == b"7z\xbc\xaf\x27\x1c":
             return "needs_unpacker:7z"
+        if payload[:2] == b"\x1f\x8b" or payload[257:262] == b"ustar":
+            return "zip"  # tar/gz join the archive-explosion channel
         if payload[:4] == b"PK\x03\x04":
             try:
                 with zipfile.ZipFile(io.BytesIO(payload)) as zf:

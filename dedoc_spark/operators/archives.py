@@ -103,7 +103,9 @@ def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None
     from dedoc_spark.operators.pipeline import extract_stage
 
     maybe_zip = F.col("html").isNotNull() & (
-        F.substring(F.col("html").cast("binary"), 1, 4) == F.lit(b"PK\x03\x04")
+        (F.substring(F.col("html").cast("binary"), 1, 4) == F.lit(b"PK\x03\x04"))
+        | (F.substring(F.col("html").cast("binary"), 1, 2) == F.lit(b"\x1f\x8b"))
+        | (F.substring(F.col("html").cast("binary"), 258, 5) == F.lit(b"ustar"))
     )
     out = extract_stage(df.filter(~maybe_zip), params=params)
     pending = df.filter(maybe_zip).select("url", "html")
@@ -116,7 +118,9 @@ def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None
         )
         ok = classified.filter(F.col("kind") != "error")
         is_zip_m = (F.col("kind") == "member") & (
-            F.substring(F.col("html"), 1, 4) == F.lit(b"PK\x03\x04")
+            (F.substring(F.col("html"), 1, 4) == F.lit(b"PK\x03\x04"))
+            | (F.substring(F.col("html"), 1, 2) == F.lit(b"\x1f\x8b"))
+            | (F.substring(F.col("html"), 258, 5) == F.lit(b"ustar"))
         )
         out = out.unionByName(extract_stage(ok.filter(~is_zip_m), params=params))
         pending = ok.filter(is_zip_m).select("url", "html")

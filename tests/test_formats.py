@@ -391,3 +391,42 @@ def test_rar_7z_typed_routing():
     assert detect_format("https://x/a.7z", b"??", None) == "needs_unpacker:7z"
     d = extract_document("https://x/a.rar", rar, None)
     assert d["error"] == "needs_unpacker:rar" and d["n_lines"] == 0
+
+
+def test_tar_gz_archives_native(spark):
+    """tar/tar.gz join the archive channel (stdlib): members become rows."""
+    import gzip
+    import tarfile
+
+    from dedoc_spark.core.formats import list_attachments
+    from dedoc_spark.operators.archives import extract_with_archives
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [("page.html", b"<p>tarred page</p>"), ("notes.txt", b"tar notes")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    tgz = gzip.compress(buf.getvalue())
+
+    assert detect_format("https://a/bundle.tar.gz", tgz, None) == "zip"
+    assert detect_format("https://a/download", tgz, None) == "zip"  # gzip magic
+    assert detect_format("https://a/download", buf.getvalue(), None) == "zip"  # ustar
+
+    atts = list_attachments("b.tar", buf.getvalue())
+    assert [n for n, _ in atts] == ["page.html", "notes.txt"]
+
+    df = spark.createDataFrame(
+        [("https://a/b.tgz", bytearray(tgz), "")], "url string, html binary, text string"
+    )
+    out = {r.url: r for r in extract_with_archives(df).collect()}
+    assert "tarred page" in out["https://a/b.tgz#page.html"].text_extracted
+    assert "tar notes" in out["https://a/b.tgz#notes.txt"].text_extracted
+
+
+def test_bare_gzip_single_member():
+    from dedoc_spark.core.formats import list_archive_members
+    import gzip
+
+    gz = gzip.compress(b"just some text")
+    assert list_archive_members(gz) == [("member", b"just some text")]
