@@ -94,3 +94,39 @@ def test_tree_contains_all_line_text(texts):
     for t in texts:
         if "\n" not in t:
             assert t in rendered
+
+
+@given(st.integers(0, 10_000), st.integers(0, 255), st.sampled_from(["xls", "doc", "ppt", "rtf", "odt", "zip"]))
+@settings(max_examples=120, deadline=None)
+def test_mutated_binary_payloads_never_raise(pos, byte, kind):
+    """Single-byte mutations of valid legacy-format payloads must land in
+    the error channel, never raise: the per-row parsers are fed hostile
+    bytes at corpus scale."""
+    from dedoc_spark.sources.office_fixture import build_doc, build_ppt, build_xls
+
+    import io
+    import zipfile
+
+    if kind == "xls":
+        payload = bytearray(build_xls([[["a", 1], ["b", 2]]]))
+    elif kind == "doc":
+        payload = bytearray(build_doc(["first paragraph", "second"]))
+    elif kind == "ppt":
+        payload = bytearray(build_ppt(["slide text"]))
+    elif kind == "rtf":
+        payload = bytearray(b"{\\rtf1\\ansi Hello \\b world\\b0\\par \\u1055? text\\par}")
+    elif kind == "odt":
+        from dedoc_spark.sources.office_fixture import build_odt
+
+        payload = bytearray(build_odt([("h", 1, "T"), ("p", "body")]))
+    else:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("a.html", "<p>x</p>")
+        payload = bytearray(buf.getvalue())
+    payload[pos % len(payload)] = byte
+    d = extract_document(f"https://fuzz.example/f.{kind}", bytes(payload), None)
+    assert set(d) == {
+        "url", "text_extracted", "text_linear", "n_lines", "n_tables",
+        "lines_json", "tree_json", "nodes_json", "tables_json", "warnings", "error",
+    }
