@@ -131,6 +131,29 @@ input measures 6,706 → 24,500 docs/s from 8 → 32 pinned procs (0.91),
 with Spark reaching ~85-90% of that control at 32-wide (the remainder:
 Arrow transfer + JVM scan threads sharing the pinned cores).
 
+## Plan audit (physical plans, `.explain("formatted")`, local[4])
+
+Facts the scale claims rest on, re-checked this round:
+
+- **Extraction (q17/q18/q21-q24/q27)**: Scan → Project → MapInPandas,
+  **zero Exchange** — scan-aligned by design; salting and the oversized-doc
+  route are opt-in valves (pipeline.py). Column pruning reaches the scan
+  (only url/html/text read).
+- **q08 LSH**: signatures persist (DISK_ONLY) — the self-join's both sides
+  read `InMemoryTableScan` (2 occurrences in the plan), lineage stays
+  attached for executor-loss recovery. No CartesianProduct anywhere.
+- **q25/q26 pair-driven verify**: candidate pairs equi-join to the
+  shingle-set/vector tables — plans show only SortMerge/Hash joins,
+  **0 CartesianProduct / 0 BroadcastNestedLoop**; cost is linear in
+  |candidates|.
+- **q12 multi-query top-k**: `WindowGroupLimit Partial` prunes to top-k
+  per input partition BEFORE any exchange; the first shuffle keys on
+  (query_id, partition_id) — parallelism = scan partitions, not |queries|;
+  the final per-query window ranks only ≤ k·n_partitions survivors.
+- **q29 connected components**: one shuffle per label-propagation
+  iteration, labels persisted per level, loop exits on a converged count
+  (near-dup clusters are shallow, 2-3 iterations at sf0.01).
+
 ## vs reference baseline (BASELINE.md)
 
 Reference HTML parsing ≈ 10 docs/s/core (whole pipeline,
