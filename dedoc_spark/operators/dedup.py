@@ -248,6 +248,37 @@ def connected_components(
     return labels
 
 
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """One-call near-dup dedup — the whole blessed chain:
+
+      minhash_lsh_pairs → jaccard_for_pairs (≥ threshold)
+      → connected_components → min-id representative per group.
+
+    Returns the input columns plus ``comp`` (duplicate-group id; equals the
+    row's own id for non-duplicates) and ``is_representative`` — filter on
+    it to keep one document per group. Every stage is candidate-driven
+    (no all-pairs join anywhere), so cost scales with real collisions."""
+    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n, max_bucket)
+    verified = jaccard_for_pairs(cand, df, text_col, id_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+    comps = connected_components(verified.select("a", "b")).withColumnRenamed("id", id_col)
+    return (
+        df.join(comps, id_col, "left")
+        .withColumn("comp", F.coalesce(F.col("comp"), F.col(id_col)))
+        .withColumn("is_representative", F.col("comp") == F.col(id_col))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

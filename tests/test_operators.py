@@ -276,3 +276,17 @@ def test_dedup_chain_end_to_end(spark, docs):
     verified = jaccard_for_pairs(cand, docs).filter("jaccard >= 0.8")
     comp = {r.id: r.comp for r in connected_components(verified).collect()}
     assert comp[1] == 1 and comp[2] == 1
+
+
+def test_dedup_corpus_one_call(spark, docs):
+    """dedup_corpus: doc 2 (exact dup of 1) joins comp 1 and loses the
+    representative flag; everything else keeps itself."""
+    from dedoc_spark.operators.dedup import dedup_corpus
+
+    out = {r.doc_id: (r.comp, r.is_representative) for r in dedup_corpus(docs, threshold=0.9).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    for i in (3, 4, 5, 6):
+        assert out[i] == (i, True)
+    kept = [i for i, (_, rep) in out.items() if rep]
+    assert sorted(kept) == [1, 3, 4, 5, 6]
