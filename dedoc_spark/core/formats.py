@@ -407,6 +407,16 @@ _MEDIA_MAGIC = [
 _OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
 
+def _is_valid_tar(payload: bytes) -> bool:
+    import tarfile
+
+    try:
+        with tarfile.open(fileobj=io.BytesIO(payload)):
+            return True
+    except tarfile.TarError:
+        return False
+
+
 def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> str:
     """Extension-first, then content-magic re-sniff (the reference's retry
     collapsed to one pass)."""
@@ -440,8 +450,10 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
             return "needs_unpacker:rar"
         if payload[:6] == b"7z\xbc\xaf\x27\x1c":
             return "needs_unpacker:7z"
-        if payload[:2] == b"\x1f\x8b" or payload[257:262] == b"ustar":
-            return "zip"  # tar/gz join the archive-explosion channel
+        if payload[:2] == b"\x1f\x8b":
+            return "zip"  # gzip joins the archive-explosion channel
+        if payload[257:262] == b"ustar" and _is_valid_tar(payload):
+            return "zip"  # verified tar (plain text can contain 'ustar')
         if payload[:4] == b"PK\x03\x04":
             try:
                 with zipfile.ZipFile(io.BytesIO(payload)) as zf:

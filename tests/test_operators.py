@@ -290,3 +290,17 @@ def test_dedup_corpus_one_call(spark, docs):
         assert out[i] == (i, True)
     kept = [i for i, (_, rep) in out.items() if rep]
     assert sorted(kept) == [1, 3, 4, 5, 6]
+
+
+def test_frame_sample_plan(spark):
+    """Video frame fan-out: (video, frame_idx) rows every n frames — the
+    partitioning shape for per-frame decode tasks."""
+    from dedoc_spark.operators.multimodal import frame_sample_plan
+
+    df = spark.createDataFrame([(1, 100), (2, 15), (3, 0)], "media_id bigint, n_frames int")
+    got = {}
+    for r in frame_sample_plan(df, every_n=30).collect():
+        got.setdefault(r.media_id, []).append(r.frame_idx)
+    assert got[1] == [0, 30, 60, 90]
+    assert got[2] == [0]
+    assert got[3] == [0]  # zero-frame video still yields the 0 index row
