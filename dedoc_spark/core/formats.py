@@ -331,6 +331,13 @@ def decode_text_payload(payload: bytes, encoding: Optional[str] = None) -> str:
         return payload.decode("utf-8")
     except UnicodeDecodeError:
         pass
+    # Western vs Cyrillic split on high-byte density: accented Latin text
+    # has isolated ≥0x80 bytes (é, ü, ç) inside ASCII words; Cyrillic text
+    # is nearly all high bytes. The 25% line separates them decisively and
+    # deterministically.
+    high = sum(1 for b in payload if b >= 0x80)
+    if payload and high / len(payload) < 0.25:
+        return payload.decode("cp1252", errors="replace")
     best_text = None
     best_score = -1.0
     for candidate in ("cp1251", "koi8-r", "cp866"):
