@@ -84,3 +84,33 @@ def test_docx_metadata():
         zf.writestr("docProps/core.xml", core)
     meta = extract_docx_metadata(buf.getvalue())
     assert meta == {"title": "T", "creator": "A", "created": "2024-01-01T00:00:00Z"}
+
+
+def test_json2html_rendering():
+    """Debug HTML rendering parity (api_utils.py:114-260): strong headers,
+    em list items, &nbsp; indents with node ids, annotation span tags, and
+    a bordered tables section with hidden merged-cell clones."""
+    from dedoc_spark.core.json2html import json2html
+    from dedoc_spark.core.model import Annotation, Cell, HierarchyLevel, Line, Table
+    from dedoc_spark.core.structure import assign_hierarchy_levels
+    from dedoc_spark.core.tree import construct_tree
+
+    lines = [
+        Line(line="Title", tag_hl=HierarchyLevel(1, 1, False, "header")),
+        Line(line="bold body", annotations=[Annotation(0, 4, "bold", "True")]),
+        Line(line="1. item", line_id=2),
+    ]
+    for i, ln in enumerate(lines):
+        ln.line_id = i
+    assign_hierarchy_levels(lines)
+    tree = construct_tree(lines)
+    cells = [[Cell(lines=[Line(line="A")]), Cell(lines=[Line(line="B")], invisible=True)]]
+    table = Table(cells=cells, page_id=0, uid="tuid1")
+    html = json2html(tree, [table])
+    assert "<strong>Title</strong>" in html
+    assert "<b>bold</b>" in html
+    assert "<em>1. item</em>" in html
+    assert "id = 0.0 ; type = header" in html
+    assert '<table border="1" id=tuid1' in html
+    assert 'style="display: none"' in html
+    assert "<h3> Tables: </h3>" in html
