@@ -110,6 +110,27 @@ def synthetic_training_set(n: int = 200) -> Tuple[List[str], List[int]]:
     return texts, labels
 
 
+def save_model(model: LogisticModel, path: str) -> None:
+    """Persist as JSON (the same artifact shape the reference downloads for
+    its XGBoost txtlayer model — a json file loaded once per process,
+    txtlayer_classifier.py:30-38)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({"weights": model.weights.tolist(), "bias": model.bias,
+                   "features": FEATURE_NAMES}, f)
+
+
+def load_model(path: str) -> LogisticModel:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("features") != FEATURE_NAMES:
+        raise ValueError("model trained on a different feature set")
+    return LogisticModel(np.asarray(d["weights"], dtype=np.float64), float(d["bias"]))
+
+
 def train_default_model() -> LogisticModel:
     texts, labels = synthetic_training_set()
     X = features_frame(pd.Series(texts))

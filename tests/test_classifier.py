@@ -54,3 +54,15 @@ def test_broadcast_ships_weights_not_closure_heavy_state(spark):
     assert len(out) == 1 and out[0].is_good
     # driver model untouched by executor-side predicts
     assert isinstance(model, LogisticModel)
+
+
+def test_model_save_load_roundtrip(tmp_path):
+    from dedoc_spark.operators.classifier import load_model, save_model
+
+    m = train_default_model()
+    path = str(tmp_path / "model.json")
+    save_model(m, path)
+    m2 = load_model(path)
+    texts, _ = synthetic_training_set(40)
+    X = features_frame(pd.Series(texts))
+    assert np.array_equal(m.predict_proba(X), m2.predict_proba(X))
