@@ -101,6 +101,92 @@ def cosine_topk_multi(
     )
 
 
+def _argmax_cluster(v, centroids: List[List[float]]):
+    """Column expression: index of the max-cosine centroid (struct-max
+    trick: Spark compares structs field-by-field, so max((score, idx))
+    yields the argmax; centroids ship as literals — k×dim is small)."""
+    scored = [
+        F.struct(cosine(v, _vec_lit(c)).alias("s"), F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_max(F.array(*scored))["i"]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> List[List[float]]:
+    """Deterministic spherical k-means for the IVF coarse quantizer.
+
+    Init: the k rows with the smallest md5(id) (content-derived, no RNG).
+    Each iteration: one distributed assign (argmax-cosine over broadcast
+    centroid literals) + one groupBy-avg; only the k×dim centroid matrix
+    ever reaches the driver. Empty clusters keep their previous centroid.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    seeds = (
+        df.select(F.col(id_col), v.alias("v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r.v) for r in seeds]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = df.select(_argmax_cluster(v, centroids).alias("c"), v.alias("v"))
+        means = (
+            assigned.groupBy("c")
+            .agg(*[F.avg(F.col("v")[d]).alias(f"d{d}") for d in range(dim)])
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for r in means:
+            new_centroids[r.c] = [float(r[f"d{d}"]) for d in range(dim)]
+        centroids = new_centroids
+    return centroids
+
+
+def with_ivf_cluster(
+    df: DataFrame, centroids: List[List[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF list assignment — at scale this is the partition/bucket column
+    the index is written under (one parquet directory per list)."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn("ivf_cluster", _argmax_cluster(v, centroids))
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    centroids: List[List[float]],
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: score only the nprobe lists whose centroids are nearest
+    the query — the scan prunes to ~nprobe/k of the corpus (exact within
+    probed lists; recall < 1 by construction like any IVF). With the
+    cluster column as a partition key, the pruning is partition pruning."""
+    import math
+
+    def cos_py(a: Sequence[float], b: Sequence[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    q = [float(x) for x in query]
+    order = sorted(range(len(centroids)), key=lambda i: (-cos_py(q, centroids[i]), i))
+    probes = order[: max(1, nprobe)]
+    bucketed = df if "ivf_cluster" in df.columns else with_ivf_cluster(df, centroids, vec_col)
+    cand = bucketed.filter(F.col("ivf_cluster").isin(probes))
+    return cosine_topk(cand, query, k, vec_col, id_col)
+
+
 def _hyperplane(plane: int, dim: int) -> List[float]:
     """Deterministic pseudo-random unit-ish hyperplane from md5 bytes."""
     import hashlib

@@ -1214,6 +1214,41 @@ SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS comp FROM reach GROUP BY id
 """
 
 # ---------------------------------------------------------------------------
+# q30 IVF list assignment: argmax-cosine over md5-seeded coarse centroids
+# (iters=0 → the seed selection and the assignment math are both exactly
+# SQL-mirrorable; the k-means refinement loop is Spark-tested separately)
+
+
+def q30_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.operators.similarity import kmeans_fit, with_ivf_cluster
+
+    emb = _emb(spark, sf_dir)
+    centroids = kmeans_fit(emb, k=8, iters=0)
+    return with_ivf_cluster(emb, centroids).select(
+        "vec_id", F.col("ivf_cluster").cast("long").alias("ivf_cluster")
+    )
+
+
+Q30_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT v, i FROM (
+    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS i
+    FROM e
+  ) WHERE i < 8
+),
+scored AS (
+  SELECT e.vec_id, s.i,
+         list_sum(list_transform(generate_series(1, len(e.v)), j -> e.v[j] * s.v[j]))
+           / (sqrt(list_sum(list_transform(e.v, x -> x * x))) * sqrt(list_sum(list_transform(s.v, x -> x * x)))) AS cos
+  FROM e CROSS JOIN seeds s
+)
+SELECT vec_id, CAST(i AS BIGINT) AS ivf_cluster
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, i DESC) = 1
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1245,6 +1280,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_xls_extract": q27_xls_extract,
     "q28_attachment_extract": q28_attachment_extract,
     "q29_dup_groups": q29_dup_groups,
+    "q30_ivf_assign": q30_ivf_assign,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1277,4 +1313,5 @@ ORACLES: Dict[str, str] = {
     "q27_xls_extract": Q27_SQL,
     "q28_attachment_extract": Q28_SQL,
     "q29_dup_groups": Q29_SQL,
+    "q30_ivf_assign": Q30_SQL,
 }

@@ -304,3 +304,33 @@ def test_frame_sample_plan(spark):
     assert got[1] == [0, 30, 60, 90]
     assert got[2] == [0]
     assert got[3] == [0]  # zero-frame video still yields the 0 index row
+
+
+def test_ivf_kmeans_and_search(spark, embeddings):
+    """IVF coarse quantizer: deterministic k-means, list assignment, probe
+    search finds the planted duplicate; fewer rows scanned than the corpus."""
+    from dedoc_spark.operators.similarity import (
+        cosine_topk_ivf,
+        kmeans_fit,
+        with_ivf_cluster,
+    )
+
+    centroids = kmeans_fit(embeddings, k=4, iters=3, id_col="vec_id")
+    assert len(centroids) == 4 and len(centroids[0]) == 8
+    # determinism: refit gives identical centroids
+    assert kmeans_fit(embeddings, k=4, iters=3, id_col="vec_id") == centroids
+
+    bucketed = with_ivf_cluster(embeddings, centroids)
+    counts = {r.ivf_cluster: r.n for r in bucketed.groupBy("ivf_cluster").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 51 and len(counts) >= 2  # real partitioning
+
+    import hashlib
+
+    q = [b / 255.0 - 0.5 for b in hashlib.md5(b"v7").digest()[:8]]
+    top = cosine_topk_ivf(bucketed, centroids, q, k=3, nprobe=2).collect()
+    assert top[0].vec_id in (7, 99)
+    assert top[0].cos == pytest.approx(1.0, abs=1e-6)
+    # probing fewer lists scans fewer rows than the corpus
+    probed = bucketed.filter(F.col("ivf_cluster").isin(
+        sorted(counts, key=lambda c: -counts[c])[:1])).count()
+    assert probed < 51
