@@ -59,6 +59,35 @@ def lang_id(col: Column) -> Column:
     )
 
 
+# stopword alternations per language — the n-gram-heuristic language id
+# (kept short + high-frequency so counts separate languages decisively)
+LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|is|that|with)\b",
+    "de": r"\b(der|die|und|das|ist|nicht|ein)\b",
+    "fr": r"\b(le|la|les|des|est|une|dans)\b",
+    "es": r"\b(el|los|las|una|que|por|con)\b",
+}
+
+
+def lang_id_multi(col: Column) -> Column:
+    """Multi-language id: Cyrillic script dominance → ru; otherwise the
+    language with the most stopword hits (fixed en→de→fr→es tie-break, no
+    hits → unknown). Pure column expressions (regexp_count is JVM-side),
+    mirrored verbatim by the DuckDB oracle."""
+    low = F.lower(col)
+    cyr = cyrillic_count(col)
+    lat = latin_count(col)
+    c = {lang: F.regexp_count(low, F.lit(pat)) for lang, pat in LANG_STOPWORDS.items()}
+    return (
+        F.when((cyr > lat) & (cyr > 0), F.lit("ru"))
+        .when((c["en"] == 0) & (c["de"] == 0) & (c["fr"] == 0) & (c["es"] == 0), F.lit("unknown"))
+        .when((c["en"] >= c["de"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["es"]), F.lit("en"))
+        .when((c["de"] >= c["fr"]) & (c["de"] >= c["es"]), F.lit("de"))
+        .when(c["fr"] >= c["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
 def alpha_ratio(col: Column) -> Column:
     alpha = F.length(col) - F.length(F.regexp_replace(F.lower(col), r"[a-zа-яё]", ""))
     return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(

@@ -1249,6 +1249,37 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, i DESC) = 1
 """
 
 # ---------------------------------------------------------------------------
+# q31 multi-language id (stopword n-gram heuristic, expression-mirrored)
+
+
+def q31_lang_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.functions import lang_id_multi
+
+    return _docs(spark, sf_dir).select("doc_id", lang_id_multi(F.col("text")).alias("lang_multi"))
+
+
+Q31_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lower(text) AS low,
+         length(text) - length(regexp_replace(lower(text), '[а-яё]', '', 'g')) AS cyr,
+         length(text) - length(regexp_replace(lower(text), '[a-z]', '', 'g')) AS lat,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|with)\b')) AS c_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein)\b')) AS c_de,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|des|est|une|dans)\b')) AS c_fr,
+         len(regexp_extract_all(lower(text), '\b(el|los|las|una|que|por|con)\b')) AS c_es
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN cyr > lat AND cyr > 0 THEN 'ru'
+       WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'unknown'
+       WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+       WHEN c_fr >= c_es THEN 'fr'
+       ELSE 'es' END AS lang_multi
+FROM t
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1281,6 +1312,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_attachment_extract": q28_attachment_extract,
     "q29_dup_groups": q29_dup_groups,
     "q30_ivf_assign": q30_ivf_assign,
+    "q31_lang_multi": q31_lang_multi,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1314,4 +1346,5 @@ ORACLES: Dict[str, str] = {
     "q28_attachment_extract": Q28_SQL,
     "q29_dup_groups": Q29_SQL,
     "q30_ivf_assign": Q30_SQL,
+    "q31_lang_multi": Q31_SQL,
 }

@@ -334,3 +334,19 @@ def test_ivf_kmeans_and_search(spark, embeddings):
     probed = bucketed.filter(F.col("ivf_cluster").isin(
         sorted(counts, key=lambda c: -counts[c])[:1])).count()
     assert probed < 51
+
+
+def test_lang_id_multi(spark):
+    from dedoc_spark.functions import lang_id_multi
+
+    rows = [
+        (1, "the cat sat on the mat and that is that"),
+        (2, "der Hund ist nicht in das Haus und die Katze"),
+        (3, "le chat est dans la maison avec les souris"),
+        (4, "el perro que vive con los gatos por las calles"),
+        (5, "русский текст про кошек и собак"),
+        (6, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = {r.id: r.lang for r in df.select("id", lang_id_multi(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "ru", 6: "unknown"}
