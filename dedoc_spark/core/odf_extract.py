@@ -19,30 +19,80 @@ from __future__ import annotations
 import hashlib
 import io
 import zipfile
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 from xml.etree import ElementTree as ET
 
-from dedoc_spark.core.model import Cell, HierarchyLevel, Line, Table
+from dedoc_spark.core.annotation_merger import merge_annotations
+from dedoc_spark.core.model import Annotation, Cell, HierarchyLevel, Line, Table
 
 _TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
 _TABLE = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
 _DRAW = "{urn:oasis:names:tc:opendocument:xmlns:drawing:1.0}"
 _OFFICE = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+_STYLE = "{urn:oasis:names:tc:opendocument:xmlns:style:1.0}"
+_FO = "{urn:oasis:names:tc:opendocument:xmlns:xsl-fo-compatible:1.0}"
 
 
-def _para_text(el: ET.Element) -> str:
-    """Paragraph text with tab/line-break/space elements expanded."""
+def _parse_text_styles(root: ET.Element) -> Dict[str, Dict[str, str]]:
+    """automatic-styles → {style-name: {bold/italic/underlined: 'True'}}
+    from style:text-properties (fo:font-weight, fo:font-style,
+    style:text-underline-style)."""
+    styles: Dict[str, Dict[str, str]] = {}
+    auto = root.find(f"{_OFFICE}automatic-styles")
+    if auto is None:
+        return styles
+    for st in auto.findall(f"{_STYLE}style"):
+        name = st.get(f"{_STYLE}name")
+        props = st.find(f"{_STYLE}text-properties")
+        if not name or props is None:
+            continue
+        flags: Dict[str, str] = {}
+        if props.get(f"{_FO}font-weight") == "bold":
+            flags["bold"] = "True"
+        if props.get(f"{_FO}font-style") == "italic":
+            flags["italic"] = "True"
+        underline = props.get(f"{_STYLE}text-underline-style")
+        if underline and underline != "none":
+            flags["underlined"] = "True"
+        if flags:
+            styles[name] = flags
+    return styles
+
+
+def _para_text(el: ET.Element, styles: Optional[Dict[str, Dict[str, str]]] = None,
+               annotations: Optional[List[Annotation]] = None, offset: int = 0) -> str:
+    """Paragraph text with tab/line-break/space elements expanded; when
+    ``styles``/``annotations`` are given, text:span style refs become
+    bold/italic/underlined annotations at the span offsets."""
     parts: List[str] = [el.text or ""]
+    pos = offset + len(parts[0])
     for child in el:
         if child.tag == f"{_TEXT}tab":
-            parts.append("\t")
+            chunk = "\t"
+            parts.append(chunk)
+            pos += 1
         elif child.tag == f"{_TEXT}line-break":
             parts.append("\n")
+            pos += 1
         elif child.tag == f"{_TEXT}s":
-            parts.append(" " * int(child.get(f"{_TEXT}c", "1")))
+            chunk = " " * int(child.get(f"{_TEXT}c", "1"))
+            parts.append(chunk)
+            pos += len(chunk)
         else:
-            parts.append(_para_text(child))
-        parts.append(child.tail or "")
+            start = pos
+            inner = _para_text(child, styles, annotations, pos)
+            parts.append(inner)
+            pos += len(inner)
+            if (
+                styles is not None
+                and annotations is not None
+                and child.tag == f"{_TEXT}span"
+            ):
+                for name, value in styles.get(child.get(f"{_TEXT}style-name") or "", {}).items():
+                    annotations.append(Annotation(start, pos, name, value))
+        tail = child.tail or ""
+        parts.append(tail)
+        pos += len(tail)
     return "".join(parts)
 
 
@@ -54,25 +104,31 @@ def _content_root(payload: bytes) -> ET.Element:
 def extract_odt(payload: bytes, url_hash: str = "") -> Tuple[List[Line], List[Table], List[str]]:
     root = _content_root(payload)
     body = root.find(f"{_OFFICE}body/{_OFFICE}text")
+    text_styles = _parse_text_styles(root)
     lines: List[Line] = []
     tables: List[Table] = []
 
     def uid(tag: str, text: str) -> str:
         return f"{url_hash}_{hashlib.md5(f'odt{tag}{len(lines)}{text}'.encode()).hexdigest()}"
 
+    def para_line(el: ET.Element) -> Tuple[str, List[Annotation]]:
+        anns: List[Annotation] = []
+        text = _para_text(el, text_styles, anns)
+        return text, merge_annotations(anns, text)
+
     def walk(el: ET.Element, list_depth: int = 0) -> None:
         for child in el:
             if child.tag == f"{_TEXT}h":
-                text = _para_text(child)
+                text, anns = para_line(child)
                 level = int(child.get(f"{_TEXT}outline-level", "1"))
-                lines.append(Line(line=text, tag_hl=HierarchyLevel(1, level, False, HierarchyLevel.header), uid=uid("h", text)))
+                lines.append(Line(line=text, tag_hl=HierarchyLevel(1, level, False, HierarchyLevel.header), annotations=anns, uid=uid("h", text)))
             elif child.tag == f"{_TEXT}p":
-                text = _para_text(child)
+                text, anns = para_line(child)
                 if list_depth > 0:
                     hl = HierarchyLevel(2, list_depth, False, HierarchyLevel.list_item)
-                    lines.append(Line(line=text, tag_hl=hl, uid=uid("li", text)))
+                    lines.append(Line(line=text, tag_hl=hl, annotations=anns, uid=uid("li", text)))
                 else:
-                    lines.append(Line(line=text, uid=uid("p", text)))
+                    lines.append(Line(line=text, annotations=anns, uid=uid("p", text)))
             elif child.tag == f"{_TEXT}list":
                 walk(child, list_depth + 1)
             elif child.tag == f"{_TEXT}list-item":

@@ -309,14 +309,24 @@ _ODF_NS = (
     'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
     'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
     'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
-    'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"'
+    'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0" '
+    'xmlns:style="urn:oasis:names:tc:opendocument:xmlns:style:1.0" '
+    'xmlns:fo="urn:oasis:names:tc:opendocument:xmlns:xsl-fo-compatible:1.0"'
+)
+
+ODT_SPAN_STYLES = (
+    '<style:style style:name="B1" style:family="text">'
+    '<style:text-properties fo:font-weight="bold"/></style:style>'
+    '<style:style style:name="I1" style:family="text">'
+    '<style:text-properties fo:font-style="italic" style:text-underline-style="solid"/></style:style>'
 )
 
 
-def _odf_zip(mimetype: str, body: str) -> bytes:
+def _odf_zip(mimetype: str, body: str, auto_styles: str = "") -> bytes:
+    styles_part = f"<office:automatic-styles>{auto_styles}</office:automatic-styles>" if auto_styles else ""
     content = (
         f'<?xml version="1.0"?><office:document-content {_ODF_NS}>'
-        f"<office:body>{body}</office:body></office:document-content>"
+        f"{styles_part}<office:body>{body}</office:body></office:document-content>"
     )
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
@@ -336,9 +346,12 @@ def build_odt(items: Sequence[tuple]) -> bytes:
         elif item[0] == "list":
             lis = "".join(f"<text:list-item><text:p>{t}</text:p></text:list-item>" for t in item[1])
             parts.append(f"<text:list>{lis}</text:list>")
+        elif item[0] == "raw":  # raw office:text XML (spans etc.)
+            parts.append(item[1])
     return _odf_zip(
         "application/vnd.oasis.opendocument.text",
         f"<office:text>{''.join(parts)}</office:text>",
+        auto_styles=ODT_SPAN_STYLES,
     )
 
 

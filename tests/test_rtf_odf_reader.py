@@ -67,3 +67,19 @@ def test_odp_slides():
     ]
     d = extract_document("https://x/d.odp", odp, None)
     assert d["error"] is None and "Second title" in d["text_extracted"]
+
+
+def test_odt_span_style_annotations():
+    """text:span style refs resolve through automatic-styles into
+    bold/italic/underlined annotations at exact span offsets."""
+    odt = build_odt([
+        ("raw", '<text:p>plain <text:span text:style-name="B1">bold part</text:span>'
+                ' then <text:span text:style-name="I1">both</text:span></text:p>'),
+    ])
+    lines, _, _ = extract_odt(odt, "h")
+    assert lines[0].line == "plain bold part then both"
+    anns = {(a.name): (a.start, a.end) for a in lines[0].annotations}
+    assert anns["bold"] == (6, 15)
+    assert lines[0].line[6:15] == "bold part"
+    assert anns["italic"] == (21, 25) and anns["underlined"] == (21, 25)
+    assert lines[0].line[21:25] == "both"
