@@ -16,7 +16,7 @@ import hashlib
 import io
 import re
 import zipfile
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 from xml.etree import ElementTree as ET
 
 from dedoc_spark.core.model import Annotation, Cell, HierarchyLevel, Line, Table
@@ -124,17 +124,33 @@ def extract_pptx(payload: bytes, url_hash: str = "") -> Tuple[List[Line], List[T
             is_first_shape = True
             for node in sp_tree:
                 if node.tag.endswith("}sp"):
-                    texts = _shape_paragraph_texts(node)
-                    if not texts:
+                    paras = _shape_paragraphs(node)
+                    if not paras:
                         continue
-                    for t in texts:
-                        tag_hl = (
-                            HierarchyLevel(1, 1, False, HierarchyLevel.header)
-                            if is_first_shape
-                            else None
-                        )
-                        uid = f"{url_hash}_{hashlib.md5(f'pptx{slide_id}:{len(lines)}:{t}'.encode()).hexdigest()}"
-                        lines.append(Line(line=t, page_id=slide_id, tag_hl=tag_hl, uid=uid))
+                    # per-shape numbering counters (pptx shape.py:34-45:
+                    # deeper level restarts the sequence)
+                    numbering2shift: Dict[Tuple[str, int], int] = {}
+                    prev_list_level: Optional[int] = None
+                    for text, autonum, buchar, level in paras:
+                        if is_first_shape:
+                            tag_hl: Optional[HierarchyLevel] = HierarchyLevel(
+                                1, 1, False, HierarchyLevel.header
+                            )
+                        elif autonum is not None:
+                            if prev_list_level is not None and level > prev_list_level:
+                                numbering2shift[(autonum, level)] = 0
+                            shift = numbering2shift.setdefault((autonum, level), 0)
+                            numbering2shift[(autonum, level)] += 1
+                            prev_list_level = level
+                            text = _pptx_numbering_text(autonum, shift) + text
+                            tag_hl = HierarchyLevel(2, level, False, HierarchyLevel.list_item)
+                        elif buchar is not None:
+                            text = buchar + " " + text
+                            tag_hl = HierarchyLevel(3, level, False, HierarchyLevel.list_item)
+                        else:
+                            tag_hl = None
+                        uid = f"{url_hash}_{hashlib.md5(f'pptx{slide_id}:{len(lines)}:{text}'.encode()).hexdigest()}"
+                        lines.append(Line(line=text, page_id=slide_id, tag_hl=tag_hl, uid=uid))
                     is_first_shape = False
                 elif node.tag.endswith("}pic"):
                     blip = next(iter(node.iter(f"{_DRAW}blip")), None)
@@ -162,6 +178,55 @@ def _shape_paragraph_texts(sp: ET.Element) -> List[str]:
         text = "".join(t.text or "" for t in p.iter(f"{_DRAW}t"))
         if text.strip():
             out.append(text)
+    return out
+
+
+# ST_TextAutonumberScheme rendering (pptx numbering_extractor.py:1-52,
+# including its quirks: alpha wraps as aa/bb/cc and roman is additive-only)
+_PPTX_NUM_FMT = {"ParenBoth": "({}) ", "ParenR": "{}) ", "Period": "{}. ", "Plain": "{} "}
+_PPTX_ROMAN = [(1000, "m"), (500, "d"), (100, "c"), (50, "l"), (10, "x"), (5, "v"), (1, "i")]
+
+
+def _pptx_numbering_text(numbering: str, shift: int) -> str:
+    num_type, num_fmt = "arabic", "Period"
+    for t in ("arabic", "alphaLc", "alphaUc", "romanLc", "romanUc"):
+        for f in _PPTX_NUM_FMT:
+            if numbering == t + f:
+                num_type, num_fmt = t, f
+    if num_type in ("alphaLc", "alphaUc"):
+        shift1, shift2 = shift % 26, shift // 26 + 1
+        base = "a" if num_type == "alphaLc" else "A"
+        num_char = chr(ord(base) + shift1) * shift2
+    elif num_type in ("romanLc", "romanUc"):
+        num_char = ""
+        for number, letter in _PPTX_ROMAN:
+            cnt, shift = shift // number, shift % number
+            if num_type == "romanUc":
+                letter = letter.upper()
+            num_char += letter * cnt
+    else:
+        num_char = str(1 + shift)
+    return _PPTX_NUM_FMT[num_fmt].format(num_char)
+
+
+def _shape_paragraphs(sp: ET.Element) -> List[Tuple[str, Optional[str], Optional[str], int]]:
+    """(text, buAutoNum type, buChar char, level) per a:p — the bullet
+    state the reference reads from pPr (pptx paragraph.py:25-27)."""
+    out: List[Tuple[str, Optional[str], Optional[str], int]] = []
+    for p in sp.iter(f"{_DRAW}p"):
+        text = "".join(t.text or "" for t in p.iter(f"{_DRAW}t"))
+        if not text.strip():
+            continue
+        ppr = p.find(f"{_DRAW}pPr")
+        level = int(ppr.get("lvl", "0")) + 1 if ppr is not None else 1
+        autonum = ppr.find(f"{_DRAW}buAutoNum") if ppr is not None else None
+        buchar = ppr.find(f"{_DRAW}buChar") if ppr is not None else None
+        out.append((
+            text,
+            (autonum.get("type") or "arabicPeriod") if autonum is not None else None,
+            buchar.get("char") if buchar is not None else None,
+            level,
+        ))
     return out
 
 

@@ -52,8 +52,27 @@ def build_xlsx(sheets: Sequence[Sequence[Sequence[str]]]) -> bytes:
 
 
 def _pptx_shape(texts: Sequence[str]) -> str:
-    paras = "".join(f"<a:p><a:r><a:t>{t}</a:t></a:r></a:p>" for t in texts)
-    return f"<p:sp><p:txBody>{paras}</p:txBody></p:sp>"
+    """texts: plain strings, or tuples (text, bullet) where bullet is
+    'auto:<type>' (a:buAutoNum), 'char:<c>' (a:buChar), optionally with a
+    ':lvl<N>' suffix."""
+    paras = []
+    for t in texts:
+        if isinstance(t, tuple):
+            text, bullet = t
+            lvl = ""
+            if ":lvl" in bullet:
+                bullet, _, n = bullet.rpartition(":lvl")
+                lvl = f' lvl="{n}"'
+            if bullet.startswith("auto:"):
+                ppr = f'<a:pPr{lvl}><a:buAutoNum type="{bullet[5:]}"/></a:pPr>'
+            elif bullet.startswith("char:"):
+                ppr = f'<a:pPr{lvl}><a:buChar char="{bullet[5:]}"/></a:pPr>'
+            else:
+                ppr = f"<a:pPr{lvl}/>"
+            paras.append(f"<a:p>{ppr}<a:r><a:t>{text}</a:t></a:r></a:p>")
+        else:
+            paras.append(f"<a:p><a:r><a:t>{t}</a:t></a:r></a:p>")
+    return f"<p:sp><p:txBody>{''.join(paras)}</p:txBody></p:sp>"
 
 
 def _pptx_table(rows: Sequence[Sequence[str]]) -> str:

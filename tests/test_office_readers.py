@@ -90,3 +90,29 @@ def test_pptx_picture_only_slide_synthesizes_anchor():
     lines, _, _ = extract_pptx(build_pptx([{"shapes": [], "picture": "p.png"}]), "h")
     assert len(lines) == 1 and lines[0].line == ""
     assert any(a.name == "attachment" for a in lines[0].annotations)
+
+
+def test_pptx_bullets_and_numbering():
+    """a:buAutoNum renders the sequence text with the reference's scheme
+    quirks (alpha wraps aa/bb, per-shape counters, deeper level restarts);
+    a:buChar prefixes the char (pptx paragraph.py:25-46, shape.py:34-45)."""
+    from dedoc_spark.core.office_extract import extract_pptx
+    from dedoc_spark.sources.office_fixture import build_pptx
+
+    pptx = build_pptx([
+        {"shapes": [
+            ["The Title"],
+            [("first", "auto:arabicPeriod"), ("second", "auto:arabicPeriod"),
+             ("sub one", "auto:alphaLcParenR:lvl1"), ("third", "auto:arabicPeriod"),
+             ("starred", "char:•")],
+        ]}
+    ])
+    lines, _, _ = extract_pptx(pptx, "h")
+    texts = [(ln.line, ln.tag_hl.line_type if ln.tag_hl else None,
+              (ln.tag_hl.level_1, ln.tag_hl.level_2) if ln.tag_hl else None) for ln in lines]
+    assert texts[0] == ("The Title", "header", (1, 1))
+    assert texts[1] == ("1. first", "list_item", (2, 1))
+    assert texts[2] == ("2. second", "list_item", (2, 1))
+    assert texts[3] == ("a) sub one", "list_item", (2, 2))
+    assert texts[4] == ("3. third", "list_item", (2, 1))
+    assert texts[5] == ("• starred", "list_item", (3, 1))
