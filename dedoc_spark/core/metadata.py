@@ -252,3 +252,68 @@ def extract_image_metadata(payload: bytes) -> Dict[str, str]:
         else:
             out[field] = str(v)
     return out
+
+
+# --- OLE2 SummaryInformation (legacy doc/xls/ppt property set) ---------------
+
+_PIDSI = {
+    2: ("title", "str"),
+    3: ("subject", "str"),
+    4: ("author", "str"),
+    5: ("keywords", "str"),
+    6: ("comments", "str"),
+    8: ("last_saved_by", "str"),
+    12: ("created_time", "filetime"),
+    13: ("modified_time", "filetime"),
+}
+
+_FILETIME_EPOCH_DELTA = 11644473600  # seconds between 1601-01-01 and 1970-01-01
+
+
+def extract_ole2_metadata(payload: bytes) -> Dict[str, str]:
+    """[MS-OLEPS] \\x05SummaryInformation property set of a compound file:
+    the legacy analogue of docx core.xml (title/subject/author/keywords/
+    comments/last_saved_by + created/modified as unixtime strings)."""
+    import struct
+
+    from dedoc_spark.core.xls_extract import ole2_streams
+
+    try:
+        streams = ole2_streams(payload)
+    except ValueError:
+        return {}
+    ps = streams.get("\x05SummaryInformation")
+    if ps is None or len(ps) < 48:
+        return {}
+    out: Dict[str, str] = {}
+    try:
+        (num_sets,) = struct.unpack_from("<I", ps, 24)
+        if num_sets < 1:
+            return {}
+        (sec_off,) = struct.unpack_from("<I", ps, 28 + 16)
+        _cb, n_props = struct.unpack_from("<II", ps, sec_off)
+        for i in range(n_props):
+            pid, poff = struct.unpack_from("<II", ps, sec_off + 8 + i * 8)
+            spec = _PIDSI.get(pid)
+            if spec is None:
+                continue
+            field, kind = spec
+            (vt,) = struct.unpack_from("<I", ps, sec_off + poff)
+            vpos = sec_off + poff + 4
+            if kind == "str" and vt == 0x001E:  # VT_LPSTR
+                (cch,) = struct.unpack_from("<I", ps, vpos)
+                raw = ps[vpos + 4 : vpos + 4 + cch].split(b"\x00")[0]
+                if raw:
+                    out[field] = raw.decode("cp1252", "replace")
+            elif kind == "str" and vt == 0x001F:  # VT_LPWSTR
+                (cch,) = struct.unpack_from("<I", ps, vpos)
+                raw = ps[vpos + 4 : vpos + 4 + cch * 2].decode("utf-16-le", "replace").rstrip("\x00")
+                if raw:
+                    out[field] = raw
+            elif kind == "filetime" and vt == 0x0040:  # VT_FILETIME
+                (ft,) = struct.unpack_from("<Q", ps, vpos)
+                if ft:
+                    out[field] = str(ft // 10_000_000 - _FILETIME_EPOCH_DELTA)
+    except struct.error:
+        return out
+    return out

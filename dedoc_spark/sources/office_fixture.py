@@ -401,3 +401,43 @@ def build_odp(slides: Sequence[Sequence[str]]) -> bytes:
         "application/vnd.oasis.opendocument.presentation",
         f"<office:presentation>{pages}</office:presentation>",
     )
+
+
+def build_summary_info(fields: dict) -> bytes:
+    """\\x05SummaryInformation property-set stream ([MS-OLEPS] subset):
+    VT_LPSTR strings + VT_FILETIME for created/modified unix timestamps."""
+    import struct
+
+    pidsi = {"title": 2, "subject": 3, "author": 4, "keywords": 5,
+             "comments": 6, "last_saved_by": 8, "created_time": 12, "modified_time": 13}
+    props = []
+    for name, value in fields.items():
+        pid = pidsi[name]
+        if name in ("created_time", "modified_time"):
+            ft = (int(value) + 11644473600) * 10_000_000
+            props.append((pid, struct.pack("<IQ", 0x0040, ft)))
+        else:
+            s = str(value)
+            try:
+                raw = s.encode("cp1252") + b"\x00"
+                body = struct.pack("<II", 0x001E, len(raw)) + raw  # VT_LPSTR
+            except UnicodeEncodeError:
+                raw = (s + "\x00").encode("utf-16-le")
+                body = struct.pack("<II", 0x001F, len(s) + 1) + raw  # VT_LPWSTR
+            body += b"\x00" * (-len(body) % 4)
+            props.append((pid, body))
+    header_size = 8 + 8 * len(props)
+    offsets = []
+    pos = header_size
+    for _, body in props:
+        offsets.append(pos)
+        pos += len(body)
+    section = struct.pack("<II", pos, len(props))
+    for (pid, _), off in zip(props, offsets):
+        section += struct.pack("<II", pid, off)
+    section += b"".join(body for _, body in props)
+    fmtid = bytes(16)
+    stream = struct.pack("<HHI", 0xFFFE, 0, 0x00020006) + bytes(16) + struct.pack("<I", 1)
+    stream += fmtid + struct.pack("<I", len(stream) + 20)
+    stream += section
+    return stream

@@ -114,3 +114,25 @@ def test_json2html_rendering():
     assert '<table border="1" id=tuid1' in html
     assert 'style="display: none"' in html
     assert "<h3> Tables: </h3>" in html
+
+
+def test_ole2_summary_information_metadata():
+    """Legacy doc/xls/ppt metadata from the SummaryInformation property set
+    (MS-OLEPS): the compound-file analogue of docx core.xml."""
+    from dedoc_spark.core.metadata import extract_ole2_metadata
+    from dedoc_spark.sources.office_fixture import build_ole2, build_summary_info
+
+    si = build_summary_info({
+        "title": "Отчёт Q3", "author": "A. Writer", "keywords": "spark,docs",
+        "created_time": 1700000000, "modified_time": 1700100000,
+    })
+    ole = build_ole2({"Workbook": b"\x09\x08" + b"\x00" * 64, "\x05SummaryInformation": si})
+    meta = extract_ole2_metadata(ole)
+    assert meta["title"] == "Отчёт Q3"  # VT_LPWSTR path
+    assert meta["author"] == "A. Writer"
+    assert meta["keywords"] == "spark,docs"
+    assert meta["created_time"] == "1700000000"
+    assert meta["modified_time"] == "1700100000"
+    # files without the stream or non-OLE2 payloads → empty dict
+    assert extract_ole2_metadata(build_ole2({"Workbook": b"\x09\x08"})) == {}
+    assert extract_ole2_metadata(b"not ole2") == {}
