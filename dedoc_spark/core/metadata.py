@@ -317,3 +317,26 @@ def extract_ole2_metadata(payload: bytes) -> Dict[str, str]:
     except struct.error:
         return out
     return out
+
+
+def extract_document_metadata(url: str, payload: Optional[bytes]) -> Dict[str, str]:
+    """Per-document metadata dispatch (the reference's metadata-extractor
+    composition): docx core.xml, pdf /Info, OLE2 SummaryInformation, image
+    EXIF — one pure function for the Spark metadata stage."""
+    if not payload:
+        return {}
+    from dedoc_spark.core.formats import detect_format
+
+    fmt = detect_format(url, payload, None)
+    try:
+        if fmt == "docx":
+            return extract_docx_metadata(payload)
+        if fmt == "pdf":
+            return extract_pdf_metadata(payload)
+        if fmt in ("xls", "doc", "ppt") or fmt == "needs_conversion:ole2":
+            return extract_ole2_metadata(payload)
+        if fmt.startswith("media:image/"):
+            return extract_image_metadata(payload)
+    except Exception:
+        return {}
+    return {}

@@ -138,3 +138,36 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
             "frame_idx"
         ),
     )
+
+
+def with_document_metadata(df: DataFrame, url_col: str = "url", payload_col: str = "html") -> DataFrame:
+    """Format-dispatched metadata stage: (url, metadata map) per row — docx
+    core.xml, pdf /Info, OLE2 SummaryInformation, image EXIF (§2.12), all
+    pure-Python inside one Arrow-batched pass."""
+    from pyspark.sql import types as T
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+    schema = T.StructType(
+        [
+            T.StructField(url_col, T.StringType()),
+            T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.metadata import extract_document_metadata
+
+        for pdf in it:
+            out = []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else None
+                out.append({url_col: url, "metadata": extract_document_metadata(url, raw)})
+            yield pd.DataFrame(out, columns=[url_col, "metadata"])
+
+    return df.select(url_col, payload_col).mapInPandas(fn, schema)

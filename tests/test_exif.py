@@ -44,3 +44,26 @@ def test_image_exif_operator(spark):
     out = {r.media_id: r.exif for r in image_exif(df).collect()}
     assert out[1]["make"] == "TestCam" and out[1]["exif_image_width"] == "640"
     assert out[2] == {}
+
+
+def test_with_document_metadata_operator(spark):
+    """Format-dispatched metadata stage over mixed payloads."""
+    from dedoc_spark.operators.multimodal import with_document_metadata
+    from dedoc_spark.sources.office_fixture import build_ole2, build_summary_info
+
+    si = build_summary_info({"title": "Legacy title", "created_time": 1700000000})
+    ole = build_ole2({"Workbook": b"\x09\x08" + b"\x00" * 64, "\x05SummaryInformation": si})
+    pdf_bytes = (b"%PDF-1.4\n1 0 obj\n<< /Title (PDF doc) >>\nendobj\n"
+                 b"trailer\n<< /Info 1 0 R >>\n")
+    rows = [
+        ("https://m/a.xls", bytearray(ole)),
+        ("https://m/b.pdf", bytearray(pdf_bytes)),
+        ("https://m/c.jpg", bytearray(build_jpeg_exif(FIELDS))),
+        ("https://m/d.html", bytearray(b"<p>no metadata</p>")),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: r.metadata for r in with_document_metadata(df).collect()}
+    assert got["https://m/a.xls"]["title"] == "Legacy title"
+    assert got["https://m/b.pdf"]["title"] == "PDF doc"
+    assert got["https://m/c.jpg"]["make"] == "TestCam"
+    assert got["https://m/d.html"] == {}
