@@ -118,3 +118,88 @@ def remove_boilerplate(lines: DataFrame, patterns: DataFrame, site_col: str = "s
         ],
         how="left_anti",
     )
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-rules quality gate (Rae et al. 2021, §A1.1 — the published
+    web-corpus filter set), fully columnar:
+
+      50 ≤ word count ≤ 100k; 3 ≤ mean word length ≤ 10;
+      symbol-to-word ratio (# or …) ≤ 0.1;
+      ≥ 80% of words contain an alphabetic character;
+      ≥ 2 stopword hits (of the canonical 8).
+
+    Returns the per-rule booleans plus the conjunction ``gopher_pass`` so a
+    corpus filter is one `.filter("gopher_pass")` — every expression is
+    JVM-side and mirrored verbatim by the q32 oracle."""
+    c = F.col(text_col)
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(words))
+    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.aggregate(words, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)) / n_words
+    )
+    symbols = F.regexp_count(c, F.lit(r"[#…]")) + F.regexp_count(c, F.lit(r"\.\.\."))
+    symbol_ratio = F.when(n_words == 0, F.lit(1.0)).otherwise(symbols / n_words)
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-zА-Яа-яё]")))
+    alpha_frac = F.when(n_words == 0, F.lit(0.0)).otherwise(alpha_words / n_words)
+    stop_hits = F.regexp_count(
+        F.lower(c), F.lit(r"\b(the|be|to|of|and|that|have|with)\b")
+    )
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mean_word_len": (mean_wl >= 3) & (mean_wl <= 10),
+        "ok_symbol_ratio": symbol_ratio <= 0.1,
+        "ok_alpha_words": alpha_frac >= 0.8,
+        "ok_stopwords": stop_hits >= 2,
+    }
+    out = df.select(F.col(id_col), *[v.alias(k) for k, v in flags.items()])
+    gopher_pass = None
+    for k in flags:
+        gopher_pass = F.col(k) if gopher_pass is None else gopher_pass & F.col(k)
+    return out.withColumn("gopher_pass", gopher_pass)
+
+
+def c4_line_flags(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C4-rules line filter (Raffel et al. 2020 §2.2), per exploded line:
+
+      ends in terminal punctuation (.!?" or »); ≥ 3 words; no "javascript";
+      not boilerplate ("lorem ipsum", cookie notice); no curly brace.
+
+    Returns (id, line_id, line, keep) — `.filter("keep")` then re-aggregate
+    for the cleaned corpus. All JVM-side expressions, q33-mirrored."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_id", "line"),
+    )
+    line = F.col("line")
+    low = F.lower(line)
+    n_words = F.when(F.length(F.trim(line)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(line), r"\s+"))
+    )
+    keep = (
+        F.trim(line).rlike(r'[.!?"»]$')
+        & (n_words >= 3)
+        & ~low.contains("javascript")
+        & ~low.contains("lorem ipsum")
+        & ~low.contains("cookie")
+        & ~line.contains("{")
+    )
+    return lines.select(F.col(id_col), F.col("line_id").cast("long").alias("line_id"), "line", keep.alias("keep"))
+
+
+def c4_clean_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Cleaned document text: kept lines re-joined in line order (docs with
+    no surviving line drop out, as in C4)."""
+    kept = c4_line_flags(df, text_col, id_col).filter(F.col("keep"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_id", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text")
+        )
+    )

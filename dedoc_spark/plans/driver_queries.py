@@ -1280,6 +1280,73 @@ FROM t
 """
 
 # ---------------------------------------------------------------------------
+# q32 Gopher-rules quality gate (Rae et al. 2021 §A1.1), expression-mirrored
+
+
+def q32_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.operators.textstats import gopher_quality_flags
+
+    return gopher_quality_flags(_docs(spark, sf_dir))
+
+
+Q32_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+         string_split_regex(trim(text), '\s+') AS words,
+         len(regexp_extract_all(text, '[#…]')) + len(regexp_extract_all(text, '\.\.\.')) AS symbols,
+         len(regexp_extract_all(lower(text), '\b(the|be|to|of|and|that|have|with)\b')) AS stop_hits
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_words, symbols, stop_hits,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) / n_words END AS mean_wl,
+         CASE WHEN n_words = 0 THEN 1.0 ELSE symbols / n_words END AS symbol_ratio,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE len(list_filter(words, w -> regexp_matches(w, '[A-Za-zА-Яа-яё]'))) / n_words END AS alpha_frac
+  FROM t
+)
+SELECT doc_id,
+  n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+  mean_wl >= 3 AND mean_wl <= 10 AS ok_mean_word_len,
+  symbol_ratio <= 0.1 AS ok_symbol_ratio,
+  alpha_frac >= 0.8 AS ok_alpha_words,
+  stop_hits >= 2 AS ok_stopwords,
+  (n_words >= 50 AND n_words <= 100000) AND (mean_wl >= 3 AND mean_wl <= 10)
+    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2 AS gopher_pass
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
+# q33 C4-rules line filter (Raffel et al. 2020 §2.2), expression-mirrored
+
+
+def q33_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.operators.textstats import c4_line_flags
+
+    return c4_line_flags(_docs(spark, sf_dir))
+
+
+Q33_SQL = r"""
+WITH l AS (
+  SELECT doc_id, u.s.i - 1 AS line_id, u.s.line AS line FROM (
+    SELECT doc_id, unnest(list_transform(string_split(text, chr(10)), (t, i) -> {'i': i, 'line': t})) AS s
+    FROM documents
+  ) u
+)
+SELECT doc_id, CAST(line_id AS BIGINT) AS line_id, line,
+  regexp_matches(trim(line), '[.!?"»]$')
+  AND (CASE WHEN length(trim(line)) = 0 THEN 0 ELSE len(string_split_regex(trim(line), '\s+')) END) >= 3
+  AND NOT contains(lower(line), 'javascript')
+  AND NOT contains(lower(line), 'lorem ipsum')
+  AND NOT contains(lower(line), 'cookie')
+  AND NOT contains(line, '{') AS keep
+FROM l
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1313,6 +1380,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_dup_groups": q29_dup_groups,
     "q30_ivf_assign": q30_ivf_assign,
     "q31_lang_multi": q31_lang_multi,
+    "q32_gopher_flags": q32_gopher_flags,
+    "q33_c4_lines": q33_c4_lines,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1347,4 +1416,6 @@ ORACLES: Dict[str, str] = {
     "q29_dup_groups": Q29_SQL,
     "q30_ivf_assign": Q30_SQL,
     "q31_lang_multi": Q31_SQL,
+    "q32_gopher_flags": Q32_SQL,
+    "q33_c4_lines": Q33_SQL,
 }

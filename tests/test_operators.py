@@ -350,3 +350,32 @@ def test_lang_id_multi(spark):
     df = spark.createDataFrame(rows, "id bigint, text string")
     got = {r.id: r.lang for r in df.select("id", lang_id_multi(F.col("text")).alias("lang")).collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "ru", 6: "unknown"}
+
+
+def test_gopher_and_c4_filters(spark):
+    from dedoc_spark.operators.textstats import c4_clean_text, c4_line_flags, gopher_quality_flags
+
+    good = " ".join(["the quick brown fox jumps over that lazy dog with style and it ran home"] * 5)
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "### ### … … … short"),           # symbol soup, too short
+            (3, "a b c d e " * 20),                 # no stopwords, tiny words
+        ],
+        "doc_id bigint, text string",
+    )
+    flags = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    assert flags[1].gopher_pass
+    assert not flags[2].gopher_pass and not flags[2].ok_symbol_ratio
+    assert not flags[3].gopher_pass and not flags[3].ok_stopwords
+
+    c4_docs = spark.createDataFrame(
+        [(1, "A good first sentence.\nmenu\nEnable javascript to continue.\n"
+             "This page uses cookie banners.\nAnother proper sentence here!\nfunction() { x }")],
+        "doc_id bigint, text string",
+    )
+    kept = {r.line_id: r.keep for r in c4_line_flags(c4_docs).collect()}
+    assert kept[0] is True and kept[4] is True
+    assert kept[1] is False and kept[2] is False and kept[3] is False and kept[5] is False
+    clean = c4_clean_text(c4_docs).collect()[0].clean_text
+    assert clean == "A good first sentence.\nAnother proper sentence here!"
