@@ -121,7 +121,33 @@ def quality_score(col: Column) -> Column:
     return F.round(alpha_ratio(col) * 0.4 + wl_term + (0.2 - F.least(punct_ratio(col), F.lit(0.2))), 6)
 
 
-# --- hashing for dedup/minhash (md5-based so DuckDB can mirror it) ---------
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
+
+
+def normalized_url(col: Column) -> Column:
+    """Canonical URL for url-level dedup of a crawl: lowercase scheme+host,
+    default port stripped, fragment dropped, tracking params removed,
+    remaining query params sorted, empty path → '/'. Pure column
+    expressions, mirrored by the q34 oracle."""
+    u = F.regexp_replace(col, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([^:/?#]+)://", 1))
+    after = F.regexp_replace(u, r"^[^:/?#]+://", "")
+    host = F.lower(F.regexp_extract(after, r"^([^/?#]+)", 1))
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).otherwise(host)
+    host = F.when(scheme == "https", F.regexp_replace(host, ":443$", "")).otherwise(host)
+    path_query = F.regexp_replace(after, r"^[^/?#]+", "")
+    path = F.regexp_extract(path_query, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(path_query, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    q2 = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+    )
 
 
 def hash32(col: Column, seed: int) -> Column:

@@ -1347,6 +1347,62 @@ FROM l
 """
 
 # ---------------------------------------------------------------------------
+# q34 URL normalization (crawl url-dedup key) over synthesized messy urls
+
+
+def q34_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.functions import normalized_url
+
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 4
+    messy = (
+        F.when(m == 0, F.concat(F.lit("HTTP://Site.Example:80/path/"), F.col("doc_id").cast("string"), F.lit("?utm_source=x&b=2&a=1#frag")))
+        .when(m == 1, F.concat(F.lit("https://site.example/"), F.col("doc_id").cast("string")))
+        .when(m == 2, F.lit("https://SITE.example:443?a=1&utm_campaign=z"))
+        .otherwise(F.concat(F.lit("http://site.example/p/"), F.col("doc_id").cast("string"), F.lit("?fbclid=abc&z=9&y=8")))
+    )
+    return docs.select("doc_id", normalized_url(messy).alias("norm_url"))
+
+
+Q34_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTP://Site.Example:80/path/' || CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1#frag'
+      WHEN 1 THEN 'https://site.example/' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://SITE.example:443?a=1&utm_campaign=z'
+      ELSE 'http://site.example/p/' || CAST(doc_id AS VARCHAR) || '?fbclid=abc&z=9&y=8' END AS u0
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(regexp_replace(u0, '#.*$', ''), '^([^:/?#]+)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(u0, '#.*$', ''), '^[^:/?#]+://', '') AS after
+  FROM raw
+),
+hostpath AS (
+  SELECT doc_id, scheme,
+    lower(regexp_extract(after, '^([^/?#]+)', 1)) AS host0,
+    regexp_replace(after, '^[^/?#]+', '') AS path_query
+  FROM parts
+),
+norm AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+         ELSE host0 END AS host,
+    CASE WHEN regexp_extract(path_query, '^([^?]*)', 1) = '' THEN '/'
+         ELSE regexp_extract(path_query, '^([^?]*)', 1) END AS path,
+    coalesce(array_to_string(list_sort(list_filter(string_split(coalesce(regexp_extract(path_query, '\?(.*)$', 1), ''), '&'),
+      p -> length(p) > 0 AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)='))), '&'), '') AS q2
+  FROM hostpath
+)
+SELECT doc_id,
+  scheme || '://' || host || path || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS norm_url
+FROM norm
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1382,6 +1438,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_lang_multi": q31_lang_multi,
     "q32_gopher_flags": q32_gopher_flags,
     "q33_c4_lines": q33_c4_lines,
+    "q34_url_normalize": q34_url_normalize,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1418,4 +1475,5 @@ ORACLES: Dict[str, str] = {
     "q31_lang_multi": Q31_SQL,
     "q32_gopher_flags": Q32_SQL,
     "q33_c4_lines": Q33_SQL,
+    "q34_url_normalize": Q34_SQL,
 }

@@ -379,3 +379,18 @@ def test_gopher_and_c4_filters(spark):
     assert kept[1] is False and kept[2] is False and kept[3] is False and kept[5] is False
     clean = c4_clean_text(c4_docs).collect()[0].clean_text
     assert clean == "A good first sentence.\nAnother proper sentence here!"
+
+
+def test_normalized_url(spark):
+    from dedoc_spark.functions import normalized_url
+
+    cases = [
+        ("HTTP://Site.Example:80/path/9?utm_source=x&b=2&a=1#frag", "http://site.example/path/9?a=1&b=2"),
+        ("https://site.example/1", "https://site.example/1"),
+        ("https://SITE.example:443?a=1&utm_campaign=z", "https://site.example/?a=1"),
+        ("http://site.example/p?fbclid=abc&z=9&y=8", "http://site.example/p?y=8&z=9"),
+        ("https://host.example:8443/x", "https://host.example:8443/x"),  # non-default port kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.n for r in df.select(normalized_url(F.col("u")).alias("n")).collect()]
+    assert got == [want for _, want in cases]
