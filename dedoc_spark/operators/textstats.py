@@ -203,3 +203,47 @@ def c4_clean_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             ).alias("clean_text")
         )
     )
+
+
+def gopher_repetition_flags(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1, second half):
+
+      duplicate-line fraction ≤ 0.30 (share of lines that repeat within
+      the document) and top-bigram token coverage ≤ 0.20 (tokens claimed
+      by the single most frequent word 2-gram).
+
+    Two shuffles, both keyed by doc id. Returns the fractions (rounded 6)
+    plus rep_pass; q35 mirrors it."""
+    from dedoc_spark.functions import shingle_rows
+
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    ).filter(F.length(F.trim("line")) > 0)
+    line_stats = (
+        lines.groupBy(id_col, "line")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_lines"),
+        )
+        .select(
+            F.col(id_col),
+            F.round(F.col("dup_lines") / F.col("n_lines"), 6).alias("dup_line_frac"),
+        )
+    )
+    bigrams = shingle_rows(df, text_col, id_col, 2)
+    bigram_stats = (
+        bigrams.groupBy(id_col, "shingle")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("max_cnt"), F.sum("cnt").alias("n_bigrams"))
+        .select(
+            F.col(id_col),
+            F.round(F.col("max_cnt") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+        )
+    )
+    out = line_stats.join(bigram_stats, id_col, "outer").fillna(0.0)
+    return out.withColumn(
+        "rep_pass", (F.col("dup_line_frac") <= 0.30) & (F.col("top_bigram_frac") <= 0.20)
+    )

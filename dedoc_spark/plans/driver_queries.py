@@ -1403,6 +1403,47 @@ FROM norm
 """
 
 # ---------------------------------------------------------------------------
+# q35 Gopher repetition rules (dup-line fraction + top-bigram coverage)
+
+
+def q35_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.operators.textstats import gopher_repetition_flags
+
+    return gopher_repetition_flags(_docs(spark, sf_dir))
+
+
+Q35_SQL = f"""
+WITH lines AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+  ) WHERE length(trim(line)) > 0
+),
+lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY doc_id, line),
+ls AS (
+  SELECT doc_id,
+         round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) / CAST(sum(cnt) AS BIGINT), 6) AS dup_line_frac
+  FROM lc GROUP BY doc_id
+),
+tok AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(generate_series(1, len(toks) - 1), i -> array_to_string(toks[i:i+1], ' ')) END
+  ) AS shingle FROM tok
+),
+bc AS (SELECT doc_id, shingle, count(*) AS cnt FROM sh GROUP BY doc_id, shingle),
+bs AS (
+  SELECT doc_id, round(CAST(max(cnt) AS BIGINT) / CAST(sum(cnt) AS BIGINT), 6) AS top_bigram_frac
+  FROM bc GROUP BY doc_id
+)
+SELECT coalesce(ls.doc_id, bs.doc_id) AS doc_id,
+       coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+       coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+       coalesce(dup_line_frac, 0.0) <= 0.30 AND coalesce(top_bigram_frac, 0.0) <= 0.20 AS rep_pass
+FROM ls FULL OUTER JOIN bs ON ls.doc_id = bs.doc_id
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1439,6 +1480,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_gopher_flags": q32_gopher_flags,
     "q33_c4_lines": q33_c4_lines,
     "q34_url_normalize": q34_url_normalize,
+    "q35_gopher_repetition": q35_gopher_repetition,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1476,4 +1518,5 @@ ORACLES: Dict[str, str] = {
     "q32_gopher_flags": Q32_SQL,
     "q33_c4_lines": Q33_SQL,
     "q34_url_normalize": Q34_SQL,
+    "q35_gopher_repetition": Q35_SQL,
 }

@@ -394,3 +394,20 @@ def test_normalized_url(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r.n for r in df.select(normalized_url(F.col("u")).alias("n")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_gopher_repetition_flags(spark):
+    from dedoc_spark.operators.textstats import gopher_repetition_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nunique two\nunique three\nunique four"),
+            (2, "same line\nsame line\nsame line\nother"),              # 3/4 dup lines
+            (3, "buy now " * 30),                                        # one bigram dominates
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in gopher_repetition_flags(docs).collect()}
+    assert got[1].rep_pass and got[1].dup_line_frac == 0.0
+    assert not got[2].rep_pass and got[2].dup_line_frac == 0.75
+    assert not got[3].rep_pass and got[3].top_bigram_frac > 0.2
