@@ -33,6 +33,19 @@ def token_count(col: Column) -> Column:
     )
 
 
+_BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under a GPT-2-style BPE pretokenizer regex (contraction
+    suffixes, space-prefixed letter/digit/symbol runs, whitespace runs —
+    the RE2-compatible form without the trailing-space lookahead). Counts
+    pretokens, the unit BPE merges operate on — a closer proxy for LLM
+    token budgets than whitespace words. JVM-side regexp_count; q36 mirrors
+    it in DuckDB verbatim."""
+    return F.regexp_count(col, F.lit(_BPE_PRETOKEN_RE))
+
+
 def word_tokens(col: Column) -> Column:
     """Lower-cased word tokens (BPE-ish regex: letters+digits runs)."""
     return F.filter(

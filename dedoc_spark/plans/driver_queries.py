@@ -1444,6 +1444,24 @@ FROM ls FULL OUTER JOIN bs ON ls.doc_id = bs.doc_id
 """
 
 # ---------------------------------------------------------------------------
+# q36 BPE-pretokenizer token counts (LLM token-budget proxy)
+
+
+def q36_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.functions import bpe_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens")
+    )
+
+
+Q36_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1481,6 +1499,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_c4_lines": q33_c4_lines,
     "q34_url_normalize": q34_url_normalize,
     "q35_gopher_repetition": q35_gopher_repetition,
+    "q36_bpe_tokens": q36_bpe_tokens,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1519,4 +1538,5 @@ ORACLES: Dict[str, str] = {
     "q33_c4_lines": Q33_SQL,
     "q34_url_normalize": Q34_SQL,
     "q35_gopher_repetition": Q35_SQL,
+    "q36_bpe_tokens": Q36_SQL,
 }
