@@ -33,6 +33,26 @@ def token_count(col: Column) -> Column:
     )
 
 
+# PII patterns kept RE2-compatible (no lookarounds) so the DuckDB oracle
+# can run the identical regexes; order matters — emails before phones so
+# digits inside addresses aren't half-redacted
+_PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ()]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Training-data PII scrub: emails, IPv4 addresses and phone-like digit
+    runs replaced with typed placeholders — chained JVM-side
+    regexp_replace, mirrored verbatim by the q37 oracle."""
+    out = col
+    for pattern, token in _PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
 _BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 

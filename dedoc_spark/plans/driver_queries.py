@@ -1462,6 +1462,36 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# q37 PII redaction over synthesized contact strings (expression-mirrored)
+
+
+def q37_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.functions import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    synthetic = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example or call +1 (555) 010-"), F.col("doc_id").cast("string"),
+        F.lit("9 from 10.0.0."), (F.col("doc_id") % 255).cast("string"),
+        F.lit(" about: "), F.col("text"),
+    )
+    return docs.select("doc_id", redact_pii(synthetic).alias("redacted"))
+
+
+Q37_SQL = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        'contact user' || CAST(doc_id AS VARCHAR) || '@mail.example or call +1 (555) 010-' ||
+        CAST(doc_id AS VARCHAR) || '9 from 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) || ' about: ' || text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+    '\+?\d[\d\- ()]{7,}\d', '<PHONE>', 'g') AS redacted
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1500,6 +1530,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_url_normalize": q34_url_normalize,
     "q35_gopher_repetition": q35_gopher_repetition,
     "q36_bpe_tokens": q36_bpe_tokens,
+    "q37_pii_redact": q37_pii_redact,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1539,4 +1570,5 @@ ORACLES: Dict[str, str] = {
     "q34_url_normalize": Q34_SQL,
     "q35_gopher_repetition": Q35_SQL,
     "q36_bpe_tokens": Q36_SQL,
+    "q37_pii_redact": Q37_SQL,
 }

@@ -411,3 +411,14 @@ def test_gopher_repetition_flags(spark):
     assert got[1].rep_pass and got[1].dup_line_frac == 0.0
     assert not got[2].rep_pass and got[2].dup_line_frac == 0.75
     assert not got[3].rep_pass and got[3].top_bigram_frac > 0.2
+
+
+def test_redact_pii(spark):
+    from dedoc_spark.functions import redact_pii
+
+    df = spark.createDataFrame(
+        [("mail alice.b+tag@sub.example.org, phone +7 (926) 123-45-67, host 192.168.1.10, year 2026",)],
+        "t string",
+    )
+    got = df.select(redact_pii(F.col("t")).alias("r")).collect()[0].r
+    assert got == "mail <EMAIL>, phone <PHONE>, host <IP>, year 2026"
