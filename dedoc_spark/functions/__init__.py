@@ -157,6 +157,25 @@ def quality_score(col: Column) -> Column:
 _TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
 
 
+# two-label public suffixes that take a third label as the registered
+# domain (public-suffix-list subset: the high-traffic ccTLD second levels)
+_TWO_LABEL_SUFFIX_RE = (
+    r"(?:co|com|org|net|gov|edu|ac)\.(?:uk|jp|au|nz|za|in|br|kr|id|il|mx|tr|ru|ua|pl)$"
+)
+
+
+def registered_domain(col: Column) -> Column:
+    """Registered domain of a URL: host minus subdomains, with a
+    public-suffix-lite rule for two-label ccTLD suffixes (example.co.uk
+    stays example.co.uk, a.b.example.com → example.com). The per-site key
+    for crawl rollups and boilerplate voting."""
+    host = F.lower(F.regexp_extract(col, r"^[^:/?#]+://([^/?#:]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    two = F.regexp_extract(host, r"([^.]+\." + _TWO_LABEL_SUFFIX_RE + r")", 1)
+    one = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(two != "", two).otherwise(F.when(one != "", one).otherwise(host))
+
+
 def normalized_url(col: Column) -> Column:
     """Canonical URL for url-level dedup of a crawl: lowercase scheme+host,
     default port stripped, fragment dropped, tracking params removed,

@@ -1492,6 +1492,53 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# q38 registered-domain rollup over synthesized crawl urls
+
+
+def q38_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.functions import registered_domain
+
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www.news.example.com/a/"), F.col("doc_id").cast("string")))
+        .when(m == 1, F.concat(F.lit("http://blogs.paper.co.uk/p"), F.col("doc_id").cast("string")))
+        .when(m == 2, F.lit("https://example.org/"))
+        .otherwise(F.concat(F.lit("https://cdn.static.shop.example.com:8443/x?id="), F.col("doc_id").cast("string")))
+    )
+    return (
+        docs.select(registered_domain(url).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+Q38_SQL = r"""
+WITH u AS (
+  SELECT CASE doc_id % 4
+    WHEN 0 THEN 'https://www.news.example.com/a/' || CAST(doc_id AS VARCHAR)
+    WHEN 1 THEN 'http://blogs.paper.co.uk/p' || CAST(doc_id AS VARCHAR)
+    WHEN 2 THEN 'https://example.org/'
+    ELSE 'https://cdn.static.shop.example.com:8443/x?id=' || CAST(doc_id AS VARCHAR) END AS url
+  FROM documents
+),
+h AS (
+  SELECT regexp_replace(lower(coalesce(regexp_extract(url, '^[^:/?#]+://([^/?#:]+)', 1), '')), '^www\.', '') AS host
+  FROM u
+),
+d AS (
+  SELECT CASE
+    WHEN coalesce(regexp_extract(host, '([^.]+\.(?:co|com|org|net|gov|edu|ac)\.(?:uk|jp|au|nz|za|in|br|kr|id|il|mx|tr|ru|ua|pl)$)', 1), '') <> ''
+      THEN regexp_extract(host, '([^.]+\.(?:co|com|org|net|gov|edu|ac)\.(?:uk|jp|au|nz|za|in|br|kr|id|il|mx|tr|ru|ua|pl)$)', 1)
+    WHEN coalesce(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '') <> ''
+      THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+    ELSE host END AS domain
+  FROM h
+)
+SELECT domain, count(*) AS n_docs FROM d GROUP BY domain
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1531,6 +1578,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_gopher_repetition": q35_gopher_repetition,
     "q36_bpe_tokens": q36_bpe_tokens,
     "q37_pii_redact": q37_pii_redact,
+    "q38_domain_rollup": q38_domain_rollup,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1571,4 +1619,5 @@ ORACLES: Dict[str, str] = {
     "q35_gopher_repetition": Q35_SQL,
     "q36_bpe_tokens": Q36_SQL,
     "q37_pii_redact": Q37_SQL,
+    "q38_domain_rollup": Q38_SQL,
 }

@@ -422,3 +422,18 @@ def test_redact_pii(spark):
     )
     got = df.select(redact_pii(F.col("t")).alias("r")).collect()[0].r
     assert got == "mail <EMAIL>, phone <PHONE>, host <IP>, year 2026"
+
+
+def test_registered_domain(spark):
+    from dedoc_spark.functions import registered_domain
+
+    cases = [
+        ("https://www.news.example.com/a/1", "example.com"),
+        ("http://blogs.paper.co.uk/p", "paper.co.uk"),
+        ("https://example.org/", "example.org"),
+        ("https://cdn.static.shop.example.com:8443/x", "example.com"),
+        ("https://localhost/x", "localhost"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.d for r in df.select(registered_domain(F.col("u")).alias("d")).collect()]
+    assert got == [want for _, want in cases]
