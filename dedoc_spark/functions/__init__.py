@@ -33,6 +33,18 @@ def token_count(col: Column) -> Column:
     )
 
 
+def sentences(col: Column) -> Column:
+    """Sentence segmentation (punkt-lite, RE2-compatible): split after
+    terminal punctuation runs followed by whitespace, trim, drop empties.
+    Good enough for sentence-count quality gates (C4 drops pages with < 5
+    sentences); not a linguistic segmenter."""
+    marked = F.regexp_replace(col, r"([.!?]+)\s+", "$1\x1f")
+    return F.filter(
+        F.transform(F.split(marked, "\x1f"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+
+
 # PII patterns kept RE2-compatible (no lookarounds) so the DuckDB oracle
 # can run the identical regexes; order matters — emails before phones so
 # digits inside addresses aren't half-redacted

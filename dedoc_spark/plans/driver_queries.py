@@ -1539,6 +1539,29 @@ SELECT domain, count(*) AS n_docs FROM d GROUP BY domain
 """
 
 # ---------------------------------------------------------------------------
+# q39 sentence segmentation (punkt-lite) — exploded sentences per doc
+
+
+def q39_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.functions import sentences
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(sentences(F.col("text"))).alias("sent_id", "sentence")
+    ).select("doc_id", F.col("sent_id").cast("long").alias("sent_id"), "sentence")
+
+
+Q39_SQL = r"""
+SELECT doc_id, u.s.i - 1 AS sent_id, u.s.sent AS sentence FROM (
+  SELECT doc_id, unnest(list_transform(
+    list_filter(list_transform(
+      string_split(regexp_replace(text, '([.!?]+)\s+', '\1' || chr(31), 'g'), chr(31)),
+      s -> trim(s)), s -> length(s) > 0),
+    (t, i) -> {'i': i, 'sent': t})) AS s
+  FROM documents
+) u
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1579,6 +1602,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_bpe_tokens": q36_bpe_tokens,
     "q37_pii_redact": q37_pii_redact,
     "q38_domain_rollup": q38_domain_rollup,
+    "q39_sentences": q39_sentences,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1620,4 +1644,5 @@ ORACLES: Dict[str, str] = {
     "q36_bpe_tokens": Q36_SQL,
     "q37_pii_redact": Q37_SQL,
     "q38_domain_rollup": Q38_SQL,
+    "q39_sentences": Q39_SQL,
 }

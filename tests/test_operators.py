@@ -437,3 +437,13 @@ def test_registered_domain(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r.d for r in df.select(registered_domain(F.col("u")).alias("d")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_sentences(spark):
+    from dedoc_spark.functions import sentences
+
+    df = spark.createDataFrame(
+        [("First one. Second!  Third?!Still third... Fourth",)], "t string"
+    )
+    got = df.select(sentences(F.col("t")).alias("s")).collect()[0].s
+    assert got == ["First one.", "Second!", "Third?!Still third...", "Fourth"]
