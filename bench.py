@@ -88,6 +88,10 @@ def main() -> None:
     timed("q15_spacing_indent", lambda: dq.q15_spacing_indent(spark, SF_DIR).agg(F.count("*")).collect())
     timed("q25_lsh_jaccard", lambda: dq.q25_lsh_jaccard(spark, SF_DIR).count())
     timed("q26_lsh_cosine", lambda: dq.q26_lsh_cosine(spark, SF_DIR).count())
+    timed("q29_dup_groups", lambda: dq.q29_dup_groups(spark, SF_DIR).count())
+    timed("q32_gopher_flags", lambda: dq.q32_gopher_flags(spark, SF_DIR).agg(F.count("*")).collect())
+    timed("q35_gopher_repetition", lambda: dq.q35_gopher_repetition(spark, SF_DIR).agg(F.count("*")).collect())
+    timed("q36_bpe_tokens", lambda: dq.q36_bpe_tokens(spark, SF_DIR).agg(F.sum("bpe_tokens")).collect())
 
     # broadcast-model batch classifier over the extracted pages
     from dedoc_spark.operators.classifier import score_text_quality, train_default_model
