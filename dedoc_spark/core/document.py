@@ -179,6 +179,57 @@ def _error_row(url: str, error: str, warnings: Optional[List[str]] = None) -> Di
     }
 
 
+def _content_resniff(
+    url: str,
+    html: bytes,
+    failed_fmt: Optional[str],
+    params: Optional[Dict],
+    handle_invisible_table: bool,
+) -> Optional[Dict]:
+    """The reference's mime re-sniff retry (dedoc_manager.py:145-167):
+    when extension-routed parsing fails, re-detect by CONTENT ONLY and try
+    the sniffed reader once (catches misnamed files, e.g. an ODT shipped
+    as .doc). Returns None when no different parseable format is found."""
+    from dedoc_spark.core.formats import detect_format
+
+    fmt2 = detect_format("resniff", html, None)  # no extension → pure magic
+    if fmt2 == failed_fmt or fmt2.startswith(("needs_", "media:")) or fmt2 == "zip":
+        return None
+    try:
+        if fmt2 == "docx":
+            out = extract_docx_document(url, html)
+        elif fmt2 == "xlsx":
+            out = extract_xlsx_document(url, html)
+        elif fmt2 == "pptx":
+            out = extract_pptx_document(url, html)
+        elif fmt2 == "xls":
+            out = extract_xls_document(url, html)
+        elif fmt2 == "pdf":
+            out = extract_pdf_document(url, html, params)
+        elif fmt2 in ("odt", "ods", "odp"):
+            from dedoc_spark.core import odf_extract
+
+            if fmt2 == "odt":
+                lines, tables, w = odf_extract.extract_odt(html, url_hash(url))
+            elif fmt2 == "ods":
+                tables, w = odf_extract.extract_ods(html, url_hash(url))
+                lines = []
+            else:
+                lines, tables, w = odf_extract.extract_odp(html, url_hash(url))
+            out = _finalize(url, lines, tables, w, params)
+        elif fmt2 == "rtf":
+            from dedoc_spark.core.rtf_extract import extract_rtf_text
+
+            texts, w = extract_rtf_text(html)
+            out = _finalize(url, extract_txt_lines("\n".join(texts)), [], w, params)
+        else:
+            return None
+    except Exception:
+        return None
+    out["warnings"] = [f"format re-sniffed by content: {fmt2}"] + list(out["warnings"])
+    return out
+
+
 def extract_document(
     url: str,
     html: Optional[bytes],
@@ -193,6 +244,7 @@ def extract_document(
     (dedoc_manager.py:73-81 DedocError semantics)."""
     from dedoc_spark.core.formats import detect_format
 
+    fmt: Optional[str] = None
     try:
         params = params or {}
         handle_invisible_table = bool(params.get("handle_invisible_table", handle_invisible_table))
@@ -229,6 +281,9 @@ def extract_document(
 
                 texts, warnings_nat = extract_rtf_text(html)
             except Exception as e:
+                retry = _content_resniff(url, html, "rtf", params, handle_invisible_table)
+                if retry is not None:
+                    return retry
                 return _error_row(
                     url, "needs_conversion:rtf", warnings=[f"native parse failed: {e}"]
                 )
@@ -246,6 +301,9 @@ def extract_document(
                 else:
                     lines, tables, warnings_nat = odf_extract.extract_odp(html, url_hash(url))
             except Exception as e:
+                retry = _content_resniff(url, html, fmt, params, handle_invisible_table)
+                if retry is not None:
+                    return retry
                 return _error_row(
                     url, f"needs_conversion:{fmt}", warnings=[f"native parse failed: {e}"]
                 )
@@ -263,6 +321,9 @@ def extract_document(
 
                     texts, warnings_nat = extract_ppt_texts(html)
             except Exception as e:
+                retry = _content_resniff(url, html, fmt, params, handle_invisible_table)
+                if retry is not None:
+                    return retry
                 return _error_row(
                     url, f"needs_conversion:{fmt}", warnings=[f"native parse failed: {e}"]
                 )
@@ -305,4 +366,8 @@ def extract_document(
             return extract_html_document(url, html, handle_invisible_table, params)
         return extract_txt_document(url, text or "")
     except Exception as e:  # error channel, never job failure
+        if html:
+            retry = _content_resniff(url, html, fmt, params, handle_invisible_table)
+            if retry is not None:
+                return retry
         return _error_row(url, f"{type(e).__name__}: {e}")

@@ -269,7 +269,9 @@ class DocxExtractor:
             def read(name: str) -> Optional[bytes]:
                 return zf.read(name) if name in names else None
 
-            document = read("word/document.xml")
+            # some Word builds emit document2.xml (reference falls back the
+            # same way, office_utils.get_bs_from_zip / docx_document.py:134-136)
+            document = read("word/document.xml") or read("word/document2.xml")
             if document is None:
                 raise ValueError("no word/document.xml")
             styles, defaults = _parse_styles(read("word/styles.xml"))
@@ -278,7 +280,7 @@ class DocxExtractor:
             footnotes.update(_parse_notes(read("word/endnotes.xml"), "endnote"))
             # rels: rId → media member name (docx_document.py:138-143)
             media_rels: Dict[str, str] = {}
-            rels_data = read("word/_rels/document.xml.rels")
+            rels_data = read("word/_rels/document.xml.rels") or read("word/_rels/document2.xml.rels")
             if rels_data:
                 for rel in ET.fromstring(rels_data).iter(f"{REL}Relationship"):
                     target = rel.get("Target") or ""

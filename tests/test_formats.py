@@ -430,3 +430,46 @@ def test_bare_gzip_single_member():
 
     gz = gzip.compress(b"just some text")
     assert list_archive_members(gz) == [("member", b"just some text")]
+
+
+def test_content_resniff_misnamed_files():
+    """Extension-routed parse failure triggers the reference's mime-retry:
+    an ODT shipped as .doc extracts through the ODF reader (the reference
+    corpus really contains one: tests/data/laws/ukrf.doc)."""
+    from dedoc_spark.sources.office_fixture import build_odt
+
+    odt = build_odt([("h", 1, "Real Heading"), ("p", "real body")])
+    d = extract_document("https://x/misnamed.doc", odt, None)
+    assert d["error"] is None
+    assert "Real Heading" in d["text_extracted"]
+    assert any("re-sniffed by content: odt" in w for w in d["warnings"])
+
+    # docx shipped as .rtf
+    from dedoc_spark.sources.docx_fixture import build_docx, paragraph
+
+    docx = build_docx(paragraph([("docx body text", "")]))
+    d = extract_document("https://x/misnamed.rtf", docx, None)
+    assert d["error"] is None and "docx body text" in d["text_extracted"]
+
+
+def test_docx_document2_xml_fallback():
+    """Word builds that emit word/document2.xml still extract (the
+    reference's get_bs_from_zip fallback)."""
+    import io
+    import zipfile
+
+    from dedoc_spark.sources.docx_fixture import CONTENT_TYPES, W_NS
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", CONTENT_TYPES)
+        zf.writestr(
+            "word/document.xml.disabled", "<w:document/>"
+        )
+        zf.writestr(
+            "word/document2.xml",
+            f'<?xml version="1.0"?><w:document {W_NS}><w:body>'
+            "<w:p><w:r><w:t>second doc part</w:t></w:r></w:p></w:body></w:document>",
+        )
+    d = extract_document("https://x/d2.docx", buf.getvalue(), None)
+    assert d["error"] is None and "second doc part" in d["text_extracted"]
