@@ -236,15 +236,47 @@ def _page_fonts(page_obj: bytes, objects: Dict[int, bytes]) -> Dict[str, _FontIn
     return fonts
 
 
+_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(a, b):
+    """6-tuple PDF matrices [a b c d e f]: result = a · b."""
+    return (
+        a[0] * b[0] + a[1] * b[2],
+        a[0] * b[1] + a[1] * b[3],
+        a[2] * b[0] + a[3] * b[2],
+        a[2] * b[1] + a[3] * b[3],
+        a[4] * b[0] + a[5] * b[2] + b[4],
+        a[4] * b[1] + a[5] * b[3] + b[5],
+    )
+
+
+def _mat_apply(m, x: float, y: float):
+    return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
+
+
 class _TextState:
-    __slots__ = ("x", "y", "lx", "ly", "font", "size", "leading")
+    """Text matrices per the PDF rendering model: tlm is the line matrix,
+    tm the text matrix; device position = tm · CTM applied to the origin
+    (pdfminer applies the same composition, which is what makes PDFs that
+    place every line through a `cm` transform come out in real reading
+    order instead of collapsing onto one local y)."""
+
+    __slots__ = ("tm", "tlm", "font", "size", "leading")
 
     def __init__(self) -> None:
-        self.x = self.y = 0.0
-        self.lx = self.ly = 0.0  # line matrix origin
+        self.tm = _IDENTITY
+        self.tlm = _IDENTITY
         self.font = ""
         self.size = 0.0
         self.leading = 0.0
+
+    def translate_line(self, tx: float, ty: float) -> None:
+        self.tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, tx, ty), self.tlm)
+        self.tm = self.tlm
+
+    def set_matrix(self, vals) -> None:
+        self.tlm = self.tm = tuple(vals)
 
 
 _TOKEN_RE = re.compile(
@@ -314,7 +346,14 @@ def _extract_page_shows(content: bytes, fonts: Dict[str, _FontInfo]) -> List[Tup
 
     shows: List[Tuple[float, float, str, str]] = []
     st = _TextState()
+    ctm = _IDENTITY
+    gs_stack: List[tuple] = []
     stack: List[bytes] = []
+
+    def emit(text: str) -> None:
+        x, y = _mat_apply(_mat_mul(st.tm, ctm), 0.0, 0.0)
+        shows.append((y, x, text, base(st.font)))
+
     for tok in _TOKEN_RE.finditer(content):
         t = tok.group(0)
         first = t[:1]
@@ -324,6 +363,17 @@ def _extract_page_shows(content: bytes, fonts: Dict[str, _FontInfo]) -> List[Tup
         op = t
         if op == b"BT":
             st = _TextState()
+        elif op == b"q":
+            gs_stack.append(ctm)
+        elif op == b"Q":
+            if gs_stack:
+                ctm = gs_stack.pop()
+        elif op == b"cm" and len(stack) >= 6:
+            try:
+                m = tuple(float(v) for v in stack[-6:])
+                ctm = _mat_mul(m, ctm)
+            except ValueError:
+                pass
         elif op == b"Tf" and len(stack) >= 2:
             st.font = stack[-2].decode("latin-1").lstrip("/")
             try:
@@ -333,17 +383,14 @@ def _extract_page_shows(content: bytes, fonts: Dict[str, _FontInfo]) -> List[Tup
         elif op in (b"Td", b"TD") and len(stack) >= 2:
             try:
                 tx, ty = float(stack[-2]), float(stack[-1])
-                st.lx += tx
-                st.ly += ty
-                st.x, st.y = st.lx, st.ly
+                st.translate_line(tx, ty)
                 if op == b"TD":
                     st.leading = -ty
             except ValueError:
                 pass
         elif op == b"Tm" and len(stack) >= 6:
             try:
-                st.lx, st.ly = float(stack[-2]), float(stack[-1])
-                st.x, st.y = st.lx, st.ly
+                st.set_matrix(float(v) for v in stack[-6:])
             except ValueError:
                 pass
         elif op == b"TL" and stack:
@@ -352,21 +399,19 @@ def _extract_page_shows(content: bytes, fonts: Dict[str, _FontInfo]) -> List[Tup
             except ValueError:
                 pass
         elif op == b"T*":
-            st.ly -= st.leading
-            st.x, st.y = st.lx, st.ly
+            st.translate_line(0.0, -st.leading)
         elif op == b"Tj" and stack:
-            shows.append((st.y, st.x, dec(stack[-1]), base(st.font)))
+            emit(dec(stack[-1]))
         elif op == b"'" and stack:
-            st.ly -= st.leading
-            st.x, st.y = st.lx, st.ly
-            shows.append((st.y, st.x, dec(stack[-1]), base(st.font)))
+            st.translate_line(0.0, -st.leading)
+            emit(dec(stack[-1]))
         elif op == b"TJ" and stack:
             arr = stack[-1]
             text = "".join(
                 dec(m.group(0))
                 for m in re.finditer(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>", arr)
             )
-            shows.append((st.y, st.x, text, base(st.font)))
+            emit(text)
         stack.clear()
     return shows
 

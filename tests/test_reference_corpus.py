@@ -52,3 +52,37 @@ def test_reference_corpus_sweep_no_errors():
             assert d["error"] is None, f"{p.name}: {d['error']}"
         checked += 1
     assert checked > 100
+
+
+def test_reference_english_doc_pdf():
+    """Real text-layer PDF from the reference corpus: title + list items
+    extract, and per-line annotations are never duplicated (the reference's
+    own assertion, test_format_pdf_reader.py test_pdf_text_layer)."""
+    from dedoc_spark.core.pdf_extract import extract_pdf_lines
+
+    payload = (REF_DATA / "pdf_with_text_layer" / "english_doc.pdf").read_bytes()
+    lines, _ = extract_pdf_lines(payload, "h")
+    texts = [ln.line.strip() for ln in lines]
+    assert texts[0] == "THE GREAT ENGLISH DOCUMENT"
+    assert any(t.startswith("1) Fisrst item") for t in texts)
+    assert any(t.startswith("2) Second item") for t in texts)
+    for ln in lines:
+        anns = {(a.name, a.value, a.start, a.end) for a in ln.annotations}
+        assert len(anns) == len(ln.annotations)
+
+
+def test_reference_cyrillic_pdfs():
+    """Real Cyrillic text-layer PDFs decode through ToUnicode/CMaps with
+    the CTM-aware line placement: content matches the companion text."""
+    from dedoc_spark.core.pdf_extract import extract_pdf_lines
+
+    lines, _ = extract_pdf_lines((REF_DATA / "pdf_with_text_layer" / "example.pdf").read_bytes(), "h")
+    texts = [ln.line.strip() for ln in lines]
+    assert texts[0] == "Пример документа"
+    assert texts[1] == "Глава 1"
+
+    lines, _ = extract_pdf_lines((REF_DATA / "pdf_with_text_layer" / "cp1251.pdf").read_bytes(), "h")
+    body = " ".join(ln.line.replace("\t", " ") for ln in lines)
+    expected_head = (REF_DATA / "pdf_with_text_layer" / "cp1251.txt").read_text(encoding="utf-8").split()[:6]
+    for word in expected_head:
+        assert word in body
