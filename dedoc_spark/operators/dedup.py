@@ -223,6 +223,8 @@ def connected_components(
     labels = edges.select(F.col("x").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
+    if edges.limit(1).count() == 0:  # no pairs → no components to propagate
+        return labels
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.select(F.col("id").alias("y"), "comp"), "y")
