@@ -27,25 +27,40 @@ OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 # --- OLE2 compound file -------------------------------------------------------
 
 
+def _sector_off(s: int, sector_size: int) -> int:
+    # MS-CFB 2.1: sector #0 starts right after the header, which occupies one
+    # full sector (512 for v3; padded to 4096 for v4) — i.e. (s+1)*sector_size.
+    return (s + 1) * sector_size
+
+
 def _read_fat(data: bytes, sector_size: int) -> List[int]:
     (num_fat,) = struct.unpack_from("<I", data, 44)
     difat = list(struct.unpack_from("<109I", data, 76))
     fat_sectors = [s for s in difat if s != _FREESECT][:num_fat]
-    # DIFAT continuation sectors (documents with >109 FAT sectors)
+    # DIFAT continuation sectors (documents with >109 FAT sectors).
+    # num_difat is untrusted (crafted files put 2^32 here, or loop the
+    # chain back on itself) — cap it by file size and track seen sectors.
     (difat_start,) = struct.unpack_from("<I", data, 68)
     (num_difat,) = struct.unpack_from("<I", data, 72)
+    num_difat = min(num_difat, len(data) // sector_size + 1)
     per = sector_size // 4 - 1
     s = difat_start
+    seen_difat = set()
     for _ in range(num_difat):
-        if s in (_ENDOFCHAIN, _FREESECT):
+        if s in (_ENDOFCHAIN, _FREESECT) or s in seen_difat:
             break
-        off = 512 + s * sector_size
+        seen_difat.add(s)
+        off = _sector_off(s, sector_size)
+        if off + sector_size > len(data):
+            break
         entries = struct.unpack_from(f"<{per + 1}I", data, off)
         fat_sectors.extend(e for e in entries[:-1] if e != _FREESECT)
         s = entries[-1]
     fat: List[int] = []
     for fs in fat_sectors:
-        off = 512 + fs * sector_size
+        off = _sector_off(fs, sector_size)
+        if off + sector_size > len(data):
+            continue
         fat.extend(struct.unpack_from(f"<{sector_size // 4}I", data, off))
     return fat
 
@@ -77,7 +92,8 @@ def ole2_streams(data: bytes) -> Dict[str, bytes]:
 
     def read_chain(start: int) -> bytes:
         return b"".join(
-            data[512 + s * sector_size : 512 + (s + 1) * sector_size] for s in _chain(fat, start)
+            data[_sector_off(s, sector_size) : _sector_off(s + 1, sector_size)]
+            for s in _chain(fat, start)
         )
 
     directory = read_chain(dir_start)
@@ -179,6 +195,13 @@ class _SstReader:
             if high:
                 take = min(left, self._remaining() // 2)
                 if take == 0:
+                    # malformed: a lone odd byte before the CONTINUE boundary
+                    # (UTF-16 chars never split across segments per MS-XLS);
+                    # skip to the next segment or stop — never spin in place.
+                    if self.seg + 1 >= len(self.payloads):
+                        break
+                    self._advance_seg()
+                    high = self.read(1)[0] & 0x01
                     continue
                 chars.append(self.read(take * 2).decode("utf-16-le", "replace"))
             else:

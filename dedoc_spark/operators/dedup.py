@@ -10,9 +10,9 @@ All variants are declarative DataFrame compositions (no Python UDFs):
                        cost linear in |candidates| (the blessed verify path)
   cosine_for_pairs     exact cosine driven by candidate pairs
   embedding_lsh_pairs  sign-bucket LSH candidate pairs over embeddings
-  ngram_jaccard_pairs  blocked all-pairs Jaccard — SMALL BLOCKS ONLY
+  ngram_jaccard_pairs  blocked all-pairs Jaccard — max_block-capped
   simhash              64-bit simhash via bit-counted token hashes
-  embedding_near_dup   blocked all-pairs cosine — SMALL BLOCKS ONLY
+  embedding_near_dup   blocked all-pairs cosine — max_block-capped
 
 The 100 TB dedup chain is candidates → pair-driven verify:
   minhash_lsh_pairs(df)  → jaccard_for_pairs(pairs, df)
@@ -197,34 +197,84 @@ def embedding_lsh_pairs(
     )
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and CUT its logical plan — mandatory inside
+    iterative algorithms: each round of label propagation / star contraction
+    references the previous frame 2-3×, so the raw plan grows exponentially
+    and the analyzer OOMs after a handful of rounds (measured: a 3-edge
+    graph kills a 1 GiB driver at round 2). Reliable ``checkpoint`` when a
+    checkpoint dir is configured (survives executor loss on a cluster),
+    else eager ``localCheckpoint`` — same trade GraphX/GraphFrames make."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    return df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=True)
+
+
+def _labels_checksum(labels: DataFrame) -> tuple:
+    """(row count, order-independent hash-sum) of an (id, comp) frame —
+    one aggregate, no join. Labels only ever decrease monotonically under
+    min-label propagation, so an unchanged checksum ⟺ a fixpoint (up to a
+    negligible hash-sum collision). decimal(38,0) keeps the sum exact."""
+    row = labels.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 20,
     persist_each: bool = True,
+    algorithm: str = "label_prop",
+    on_exhausted: str = "warn",
 ) -> DataFrame:
     """Duplicate-group clustering: (a, b) near-dup pairs → (id, comp) where
     comp is the minimum id reachable in the pair graph — the step that turns
     verified pairs into dedup groups (keep one representative per comp).
 
-    Min-label propagation: each iteration joins labels across edges and
-    keeps the per-node minimum; converges in O(graph diameter) iterations —
-    near-dup clusters are shallow (diameter ≤ a few hops), so the loop is
-    short. Each iteration is one shuffle on the node id; labels persist
-    (DISK_ONLY) so the next iteration doesn't recompute the chain. At
-    extreme scale swap in the large-star/small-star contraction — the
-    driver loop shape stays the same.
+    algorithm="label_prop" (default): min-label propagation — each iteration
+    joins labels across edges and keeps the per-node minimum; converges in
+    O(graph diameter) iterations. Near-dup clusters are shallow (diameter ≤
+    a few hops), so the loop is short. Each iteration is one shuffle on the
+    node id plus ONE aggregate for the convergence checksum (no extra join —
+    the previous iteration's checksum is cached driver-side).
+
+    algorithm="star": alternating large-star/small-star contraction
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond") —
+    O(log² n) rounds regardless of diameter; the path for huge or
+    high-diameter graphs (chained templated pages at crawl scale).
+
+    If the loop exhausts max_iter without converging, on_exhausted decides:
+    "warn" (default) emits a UserWarning and returns the partial labels,
+    "raise" raises RuntimeError — never a silent wrong answer.
+
+    persist_each=True checkpoints each iteration's frame (reliable
+    checkpoint if ``spark.sparkContext.setCheckpointDir`` was called — the
+    cluster setting — else eager localCheckpoint): iterative plans MUST cut
+    lineage each round or the logical plan grows exponentially (see
+    _truncate_lineage). Checkpoint blocks are reclaimed by the
+    ContextCleaner when the frames are garbage collected.
     """
-    from pyspark.storagelevel import StorageLevel
+    import warnings
 
     fwd = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
     edges = fwd.unionByName(fwd.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct()
     if persist_each:
-        edges = edges.persist(StorageLevel.DISK_ONLY)
+        edges = _truncate_lineage(edges)
     labels = edges.select(F.col("x").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
     if edges.limit(1).count() == 0:  # no pairs → no components to propagate
         return labels
+    if algorithm == "star":
+        return _star_components(edges, max_iter, persist_each, on_exhausted)
+
+    converged = False
+    prev_checksum = None
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.select(F.col("id").alias("y"), "comp"), "y")
@@ -236,18 +286,110 @@ def connected_components(
             "id", F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp")
         )
         if persist_each:
-            new_labels = new_labels.persist(StorageLevel.DISK_ONLY)
-        changed = (
-            new_labels.join(labels.select("id", F.col("comp").alias("old")), "id")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
-        if persist_each:
-            labels.unpersist()
+            new_labels = _truncate_lineage(new_labels)
+        checksum = _labels_checksum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if checksum == prev_checksum:
+            converged = True
             break
+        prev_checksum = checksum
+    if not converged:
+        msg = (
+            f"connected_components: not converged after {max_iter} iterations "
+            "(graph diameter exceeds max_iter) — labels may split groups; "
+            "raise max_iter or use algorithm='star'"
+        )
+        if on_exhausted == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg)
     return labels
+
+
+def _star_components(
+    edges: DataFrame, max_iter: int, persist_each: bool, on_exhausted: str
+) -> DataFrame:
+    """Large-star/small-star alternation over a symmetric edge frame (x, y)
+    → (id, comp). Converges in O(log² n) rounds on any graph shape.
+
+    large-star: per node u with neighborhood N(u), m = min(N(u) ∪ {u});
+    rewire every LARGER neighbor v > u to m. small-star: orient each edge
+    big→small, per node u rewire u and all its (smaller) neighbors to
+    m = min(N(u) ∪ {u}). At the fixpoint the edge set is a union of stars
+    (node, component-min). Both steps are groupBy + join on the node id —
+    the same shuffle shape as label propagation, but the star moves labels
+    many hops per round.
+    """
+    import warnings
+
+    def large_star(e_sym: DataFrame) -> DataFrame:
+        m = (
+            e_sym.groupBy("x")
+            .agg(F.min("y").alias("mn"))
+            .select("x", F.least("mn", "x").alias("m"))
+        )
+        out = (
+            e_sym.join(m, "x")
+            .filter(F.col("y") > F.col("x"))
+            .select(F.col("y").alias("x"), F.col("m").alias("y"))
+        )
+        return out.filter(F.col("x") != F.col("y")).distinct()
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient big → small
+        oriented = e.select(
+            F.greatest("x", "y").alias("x"), F.least("x", "y").alias("y")
+        ).filter(F.col("x") != F.col("y"))
+        m = (
+            oriented.groupBy("x")
+            .agg(F.min("y").alias("m"))
+        )
+        j = oriented.join(m, "x")
+        rewired = j.select(F.col("y").alias("x"), F.col("m").alias("y")).unionByName(
+            j.select(F.col("x"), F.col("m").alias("y"))
+        )
+        return rewired.filter(F.col("x") != F.col("y")).distinct()
+
+    # node set fixed up front — star contraction drops singleton-star roots
+    # from the edge list, but they must appear in the output labels
+    nodes = edges.select(F.col("x").alias("id")).distinct()
+    if persist_each:
+        nodes = _truncate_lineage(nodes)
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("x", "y").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    cur = edges
+    prev = None
+    converged = False
+    for _ in range(max_iter):
+        # one round = large-star then small-star; re-symmetrize for the next
+        # large-star (it expects both directions)
+        ls = large_star(cur.unionByName(cur.select(F.col("y").alias("x"), F.col("x").alias("y"))))
+        nxt = small_star(ls)
+        if persist_each:
+            nxt = _truncate_lineage(nxt)
+        cs = checksum(nxt)
+        cur = nxt
+        if cs == prev:
+            converged = True
+            break
+        prev = cs
+    if not converged:
+        msg = (
+            f"connected_components(star): not converged after {max_iter} rounds"
+        )
+        if on_exhausted == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg)
+    # fixpoint edges are (member, root); roots label themselves
+    return (
+        nodes.join(cur.select(F.col("x").alias("id"), F.col("y").alias("comp")), "id", "left")
+        .select("id", F.coalesce("comp", "id").alias("comp"))
+    )
 
 
 def dedup_corpus(
@@ -288,9 +430,12 @@ def ngram_jaccard_pairs(
     block_col: str = "source",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    max_block: int = 1000,
 ) -> DataFrame:
-    """Blocked all-pairs n-gram Jaccard — SMALL BLOCKS ONLY (quadratic and
-    skew-prone within each block value). The scale path is
+    """Blocked all-pairs n-gram Jaccard — quadratic within each block value,
+    so blocks larger than ``max_block`` are DROPPED up front (count + filter,
+    mirroring minhash_lsh_pairs' max_bucket): one oversized block can never
+    become a task that never finishes. The scale path is
     ``jaccard_for_pairs(minhash_lsh_pairs(df), df)``."""
     from dedoc_spark.functions import shingle_rows
 
@@ -299,7 +444,10 @@ def ngram_jaccard_pairs(
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("sh"))
     )
-    sh = df.select(F.col(block_col).alias("blk"), F.col(id_col)).join(sets, id_col)
+    blocked = df.select(F.col(block_col).alias("blk"), F.col(id_col))
+    sizes = blocked.groupBy("blk").agg(F.count("*").alias("sz"))
+    blocked = blocked.join(sizes.filter(F.col("sz") <= max_block).select("blk"), "blk")
+    sh = blocked.join(sets, id_col)
     a = sh.select(F.col("blk"), F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("blk"), F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -352,11 +500,15 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     block_col: str = "label",
     threshold: float = 0.95,
+    max_block: int = 1000,
 ) -> DataFrame:
-    """Blocked all-pairs embedding-cosine near-dup — SMALL BLOCKS ONLY
-    (quadratic within each block value). The scale path is
+    """Blocked all-pairs embedding-cosine near-dup — quadratic within each
+    block value, so blocks larger than ``max_block`` are DROPPED up front
+    (count + filter, mirroring max_bucket). The scale path is
     ``cosine_for_pairs(embedding_lsh_pairs(df, dim), df)``."""
     e = df.select(F.col(block_col).alias("blk"), F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    sizes = e.groupBy("blk").agg(F.count("*").alias("sz"))
+    e = e.join(sizes.filter(F.col("sz") <= max_block).select("blk"), "blk")
     a = e.select("blk", F.col(id_col).alias("a"), F.col("v").alias("va"))
     b = e.select("blk", F.col(id_col).alias("b"), F.col("v").alias("vb"))
     return (

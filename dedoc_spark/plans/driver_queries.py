@@ -400,35 +400,24 @@ WHERE x.doc_id < y.doc_id
 
 
 def q09_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dedoc_spark.functions import shingle_rows
+    from dedoc_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _docs(spark, sf_dir)
-    # row-based shingles → collect_set per doc (distinct for free)
-    sets = (
-        shingle_rows(docs, "text", "doc_id", 3)
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
-    )
-    sh = docs.select("source", "doc_id").join(sets, "doc_id")
-    a = sh.select(F.col("source").alias("blk"), F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("source").alias("blk"), F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.round(inter / union, 6)
-    return (
-        a.join(b, "blk")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.05)
+    # bounded demo: blocks over max_block are dropped up front, so no
+    # unbounded all-pairs plan is reachable from the gate
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", "source", 3, threshold=0.05, max_block=1000
     )
 
 
 Q09_SQL = f"""
 WITH tok AS (SELECT doc_id, source, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
-sh AS (SELECT doc_id, source, {_SQL_SHINGLES3} AS sh FROM tok)
+sh AS (SELECT doc_id, source, {_SQL_SHINGLES3} AS sh FROM tok),
+ok AS (SELECT source FROM documents GROUP BY source HAVING count(*) <= 1000)
 SELECT x.doc_id AS a, y.doc_id AS b,
        round(len(list_intersect(x.sh, y.sh)) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
 FROM sh x JOIN sh y ON x.source = y.source AND x.doc_id < y.doc_id
+JOIN ok ON ok.source = x.source
 WHERE round(len(list_intersect(x.sh, y.sh)) / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.05
 """
 
@@ -555,32 +544,27 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
 
 
 def q13_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir).select(
-        "label", "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    from dedoc_spark.operators.dedup import embedding_near_dup
+
+    emb = _emb(spark, sf_dir)
+    # bounded demo: label blocks over max_block are dropped up front
+    out = embedding_near_dup(
+        emb, "embedding", "vec_id", "label", threshold=0.25, max_block=1000
     )
-    a = emb.select(F.col("label").alias("blk"), F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    b = emb.select(F.col("label").alias("blk"), F.col("vec_id").alias("b"), F.col("v").alias("vb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda x, y: x + y)
-    na = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda x, y: x + y * y))
-    nb = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda x, y: x + y * y))
-    cos = F.round(dot / (na * nb), 4)
-    return (
-        a.join(b, "blk")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", cos.alias("cos"))
-        .filter(F.col("cos") >= 0.25)
-    )
+    return out.select("a", "b", F.round(F.col("cos"), 4).alias("cos"))
 
 
 Q13_SQL = """
 WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ok AS (SELECT label FROM embeddings GROUP BY label HAVING count(*) <= 1000),
 scored AS (
   SELECT x.vec_id AS a, y.vec_id AS b,
          round(list_sum(list_transform(generate_series(1, len(x.v)), i -> x.v[i] * y.v[i]))
-           / (sqrt(list_sum(list_transform(x.v, t -> t * t))) * sqrt(list_sum(list_transform(y.v, t -> t * t)))), 4) AS cos
+           / (sqrt(list_sum(list_transform(x.v, t -> t * t))) * sqrt(list_sum(list_transform(y.v, t -> t * t)))), 6) AS cos6
   FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+  JOIN ok ON ok.label = x.label
 )
-SELECT a, b, cos FROM scored WHERE cos >= 0.25
+SELECT a, b, round(cos6, 4) AS cos FROM scored WHERE cos6 >= 0.25
 """
 
 # ---------------------------------------------------------------------------

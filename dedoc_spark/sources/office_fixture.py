@@ -186,35 +186,39 @@ def build_xls(sheets: Sequence[Sequence[Sequence[object]]]) -> bytes:
     return build_ole2({"Workbook": workbook})
 
 
-def build_ole2(streams: dict) -> bytes:
+def build_ole2(streams: dict, sector_shift: int = 9) -> bytes:
     """Minimal OLE2 compound file holding the given {name: bytes} streams —
     every stream is padded past the 4096-byte mini-stream cutoff so all
-    live in regular FAT sectors (one FAT sector, one directory sector)."""
+    live in regular FAT sectors (one FAT sector, one directory sector).
+    sector_shift=9 builds a v3 file (512-byte sectors); 12 builds v4
+    (4096-byte sectors, header padded to a full sector per MS-CFB 2.2)."""
     import struct
 
     FREE, END, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
-    assert 1 + len(streams) <= 4, "one directory sector supports ≤3 streams"
+    sector_size = 1 << sector_shift
+    per_dir = sector_size // 128
+    assert 1 + len(streams) <= per_dir, "one directory sector limit"
 
     padded: List[bytes] = []
     sizes: List[int] = []
     for data in streams.values():
         size = max(len(data), 4096)
         sizes.append(size)
-        n_sec = (size + 511) // 512
-        padded.append(data.ljust(n_sec * 512, b"\x00"))
+        n_sec = (size + sector_size - 1) // sector_size
+        padded.append(data.ljust(n_sec * sector_size, b"\x00"))
 
-    fat = [FREE] * 128
+    fat = [FREE] * (sector_size // 4)
     fat[0] = FATSECT
     fat[1] = END  # directory
     starts: List[int] = []
     sector = 2
     for blob in padded:
-        n_sec = len(blob) // 512
+        n_sec = len(blob) // sector_size
         starts.append(sector)
         for i in range(n_sec):
             fat[sector + i] = sector + i + 1 if i + 1 < n_sec else END
         sector += n_sec
-    fat_sector = struct.pack("<128I", *fat)
+    fat_sector = struct.pack(f"<{sector_size // 4}I", *fat)
 
     def dir_entry(name: str, etype: int, child: int, start: int, size: int) -> bytes:
         nm = name.encode("utf-16-le")
@@ -234,17 +238,17 @@ def build_ole2(streams: dict) -> bytes:
     entries = [dir_entry("Root Entry", 5, 1, END, 0)]
     for (name, _), start, size in zip(streams.items(), starts, sizes):
         entries.append(dir_entry(name, 2, FREE, start, size))
-    while len(entries) < 4:
+    while len(entries) < per_dir:
         entries.append(empty)
     directory = b"".join(entries)
-    assert len(directory) == 512
+    assert len(directory) == sector_size
 
     header = bytearray(512)
     header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
     struct.pack_into("<H", header, 24, 0x003E)  # minor
-    struct.pack_into("<H", header, 26, 0x0003)  # major (v3)
+    struct.pack_into("<H", header, 26, 3 if sector_shift == 9 else 4)  # major
     struct.pack_into("<H", header, 28, 0xFFFE)  # little-endian
-    struct.pack_into("<H", header, 30, 9)  # sector 512
+    struct.pack_into("<H", header, 30, sector_shift)
     struct.pack_into("<H", header, 32, 6)  # mini sector 64
     struct.pack_into("<I", header, 44, 1)  # one FAT sector
     struct.pack_into("<I", header, 48, 1)  # dir starts at sector 1
@@ -257,7 +261,10 @@ def build_ole2(streams: dict) -> bytes:
     for i in range(1, 109):
         struct.pack_into("<I", header, 76 + 4 * i, FREE)
 
-    return bytes(header) + fat_sector + directory + b"".join(padded)
+    # header occupies sector "-1": 512 bytes for v3, padded to a full
+    # sector for v4 (MS-CFB 2.2)
+    head = bytes(header).ljust(sector_size, b"\x00")
+    return head + fat_sector + directory + b"".join(padded)
 
 
 def build_doc(paragraphs: Sequence[str]) -> bytes:

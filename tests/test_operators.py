@@ -447,3 +447,61 @@ def test_sentences(spark):
     )
     got = df.select(sentences(F.col("t")).alias("s")).collect()[0].s
     assert got == ["First one.", "Second!", "Third?!Still third...", "Fourth"]
+
+
+def test_connected_components_star_matches_label_prop(spark):
+    """large-star/small-star contraction (the big-graph path) produces the
+    same components as min-label propagation on chains, cliques, and a
+    random-ish graph."""
+    from dedoc_spark.operators.dedup import connected_components
+
+    edge_sets = [
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)],  # long chain
+        [(1, 2), (1, 3), (2, 3), (10, 11)],  # clique + pair
+        [(i, i + 1) for i in range(1, 15)] + [(100, 3), (200, 201), (7, 100)],
+        [(5, 1), (9, 5), (2, 9), (40, 41), (41, 39)],  # unsorted ids
+    ]
+    for edges in edge_sets:
+        pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+        lp = {r.id: r.comp for r in connected_components(pairs).collect()}
+        st = {r.id: r.comp for r in connected_components(pairs, algorithm="star").collect()}
+        assert st == lp, f"star != label_prop on {edges}"
+
+
+def test_connected_components_exhaustion_warns(spark):
+    """ADVICE r2: exhausting max_iter without converging must warn (or raise
+    with on_exhausted='raise'), never return silently wrong labels."""
+    import warnings
+
+    import pytest
+
+    from dedoc_spark.operators.dedup import connected_components
+
+    # a 6-chain needs ~5 propagation hops; max_iter=2 cannot converge
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "a bigint, b bigint"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iter=2)
+        assert any("not converged" in str(x.message) for x in w)
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(pairs, max_iter=2, on_exhausted="raise")
+
+
+def test_ngram_jaccard_max_block_cap(spark, docs):
+    """Blocks larger than max_block are dropped up front — no unbounded
+    all-pairs plan; a cap of 1 removes every pair."""
+    from dedoc_spark.operators.dedup import ngram_jaccard_pairs
+
+    uncapped = ngram_jaccard_pairs(docs, max_block=10**6).count()
+    assert uncapped > 0
+    assert ngram_jaccard_pairs(docs, max_block=1).count() == 0
+
+
+def test_embedding_near_dup_max_block_cap(spark, embeddings):
+    from dedoc_spark.operators.dedup import embedding_near_dup
+
+    uncapped = embedding_near_dup(embeddings, threshold=0.0, max_block=10**6).count()
+    assert uncapped > 0
+    assert embedding_near_dup(embeddings, threshold=0.0, max_block=1).count() == 0
