@@ -334,8 +334,25 @@ def _decode_pdf_string(tok: bytes, font: Optional[_FontInfo] = None) -> str:
     return "".join(out)
 
 
-def _extract_page_shows(content: bytes, fonts: Dict[str, _FontInfo]) -> List[Tuple[float, float, str, str]]:
-    """Content stream → list of (y, x, text, font_base) text shows."""
+_AVG_GLYPH_EM = 0.5  # deterministic advance estimate (no /Widths parsing)
+
+
+def _extract_page_shows(
+    content: bytes,
+    fonts: Dict[str, _FontInfo],
+    image_xobjects: Optional[Dict[str, int]] = None,
+    images_out: Optional[List[Tuple[str, Tuple[float, float, float, float]]]] = None,
+) -> List[Tuple[float, float, str, str, float, float]]:
+    """Content stream → list of (y, x, text, font_base, x2, y2) text shows,
+    where (x2, y2) is the device-space image of the text-space extent
+    (0.5·size·len(text), size) — a deterministic width estimate (average
+    glyph advance of 0.5 em; exact metrics would need /Widths parsing,
+    which pdfminer does via font programs).
+
+    When ``image_xobjects`` maps XObject names to image object ids, every
+    ``Do`` of an image appends (name, device bbox of the CTM-mapped unit
+    square) to ``images_out`` — image placement per the PDF imaging model
+    (an image fills the unit square of its own space)."""
 
     def dec(tok: bytes) -> str:
         return _decode_pdf_string(tok, fonts.get(st.font))
@@ -344,15 +361,17 @@ def _extract_page_shows(content: bytes, fonts: Dict[str, _FontInfo]) -> List[Tup
         fi = fonts.get(name)
         return fi.base if fi is not None and fi.base else name
 
-    shows: List[Tuple[float, float, str, str]] = []
+    shows: List[Tuple[float, float, str, str, float, float]] = []
     st = _TextState()
     ctm = _IDENTITY
     gs_stack: List[tuple] = []
     stack: List[bytes] = []
 
     def emit(text: str) -> None:
-        x, y = _mat_apply(_mat_mul(st.tm, ctm), 0.0, 0.0)
-        shows.append((y, x, text, base(st.font)))
+        m = _mat_mul(st.tm, ctm)
+        x, y = _mat_apply(m, 0.0, 0.0)
+        x2, y2 = _mat_apply(m, _AVG_GLYPH_EM * st.size * len(text), st.size)
+        shows.append((y, x, text, base(st.font), x2, y2))
 
     for tok in _TOKEN_RE.finditer(content):
         t = tok.group(0)
@@ -412,12 +431,85 @@ def _extract_page_shows(content: bytes, fonts: Dict[str, _FontInfo]) -> List[Tup
                 for m in re.finditer(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>", arr)
             )
             emit(text)
+        elif op == b"Do" and stack and image_xobjects is not None and images_out is not None:
+            name = stack[-1].decode("latin-1").lstrip("/")
+            if name in image_xobjects:
+                corners = [_mat_apply(ctm, cx, cy) for cx in (0.0, 1.0) for cy in (0.0, 1.0)]
+                xs = [c[0] for c in corners]
+                ys = [c[1] for c in corners]
+                images_out.append((name, (min(xs), min(ys), max(xs), max(ys))))
         stack.clear()
     return shows
 
 
+def _page_xobjects(page_obj: bytes, objects: Dict[int, bytes]) -> Dict[str, int]:
+    """Image XObject resources of a page: {name: object id} for entries
+    whose object is /Subtype /Image (Form XObjects are ignored — their
+    nested content streams are out of the txt-layer subset)."""
+    out: Dict[str, int] = {}
+    src = page_obj
+    region = None
+    for _ in range(6):
+        m = re.search(rb"/XObject\s*<<(.*?)>>", src, re.S)
+        if m:
+            region = m.group(1)
+            break
+        rres = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", src)
+        if rres:
+            res_obj = objects.get(int(rres.group(1)), b"")
+            m = re.search(rb"/XObject\s*<<(.*?)>>", res_obj, re.S)
+            if m:
+                region = m.group(1)
+                break
+        pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", src)
+        if not pm:
+            break
+        src = objects.get(int(pm.group(1)), b"")
+    if region is None:
+        return out
+    for xm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", region):
+        oid = int(xm.group(2))
+        if b"/Image" in objects.get(oid, b""):
+            out[xm.group(1).decode("latin-1")] = oid
+    return out
+
+
+def _page_media(page_obj: bytes, objects: Dict[int, bytes]) -> Tuple[float, float]:
+    """Page (width, height) from /MediaBox, walking /Parent inheritance;
+    US-Letter (612×792) when absent."""
+    src = page_obj
+    for _ in range(6):
+        m = re.search(
+            rb"/MediaBox\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s*\]", src
+        )
+        if m:
+            x0, y0, x1, y1 = (float(m.group(i)) for i in range(1, 5))
+            return (x1 - x0, y1 - y0)
+        pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", src)
+        if not pm:
+            break
+        src = objects.get(int(pm.group(1)), b"")
+    return (612.0, 792.0)
+
+
 def extract_pdf_pages(payload: bytes) -> List[List[Tuple[str, bool]]]:
     """Payload → per-page list of (line_text, is_bold), lines top-down."""
+    return [
+        [(text, bold) for text, bold, _bbox in page["lines"]]
+        for page in extract_pdf_pages_layout(payload)
+    ]
+
+
+def extract_pdf_pages_layout(payload: bytes) -> List[Dict]:
+    """Payload → per-page layout dicts:
+
+      {"width": w, "height": h,
+       "lines":  [(text, is_bold, (x0, y0, x1, y1))],   top-down coords
+       "images": [(xobject_name, (x0, y0, x1, y1))]}
+
+    Line bboxes union the member shows' device extents and are flipped to
+    top-down (y_top = page_height − device_y_top) so downstream layout ops
+    share the reference's image-pixel orientation (pdf_layout module)."""
     objects = _parse_objects(payload)
     _expand_object_streams(objects)
 
@@ -443,41 +535,79 @@ def extract_pdf_pages(payload: bytes) -> List[List[Tuple[str, bool]]]:
             oid for oid, obj in objects.items() if b"/Type" in obj and rb"/Page" in obj and b"/Pages" not in obj
         )
 
-    pages: List[List[Tuple[str, bool]]] = []
+    pages: List[Dict] = []
     for pid in page_ids:
         page_obj = objects[pid]
         fonts = _page_fonts(page_obj, objects)
+        xobjects = _page_xobjects(page_obj, objects)
+        width, height = _page_media(page_obj, objects)
         contents = _dict_value(page_obj, b"/Contents") or b""
-        shows: List[Tuple[float, float, str, str]] = []
+        shows: List[Tuple[float, float, str, str, float, float]] = []
+        images_dev: List[Tuple[str, Tuple[float, float, float, float]]] = []
         for cid in _resolve_refs(contents):
             data = _stream_data(objects.get(cid, b""))
             if data is None:
                 continue
-            shows.extend(_extract_page_shows(data, fonts))
+            shows.extend(_extract_page_shows(data, fonts, xobjects, images_dev))
         # group shows into lines by y, top-down (pdfminer sort, height − y1)
-        by_y: Dict[float, List[Tuple[float, str, str]]] = {}
-        for y, x, text, font in shows:
-            by_y.setdefault(round(y, 1), []).append((x, text, font))
-        lines: List[Tuple[str, bool]] = []
+        by_y: Dict[float, List[Tuple[float, str, str, float, float]]] = {}
+        for y, x, text, font, x2, y2 in shows:
+            by_y.setdefault(round(y, 1), []).append((x, text, font, x2, y2))
+        lines: List[Tuple[str, bool, Tuple[float, float, float, float]]] = []
         for y in sorted(by_y, reverse=True):
             parts = sorted(by_y[y], key=lambda p: p[0])
             text = "".join(p[1] for p in parts)
             bold = any("Bold" in p[2] for p in parts)
-            lines.append((text, bold))
-        pages.append(lines)
+            x0 = min(p[0] for p in parts)
+            x1 = max(max(p[0], p[3]) for p in parts)
+            y_dev_top = max(max(y, p[4]) for p in parts)
+            # clamp into the MediaBox — rendered marks can't exceed the page,
+            # and the 0.5-em width estimate otherwise overshoots on long lines
+            bbox = (
+                round(min(max(x0, 0.0), width), 2),
+                round(min(max(height - y_dev_top, 0.0), height), 2),  # top-down flip
+                round(min(max(x1, 0.0), width), 2),
+                round(min(max(height - y, 0.0), height), 2),
+            )
+            lines.append((text, bold, bbox))
+        images = [
+            (name, (round(bx0, 2), round(height - by1, 2), round(bx1, 2), round(height - by0, 2)))
+            for name, (bx0, by0, bx1, by1) in images_dev
+        ]
+        pages.append({"width": width, "height": height, "lines": lines, "images": images})
     return pages
 
 
 def extract_pdf_lines(
-    payload: bytes, url_hash: str = "", pages_range: Optional[str] = None
+    payload: bytes,
+    url_hash: str = "",
+    pages_range: Optional[str] = None,
+    with_layout: bool = False,
 ) -> Tuple[List[Line], List[str]]:
     """Full txt-layer read: per-page lines with page_id, bold annotations,
     header/footer voting applied for multi-page documents.
 
     ``pages_range`` = "l:r" (1-based, inclusive) prunes pages at the source
     like the reference's ``pages`` parameter (pdf_base_reader.py:108-128),
-    appending the partial-parse warning."""
-    pages = extract_pdf_pages(payload)
+    appending the partial-parse warning.
+
+    ``with_layout=True`` runs the layout family on top (the reference does
+    this unconditionally in pdf_base_reader.py:131-147; here it is opt-in
+    to keep default output bytes stable): per-line bboxes in extras, the
+    bbox sanity filter, per-page size/indentation/spacing annotations, and
+    the line↔object linker over the page's placed images."""
+    from dedoc_spark.core.pdf_layout import (
+        BBox,
+        Location,
+        PageObject,
+        add_indentation_annotations,
+        add_size_annotations,
+        add_spacing_annotations,
+        bbox_sanity_filter,
+        link_objects,
+    )
+
+    pages = extract_pdf_pages_layout(payload)
     warnings: List[str] = []
     if pages_range:
         left, _, right = pages_range.partition(":")
@@ -487,12 +617,29 @@ def extract_pdf_lines(
             warnings.append("The document is partially parsed")
         pages = pages[lo - 1 : hi]
     page_lines: List[List[Line]] = []
+    image_objects: List[PageObject] = []
     for page_id, page in enumerate(pages):
         cur: List[Line] = []
-        for text, bold in page:
+        for text, bold, bbox in page["lines"]:
             annotations = [Annotation(0, len(text), "bold", "True")] if bold else []
             uid = f"{url_hash}_{hashlib.md5(f'pdf{page_id}:{len(cur)}:{text}'.encode()).hexdigest()}"
-            cur.append(Line(line=text, page_id=page_id, annotations=annotations, uid=uid))
+            ln = Line(line=text, page_id=page_id, annotations=annotations, uid=uid)
+            if with_layout:
+                x0, y0, x1, y1 = bbox
+                ln.extras["location"] = Location(page_id, BBox(x0, y0, x1 - x0, y1 - y0))
+            cur.append(ln)
+        if with_layout:
+            cur = bbox_sanity_filter(cur)
+            # reference metadata extractor runs per page (one PageWithBBox):
+            # per-page left bound, per-page median line height
+            add_size_annotations(cur, page["height"])
+            add_indentation_annotations(cur, page["width"])
+            add_spacing_annotations(cur)
+            for idx, (name, (x0, y0, x1, y1)) in enumerate(page["images"]):
+                uid = hashlib.md5(f"{url_hash}_pdfimg_{page_id}_{idx}_{name}".encode()).hexdigest()
+                image_objects.append(
+                    PageObject("image", uid, Location(page_id, BBox(x0, y0, x1 - x0, y1 - y0)))
+                )
         page_lines.append(cur)
     if len(page_lines) > 1:
         page_lines, headers, footers = footer_header_analysis(page_lines)
@@ -500,6 +647,8 @@ def extract_pdf_lines(
         if removed:
             warnings.append(f"removed {removed} header/footer lines")
     lines = [ln for page in page_lines for ln in page]
+    if with_layout and image_objects:
+        lines = link_objects(lines, image_objects)
     for i, ln in enumerate(lines):
         ln.line_id = i
         ln.tag_hl = HierarchyLevel.create_unknown()

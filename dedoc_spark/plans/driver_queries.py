@@ -1546,6 +1546,68 @@ SELECT doc_id, u.s.i - 1 AS sent_id, u.s.sent AS sentence FROM (
 """
 
 # ---------------------------------------------------------------------------
+# q40 pdf layout: per-line bboxes → size/spacing metadata + the line↔object
+# linker (image placed under a 'table N data' caption links to that caption;
+# line_object_linker.py:27-127, metadata_extractor.py:70-164). Fixed page
+# geometry (12pt lines, 20pt leading from y=760, image at device
+# (72,600,200,100)) makes every output column closed-form.
+
+
+def q40_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+    schema = "doc_id long, linked_line string, spacing_seq string, sizes string"
+
+    def fn(it):
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.pdf_extract import extract_pdf_lines
+        from dedoc_spark.sources.pdf_fixture import build_pdf
+
+        for pdf_batch in it:
+            out = []
+            for doc_id, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                payload = build_pdf(
+                    [[(f"Doc {doc_id}", True), (text, False), (f"table {doc_id} data", False)]],
+                    images=[[(72, 600, 200, 100)]],
+                )
+                lines, _ = extract_pdf_lines(payload, f"{doc_id}", with_layout=True)
+                linked = next(
+                    (ln.line for ln in lines for a in ln.annotations if a.name == "attachment"),
+                    None,
+                )
+                spacing = [
+                    a.value for ln in lines for a in ln.annotations if a.name == "spacing"
+                ]
+                sizes = sorted({a.value for ln in lines for a in ln.annotations if a.name == "size"})
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "linked_line": linked,
+                        "spacing_seq": ",".join(spacing),
+                        "sizes": ",".join(sizes),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "linked_line", "spacing_seq", "sizes"])
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(fn, schema)
+
+
+# geometry constants: 3 lines of height 12 at top-down tops 20/40/60 → first
+# spacing 50 (default), then 100·8/12 = 66 twice; size 13 everywhere; the
+# image (top-down y 92..192) links to the nearest line above = the caption
+Q40_SQL = """
+SELECT doc_id, 'table ' || doc_id || ' data' AS linked_line,
+       '50,66,66' AS spacing_seq, '13' AS sizes
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1587,6 +1649,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_pii_redact": q37_pii_redact,
     "q38_domain_rollup": q38_domain_rollup,
     "q39_sentences": q39_sentences,
+    "q40_pdf_layout": q40_pdf_layout,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1629,4 +1692,5 @@ ORACLES: Dict[str, str] = {
     "q37_pii_redact": Q37_SQL,
     "q38_domain_rollup": Q38_SQL,
     "q39_sentences": Q39_SQL,
+    "q40_pdf_layout": Q40_SQL,
 }

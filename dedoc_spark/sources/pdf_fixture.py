@@ -22,8 +22,15 @@ def _escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def build_pdf(pages: Sequence[PageLines]) -> bytes:
-    """Each page: lines drawn top-down starting at y=760, 20pt leading."""
+PageImages = Sequence[Tuple[float, float, float, float]]  # (x, y, w, h) device
+
+
+def build_pdf(pages: Sequence[PageLines], images: Optional[Sequence[PageImages]] = None) -> bytes:
+    """Each page: lines drawn top-down starting at y=760, 20pt leading.
+
+    ``images``: optional per-page placements (x, y, w, h) in device points
+    (y = bottom edge, PDF bottom-up) — each becomes a 1×1 /Image XObject
+    shown via ``q w 0 0 h x y cm /ImN Do Q``."""
     objects: List[bytes] = []
 
     def add(obj: str) -> int:
@@ -33,9 +40,22 @@ def build_pdf(pages: Sequence[PageLines]) -> bytes:
     font_regular = add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     font_bold = add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>")
 
+    page_images = list(images) if images is not None else [[] for _ in pages]
+    image_ids: List[List[int]] = []
+    for placements in page_images:
+        ids = []
+        for _ in placements:
+            ids.append(
+                add(
+                    "<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+                    "/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>\nstream\n\x00\nendstream"
+                )
+            )
+        image_ids.append(ids)
+
     page_obj_ids: List[int] = []
     content_ids: List[int] = []
-    for lines in pages:
+    for page_idx, lines in enumerate(pages):
         ops = ["BT", "/F1 12 Tf", "1 0 0 1 72 760 Tm", "20 TL"]
         for i, (text, bold) in enumerate(lines):
             ops.append("/F2 12 Tf" if bold else "/F1 12 Tf")
@@ -43,18 +63,26 @@ def build_pdf(pages: Sequence[PageLines]) -> bytes:
                 ops.append("T*")
             ops.append(f"({_escape(text)}) Tj")
         ops.append("ET")
+        for k, (x, y, w, h) in enumerate(page_images[page_idx]):
+            ops.append(f"q {w:g} 0 0 {h:g} {x:g} {y:g} cm /Im{k + 1} Do Q")
         stream = "\n".join(ops)
         content_ids.append(
             add(f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream")
         )
 
     pages_id_placeholder = len(objects) + len(pages) + 1
-    for content_id in content_ids:
+    for page_idx, content_id in enumerate(content_ids):
+        xobj = ""
+        if image_ids[page_idx]:
+            entries = " ".join(
+                f"/Im{k + 1} {oid} 0 R" for k, oid in enumerate(image_ids[page_idx])
+            )
+            xobj = f"/XObject << {entries} >> "
         page_obj_ids.append(
             add(
                 f"<< /Type /Page /Parent {pages_id_placeholder} 0 R "
                 f"/MediaBox [0 0 612 792] "
-                f"/Resources << /Font << /F1 {font_regular} 0 R /F2 {font_bold} 0 R >> >> "
+                f"/Resources << /Font << /F1 {font_regular} 0 R /F2 {font_bold} 0 R >> {xobj}>> "
                 f"/Contents {content_id} 0 R >>"
             )
         )
