@@ -1,0 +1,236 @@
+"""Real image decoding, pure Python + numpy: PNG (zlib inflate + scanline
+filter reversal per the PNG spec) and uncompressed BMP. No PIL/cv2 — the
+reference shells any image format through PIL/cv2
+(converters/concrete_converters/png_converter.py:16-39); this covers the
+formats a from-scratch decoder can do exactly, and keeps the document
+pipeline's error-channel contract for the rest (JPEG etc. land in the
+``error`` column, never crash a task).
+
+decode_image(data) -> (width, height, HxWx3 uint8 RGB array)
+
+Supported:
+  PNG  bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
+       4 (gray+alpha), 6 (RGBA); non-interlaced. Alpha is dropped
+       (composited on black, matching a raw-pixel read).
+  BMP  BITMAPINFOHEADER, uncompressed (BI_RGB) 24/32-bit, bottom-up or
+       top-down rows.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Tuple
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
+    """Reverse per-scanline filters (PNG spec §6): each scanline is
+    1 filter byte + stride data bytes."""
+    out = bytearray(height * stride)
+    prev_off = -1
+    pos = 0
+    for row in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        off = row * stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            if prev_off >= 0:
+                for i in range(stride):
+                    line[i] = (line[i] + out[prev_off + i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                up = out[prev_off + i] if prev_off >= 0 else 0
+                line[i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = out[prev_off + i] if prev_off >= 0 else 0
+                c = out[prev_off + i - bpp] if (prev_off >= 0 and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[off : off + stride] = line
+        prev_off = off
+    return out
+
+
+def _decode_png(data: bytes) -> Tuple[int, int, np.ndarray]:
+    pos = 8
+    width = height = 0
+    bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    palette = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"PLTE":
+            palette = body
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width == 0 or height == 0:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    flat = _png_unfilter(raw, height, stride, channels)
+    arr = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(height, width, channels)
+    if color_type == 0:
+        rgb = np.repeat(arr, 3, axis=2)
+    elif color_type == 2:
+        rgb = arr
+    elif color_type == 3:
+        if not palette:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(palette.ljust(768, b"\x00"), dtype=np.uint8).reshape(256, 3)
+        rgb = pal[arr[:, :, 0]]
+    elif color_type == 4:
+        rgb = np.repeat(arr[:, :, :1], 3, axis=2)
+    else:  # 6 RGBA → drop alpha
+        rgb = arr[:, :, :3]
+    return width, height, np.ascontiguousarray(rgb)
+
+
+def _decode_bmp(data: bytes) -> Tuple[int, int, np.ndarray]:
+    if len(data) < 54:
+        raise ValueError("BMP too short")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    width, height_raw = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    height = abs(height_raw)
+    bottom_up = height_raw > 0
+    bytes_pp = bpp // 8
+    row_size = (width * bytes_pp + 3) // 4 * 4
+    need = pix_off + row_size * height
+    if len(data) < need:
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_size * height, offset=pix_off)
+    rows = rows.reshape(height, row_size)[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    if bottom_up:
+        rows = rows[::-1]
+    # BMP stores BGR(A)
+    rgb = rows[:, :, 2::-1]
+    return width, height, np.ascontiguousarray(rgb)
+
+
+def decode_image(data: bytes) -> Tuple[int, int, np.ndarray]:
+    """Bytes → (width, height, HxWx3 uint8 RGB). Raises ValueError on
+    unsupported/corrupt input (callers route it to the error channel)."""
+    if not data:
+        raise ValueError("empty media payload")
+    if data[:8] == PNG_MAGIC:
+        return _decode_png(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
+    raise ValueError(f"unsupported image format (magic {data[:4]!r})")
+
+
+def image_features(data: bytes) -> Tuple[int, int, list]:
+    """(width, height, 8-dim feature) from REAL pixels: per-channel means
+    and standard deviations plus luminance mean/std, all scaled to [0, 1].
+    Deterministic — same bytes, same feature."""
+    width, height, rgb = decode_image(data)
+    f = rgb.astype(np.float64) / 255.0
+    lum = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    feature = [
+        float(f[:, :, 0].mean()),
+        float(f[:, :, 1].mean()),
+        float(f[:, :, 2].mean()),
+        float(f[:, :, 0].std()),
+        float(f[:, :, 1].std()),
+        float(f[:, :, 2].std()),
+        float(lum.mean()),
+        float(lum.std()),
+    ]
+    return width, height, [round(v, 6) for v in feature]
+
+
+def pixel_hash(data: bytes) -> str:
+    """md5 of "{w}x{h}" + the hex-encoded decoded RGB buffer — a decode
+    correctness fingerprint. Hex (not raw bytes) so a SQL oracle can
+    reproduce it: DuckDB's md5() only takes VARCHAR."""
+    import hashlib
+
+    width, height, rgb = decode_image(data)
+    return hashlib.md5(
+        (f"{width}x{height}" + rgb.tobytes().hex()).encode()
+    ).hexdigest()
+
+
+# --- fixture encoder (tests / driver oracles) ---------------------------------
+
+
+def encode_png(rgb: np.ndarray, color_type: int = 2, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer for fixtures: 8-bit, color types 2 (RGB) and 0
+    (gray, pass HxW or HxWx1), one IDAT, selectable uniform filter type
+    (0/1/2 — lets tests exercise the unfilter paths)."""
+    if rgb.ndim == 2:
+        rgb = rgb[:, :, None]
+    height, width, channels = rgb.shape
+    assert (color_type, channels) in ((2, 3), (0, 1))
+    bpp = channels
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for r in range(height):
+        line = rgb[r].astype(np.uint8).tobytes()
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += line
+        elif filter_type == 1:  # Sub
+            enc = bytearray(line)
+            for i in range(len(enc) - 1, bpp - 1, -1):
+                enc[i] = (enc[i] - line[i - bpp]) & 0xFF
+            raw += enc
+        elif filter_type == 2:  # Up
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(len(line)))
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )

@@ -1,9 +1,11 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing (schemas, Arrow batch shape, partitioning) is real
-and tested; the actual media decode is STUBBED because the image/audio
-libraries are not in this container. Swap `_fake_decode_image` for a PIL/
-cv2 call on a real cluster — the UDF signature and batch shape stay.
+Image decode is REAL (core/image_decode: pure-python PNG with full filter
+reversal + uncompressed BMP, numpy pixel stats as the 8-dim feature);
+formats beyond the from-scratch decoder (JPEG, video, audio) land in the
+``error`` column with a typed message — the same error-channel contract as
+the document pipeline, never a crashed task. The reference converts any
+image via PIL/cv2 (converters/concrete_converters/png_converter.py:16-39).
 
 Pattern: mapInPandas over (id, media binary, media_type) with per-batch
 vectorized decode; oversized media routed like oversized documents
@@ -12,7 +14,6 @@ vectorized decode; oversized media routed like oversized documents
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import pandas as pd
@@ -33,19 +34,6 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode_image(data: bytes) -> tuple:
-    """STUB decoder: deterministic pseudo-features from the bytes' md5.
-    Replace with a real decode (PIL.Image.open etc.) in production; the
-    return contract (width, height, 8-dim feature) is the real one."""
-    if not data:
-        raise ValueError("empty media payload")
-    h = hashlib.md5(data).digest()
-    width = 64 + h[0] * 4
-    height = 64 + h[1] * 4
-    feature = [b / 255.0 for b in h[2:10]]
-    return width, height, feature
-
-
 def media_features(
     df: DataFrame,
     media_col: str = "media",
@@ -64,7 +52,7 @@ def media_features(
 
         if repo not in sys.path:
             sys.path.insert(0, repo)
-        from dedoc_spark.operators.multimodal import _fake_decode_image as decode
+        from dedoc_spark.core.image_decode import image_features as decode
 
         for pdf in it:
             out = []

@@ -1608,6 +1608,62 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# q41 image decode round-trip: per doc, synthesize a 16×16 gradient
+# (pixel i = (3·doc_id + i) mod 256, gray content in RGB), ENCODE it as a
+# real PNG rotating the scanline filter by doc_id (None/Sub/Up), DECODE it
+# with the pure-python decoder (core/image_decode), and emit the pixel-hash
+# fingerprint. Only a byte-exact filter-reversal reproduces the oracle's
+# hash, which DuckDB rebuilds arithmetically from generate_series.
+
+
+def q41_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+    schema = "doc_id long, width int, height int, px_hash string"
+
+    def fn(it):
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        import numpy as np
+
+        from dedoc_spark.core.image_decode import encode_png, pixel_hash
+
+        for batch in it:
+            out = []
+            for doc_id in batch["doc_id"]:
+                did = int(doc_id)
+                v = np.arange(256, dtype=np.int64)
+                v = ((3 * did + v) % 256).astype(np.uint8).reshape(16, 16)
+                rgb = np.repeat(v[:, :, None], 3, axis=2)
+                png = encode_png(rgb, color_type=2, filter_type=did % 3)
+                from dedoc_spark.core.image_decode import decode_image
+
+                w, h, _ = decode_image(png)
+                out.append(
+                    {"doc_id": did, "width": w, "height": h, "px_hash": pixel_hash(png)}
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "width", "height", "px_hash"])
+
+    return _docs(spark, sf_dir).select("doc_id").mapInPandas(fn, schema)
+
+
+Q41_SQL = """
+WITH px AS (
+  SELECT d.doc_id, t.i, (3 * d.doc_id + t.i) % 256 AS v
+  FROM documents d, generate_series(0, 255) t(i)
+)
+SELECT doc_id, 16 AS width, 16 AS height,
+       md5('16x16' || lower(string_agg(repeat(lpad(to_hex(v), 2, '0'), 3), '' ORDER BY i)))
+         AS px_hash
+FROM px GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1650,6 +1706,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_domain_rollup": q38_domain_rollup,
     "q39_sentences": q39_sentences,
     "q40_pdf_layout": q40_pdf_layout,
+    "q41_image_decode": q41_image_decode,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1693,4 +1750,5 @@ ORACLES: Dict[str, str] = {
     "q38_domain_rollup": Q38_SQL,
     "q39_sentences": Q39_SQL,
     "q40_pdf_layout": Q40_SQL,
+    "q41_image_decode": Q41_SQL,
 }

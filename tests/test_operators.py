@@ -211,20 +211,29 @@ def test_boilerplate_voting(spark):
     assert any("unique alpha body" in ln for ln in remaining)
 
 
-def test_multimodal_stub(spark):
+def test_multimodal_real_decode(spark):
+    """media_features decodes REAL pixels (pure-python PNG decoder) and
+    keeps the error-channel contract for undecodable payloads."""
+    import numpy as np
+
+    from dedoc_spark.core.image_decode import encode_png
     from dedoc_spark.operators.multimodal import media_features
 
+    solid = np.full((8, 8, 3), 128, dtype=np.uint8)  # mean exactly 128/255
     rows = [
-        ("m1", "image", bytearray(b"\x89PNGfakebytes")),
+        ("m1", "image", bytearray(encode_png(solid))),
         ("m2", "audio", bytearray(b"RIFFfake")),
         ("m3", "image", bytearray(b"")),
+        ("m4", "image", bytearray(b"\xff\xd8\xff\xe0 jpeg-not-supported")),
     ]
     df = spark.createDataFrame(rows, "media_id string, media_type string, media binary")
     out = {r.media_id: r for r in media_features(df).collect()}
-    assert out["m1"].error is None and out["m1"].width > 0 and len(out["m1"].feature) == 8
+    assert out["m1"].error is None and (out["m1"].width, out["m1"].height) == (8, 8)
+    assert abs(out["m1"].feature[0] - 128 / 255) < 1e-5  # real pixel mean
+    assert abs(out["m1"].feature[3]) < 1e-5  # solid color: zero std
     assert "NotImplementedError" in out["m2"].error
     assert "ValueError" in out["m3"].error
-    # determinism of the stub decode
+    assert "ValueError" in out["m4"].error  # JPEG → typed error, not a crash
     out2 = {r.media_id: r for r in media_features(df).collect()}
     assert out2["m1"].feature == out["m1"].feature
 
