@@ -21,47 +21,130 @@ from typing import Iterator, List, Tuple
 import numpy as np
 import pandas as pd
 
-FEATURE_NAMES = [
-    "letters_proportion",
-    "digits_proportion",
-    "special_proportion",
-    "trash_proportion",
-    "mean_word_length",
-    "mean_char_ord",
-]
+# --- char classes (structure_extractors/feature_extractors/char_features.py) --
 
-_SPECIAL = set("<>~!@#$%^&*_+-/\"|?.,:;'`=")
+ENG = "".join(map(chr, range(ord("a"), ord("z") + 1)))
+RUS = "".join([chr(i) for i in range(ord("а"), ord("а") + 32)] + ["ё"])
+LOWER_LETTERS = ENG + RUS
+UPPER_LETTERS = LOWER_LETTERS.upper()
+LETTERS = UPPER_LETTERS + LOWER_LETTERS
+DIGITS = "".join(str(i) for i in range(10))
+SPECIAL_SYMBOLS = "<>~!@#$%^&*_+-/\"|?.,:;'`= "
+BRACKETS = "{}[]()"
+SYMBOLS = LETTERS + DIGITS + BRACKETS + SPECIAL_SYMBOLS
+PROHIBITED_SYMBOLS = {s: i for i, s in enumerate("[]<")}
+
+_LETTERS_SET = frozenset(LETTERS)
+_DIGITS_SET = frozenset(DIGITS)
+_SPECIAL_SET = frozenset(SPECIAL_SYMBOLS)
+_BRACKETS_SET = frozenset(BRACKETS)
+_SYMBOLS_SET = frozenset(SYMBOLS)
+_LOWER_SET = frozenset(LOWER_LETTERS)
+_UPPER_SET = frozenset(UPPER_LETTERS)
+_RUS_SET = frozenset(RUS + RUS.upper())
+_ENG_SET = frozenset(ENG + ENG.upper())
+
+
+def txtlayer_features(texts: pd.Series) -> pd.DataFrame:
+    """FULL feature parity with the reference's txt-layer detector
+    (pdf_auto_reader/txtlayer_feature_extractor.py:10-62): per-char-class
+    proportions, one proportion column per letter/digit, one count column
+    per special symbol/bracket (prohibited names remapped), case/symbol/
+    letter transition rates, word-length and char-ordinal statistics.
+    Columns sorted, float dtype; NaNs appear exactly where the reference
+    produces them (word stats of wordless text). One Counter pass per text
+    instead of the reference's ~160 str.count scans — same values.
+
+    Divergence (robustness, documented): empty text yields all-zero
+    proportions instead of the reference's ZeroDivisionError."""
+    from collections import Counter
+
+    rows = []
+    for text in texts.fillna("").astype(str):
+        feat = {}
+        n_len = len(text)
+        counts = Counter(text)
+        num_letters = sum(c for ch, c in counts.items() if ch in _LETTERS_SET)
+        num_digits = sum(c for ch, c in counts.items() if ch in _DIGITS_SET)
+        num_special = sum(c for ch, c in counts.items() if ch in _SPECIAL_SET)
+        num_brackets = sum(c for ch, c in counts.items() if ch in _BRACKETS_SET)
+        num_rus = sum(c for ch, c in counts.items() if ch in _RUS_SET)
+        num_eng = sum(c for ch, c in counts.items() if ch in _ENG_SET)
+        denom = n_len if n_len else 1
+
+        feat["letters_proportion"] = num_letters / denom
+        feat["digits_proportion"] = num_digits / denom
+        feat["special_symbols_proportion"] = num_special / denom
+        feat["brackets_proportion"] = num_brackets / denom
+        feat["rus_proportion"] = num_rus / denom
+        feat["eng_proportion"] = num_eng / denom
+
+        n_ld = num_letters + num_digits
+        for symbol in LETTERS + DIGITS:
+            feat[f"{symbol}_proportion"] = counts.get(symbol, 0) / n_ld if n_ld != 0 else 0.0
+        for symbol in SPECIAL_SYMBOLS + BRACKETS:
+            name = (
+                symbol
+                if symbol not in PROHIBITED_SYMBOLS
+                else f"symbol{PROHIBITED_SYMBOLS[symbol]}"
+            )
+            feat[f"{name}_number"] = counts.get(symbol, 0)
+        feat["all_proportion"] = (
+            (num_letters + num_digits + num_brackets + num_special) / n_len if n_len else 0
+        )
+
+        case_changes = sum(
+            1 for s1, s2 in zip(text[:-1], text[1:]) if s1 in _LOWER_SET and s2 in _UPPER_SET
+        )
+        feat["case_changes"] = case_changes / denom
+        symbol_changes = sum(
+            1 for s1, s2 in zip(text[:-1], text[1:]) if (s1 in _SYMBOLS_SET) != (s2 in _SYMBOLS_SET)
+        )
+        feat["symbol_changes"] = symbol_changes / denom
+        letter_changes = sum(
+            1 for s1, s2 in zip(text[:-1], text[1:]) if s1 in _LETTERS_SET and s2 not in _SYMBOLS_SET
+        )
+        feat["letter_changes"] = letter_changes / denom
+
+        word_lens = [len(w) for w in text.split()]
+        feat["mean_word_length"] = float(np.mean(word_lens)) if word_lens else float("nan")
+        feat["median_word_length"] = float(np.median(word_lens)) if word_lens else float("nan")
+
+        ords = [ord(ch) for ch in text]
+        trash = sum(1 for o in ords if o <= 32 or 160 <= o <= 879)
+        feat["trash_chars_proportion"] = trash / denom
+        feat["trash_chars_number"] = trash
+        feat["std_char_ord"] = float(np.std(ords)) if ords else 0.0
+        feat["mean_char_ord"] = float(np.mean(ords)) if ords else 0.0
+        feat["median_char_ord"] = float(np.median(ords)) if ords else 0.0
+        rows.append(feat)
+    frame = pd.DataFrame(rows)
+    return frame[sorted(frame.columns)].astype(float)
+
+
+FEATURE_NAMES: List[str] = list(txtlayer_features(pd.Series(["probe"])).columns)
+
+# column scaling for the numpy logistic model (the reference's XGBoost is
+# scale-free; gradient descent is not): raw counts and ordinals are squashed
+# into O(1) ranges. Parity lives in txtlayer_features; this is model prep.
+_SCALE = np.array(
+    [
+        0.01 if name.endswith("_number")
+        else 0.1 if name in ("mean_word_length", "median_word_length")
+        else 0.001 if name.endswith("_char_ord")
+        else 1.0
+        for name in FEATURE_NAMES
+    ],
+    dtype=np.float64,
+)
 
 
 def features_frame(texts: pd.Series) -> np.ndarray:
-    """Vectorized feature matrix (n_texts × len(FEATURE_NAMES)) — the
-    txtlayer_feature_extractor.py proportions subset, computed with pandas
-    str ops + numpy (no per-row Python in the Spark path)."""
-    s = texts.fillna("").astype(str)
-    length = s.str.len().clip(lower=1).to_numpy(dtype=np.float64)
-    letters = s.str.count(r"[A-Za-zА-Яа-яё]").to_numpy(dtype=np.float64)
-    digits = s.str.count(r"[0-9]").to_numpy(dtype=np.float64)
-    special = s.str.count(r"[<>~!@#$%^&*_+\-/\"|?.,:;'`=]").to_numpy(dtype=np.float64)
-    trash = s.str.count(r"[\x00-\x20\xa0-ͯ]").to_numpy(dtype=np.float64)
-    # mean word length / mean char ordinal: bounded loops over short strings,
-    # still batch-level numpy ops per column
-    mean_word = np.array(
-        [float(np.mean([len(w) for w in t.split()])) if t.split() else 0.0 for t in s],
-        dtype=np.float64,
-    )
-    mean_ord = np.array(
-        [float(np.mean([ord(c) for c in t])) if t else 0.0 for t in s], dtype=np.float64
-    )
-    return np.column_stack(
-        [
-            letters / length,
-            digits / length,
-            special / length,
-            trash / length,
-            mean_word / 10.0,
-            mean_ord / 1000.0,
-        ]
-    )
+    """Model-input matrix: the full reference feature frame, NaN→0 (our
+    logistic can't route NaNs the way XGBoost does) and count/ordinal
+    columns scaled into O(1)."""
+    X = txtlayer_features(texts).to_numpy(dtype=np.float64)
+    return np.nan_to_num(X, nan=0.0) * _SCALE
 
 
 class LogisticModel:
