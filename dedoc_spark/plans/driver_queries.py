@@ -1664,6 +1664,77 @@ FROM px GROUP BY doc_id
 """
 
 # ---------------------------------------------------------------------------
+# q42 multipage table merge (relational form, operators/tables.py): per doc,
+# four synthesized table parts — a 2-col table continuing across pages 0→1
+# with a duplicated header (width 100→101, inside the ±3% epsilon), a 3-col
+# table on page 1 (column-count break), and a width-200 table on page 2
+# (width break). Chains and merged rows are closed-form per doc_id.
+
+
+def q42_multipage_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.operators.tables import merge_multipage_tables_df
+
+    did = F.col("doc_id").cast("string")
+
+    def part(page, seq, cols, width, rows):
+        return F.struct(
+            F.lit(page).alias("page_id"),
+            F.lit(seq).alias("table_seq"),
+            F.lit(cols).alias("n_cols"),
+            F.lit(width).alias("width"),
+            F.array(*[F.array(*row) for row in rows]).alias("rows"),
+        )
+
+    parts = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    part(0, 0, 2, 100.0, [[F.lit("h1"), F.lit("h2")],
+                                          [F.concat(F.lit("a"), did), F.lit("1")]]),
+                    part(1, 0, 2, 101.0, [[F.lit("h1"), F.lit("h2")],
+                                          [F.lit("b"), F.concat(F.lit("d"), did)]]),
+                    part(1, 1, 3, 100.0, [[F.lit("x"), F.lit("y"), F.lit("z")]]),
+                    part(2, 0, 3, 200.0, [[F.lit("p"), F.lit("q"),
+                                           F.concat(F.lit("r"), did)]]),
+                )
+            ).alias("t"),
+        )
+        .select(
+            F.col("doc_id").alias("url"), "doc_id",
+            "t.page_id", "t.table_seq", "t.n_cols", "t.width", "t.rows",
+        )
+    )
+    merged = merge_multipage_tables_df(parts.drop("doc_id"))
+    return merged.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("chain_id").cast("long").alias("chain_id"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+        F.col("page_lo").cast("int").alias("page_lo"),
+        F.col("page_hi").cast("int").alias("page_hi"),
+        F.array_join(
+            F.transform("rows", lambda r: F.array_join(r, ",")), ";"
+        ).alias("cells"),
+    )
+
+
+Q42_SQL = """
+SELECT d.doc_id, c.chain_id, c.n_parts, c.page_lo, c.page_hi,
+       CASE c.chain_id
+         WHEN 1 THEN 'h1,h2;a' || d.doc_id || ',1;b,d' || d.doc_id
+         WHEN 2 THEN 'x,y,z'
+         ELSE 'p,q,r' || d.doc_id
+       END AS cells
+FROM documents d
+CROSS JOIN (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 0, 1),
+                   (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 1, 1),
+                   (CAST(3 AS BIGINT), CAST(1 AS BIGINT), 2, 2))
+  c(chain_id, n_parts, page_lo, page_hi)
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1707,6 +1778,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_sentences": q39_sentences,
     "q40_pdf_layout": q40_pdf_layout,
     "q41_image_decode": q41_image_decode,
+    "q42_multipage_tables": q42_multipage_tables,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1751,4 +1823,5 @@ ORACLES: Dict[str, str] = {
     "q39_sentences": Q39_SQL,
     "q40_pdf_layout": Q40_SQL,
     "q41_image_decode": Q41_SQL,
+    "q42_multipage_tables": Q42_SQL,
 }
