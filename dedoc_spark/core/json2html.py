@@ -102,3 +102,112 @@ def json2html(tree: TreeNode, tables: Optional[List[Table]] = None) -> str:
             parts.append(table2html(t, table2id))
             parts.append("<p>&nbsp;</p>")
     return "".join(parts)
+
+
+# --- json2tree / json2collapsed_tree (api_utils.py:17-113) --------------------
+
+
+def _prettify_text(text: str):
+    """60-char word-wrap of api_utils.__prettify_text (api_utils.py:17-27)."""
+    res = []
+    for word in text.split():
+        if len(word) == 0:
+            continue
+        res.append(word)
+        if sum(map(len, res)) >= 60:
+            yield " ".join(res)
+            res = []
+    if len(res) > 0:
+        yield " ".join(res)
+
+
+def _add_vertical_line(depths, space):
+    for d in depths:
+        space[(d - 1) * 4] = "|"
+    return "".join(space)
+
+
+def json2tree(root: TreeNode) -> str:
+    """Flat indented debug rendering (api_utils.py:79-106): nodes sorted by
+    numeric node-id path, emitted bottom-up with |-guides for open depths,
+    root text as the <h3> heading. Byte-parity with the reference."""
+    stack = [root]
+    nodes = []
+    while len(stack) > 0:
+        element = stack.pop()
+        nodes.append(element)
+        stack.extend(element.subparagraphs)
+    nodes.sort(key=lambda node: tuple(map(int, node.node_id.split("."))))
+    root_node, *rest = nodes
+    result = []
+    space_symbol = "&nbsp"
+    depths = set()
+    for node in reversed(rest):
+        node_result = []
+        depth = len(node.node_id.split(".")) - 1
+        depths.add(depth)
+        depths = {d for d in depths if d <= depth}
+        space = [space_symbol] * 4 * (depth - 1) + 4 * ["-"]
+        space = _add_vertical_line(depths, space)
+        node_result.append(
+            f"<p> <tt> <em>  {space} {node.hl.line_type}&nbsp{node.node_id} </em> </tt> </p>"
+        )
+        for text in _prettify_text(node.text):
+            space = [space_symbol] * 4 * (depth - 1) + 4 * [space_symbol]
+            space = _add_vertical_line(depths, space)
+            node_result.append(f"<p> <tt> {space} {text} </tt> </p>")
+        result.extend(reversed(node_result))
+    result.append(f"<h3>{root_node.text}</h3>")
+    return "".join(reversed(result))
+
+
+def _node2tree(paragraph: TreeNode, depth: int, depths=None) -> str:
+    if depths is None:
+        depths = set()
+    space_symbol = "&nbsp"
+    space = [space_symbol] * 4 * (depth - 1) + 4 * ["-"]
+    space = "".join(space)
+    node_result = []
+    node_result.append(f"  {space} {paragraph.hl.line_type}&nbsp{paragraph.node_id} ")
+    for text in _prettify_text(paragraph.text):
+        space = [space_symbol] * 4 * (depth - 1) + 4 * [space_symbol]
+        space = "".join(space)
+        node_result.append(f"<p>  {space} {text}  </p>")
+    if len(paragraph.subparagraphs) > 0:
+        sub_nodes = "\n".join(
+            [
+                _node2tree(sub_node, depth=depth + 1, depths=depths.union({depth}))
+                for sub_node in paragraph.subparagraphs
+            ]
+        )
+        return f"""
+        <details>
+            <summary> <tt> {"".join(node_result)} </tt> </summary>
+            {sub_nodes}
+        </details>
+        """
+    else:
+        return f"""
+                <p>
+                     {"".join(node_result)}
+                </p>
+                """
+
+
+def json2collapsed_tree(paragraph: TreeNode) -> str:
+    """<details>-nested collapsible rendering (api_utils.py:60-76)."""
+    result = f"""
+    <!DOCTYPE html>
+    <html>
+     <head>
+      <meta charset="utf-8">
+      <title>details</title>
+     </head>
+     <body>
+     <tt>
+      {_node2tree(paragraph, depth=0)}
+      </tt>
+     </body>
+    </html>
+    """
+    return result

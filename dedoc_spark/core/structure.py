@@ -124,3 +124,97 @@ def classify_line_text(text: str) -> Optional[str]:
         if regex.match(t):
             return name
     return None
+
+
+# --- prefix-split postprocess (abstract_structure_extractor.py:41-113) -------
+
+# law-family prefix regexps (hierarchy_level_builders/utils_reg.py:4-16 and
+# law_structure_excractor.py:32-35) — the regexps the reference feeds into
+# _postprocess; exported for callers and tests
+REGEXPS_ITEM = re.compile(r"^\s*(\d*\.)*\d+[\)|\}]")
+REGEXPS_PART = re.compile(r"(^\s*\d{1,2}(\.\d{1,2})*)(\s|$|\)|\}|\.([A-ZА-Яa-zа-яё]|\s))")
+REGEXPS_SUBITEM = re.compile(r"^\s*[а-яё]\)")
+REGEXPS_ENDS_OF_NUMBER = re.compile(r"([A-ZА-Яa-zа-яё]|\s|( )*)$")
+
+
+def select_annotations(annotations: List, start: int, end: int) -> List:
+    """Annotation slicing for a [start, end) text cut
+    (abstract_structure_extractor.py:97-113): table/attachment annotations
+    survive only on the prefix piece (start == 0) and re-span the whole new
+    text; span annotations clip and shift."""
+    from dedoc_spark.core.model import Annotation
+
+    assert start <= end
+    res = []
+    for annotation in annotations:
+        if annotation.name in ("table", "attachment"):
+            if start == 0:
+                res.append(Annotation(start=start, end=end, name=annotation.name, value=annotation.value))
+        elif annotation.end > start and annotation.start <= end:
+            new_start = max(annotation.start, start) - start
+            new_end = min(annotation.end, end) - start
+            res.append(Annotation(start=new_start, end=new_end, name=annotation.name, value=annotation.value))
+    return res
+
+
+def prefix_split_postprocess(
+    lines: List[Line],
+    paragraph_types: List[str],
+    regexps: List,
+    excluding_regexps: List,
+) -> List[Line]:
+    """Split a matched numbering prefix into its own line
+    (abstract_structure_extractor.py:41-94): for lines whose extracted type
+    is in ``paragraph_types``, the first matching regexp's span becomes its
+    own line (garbage trimmed by the paired excluding regexp, e.g.
+    "4.7.\\t" → "4.7."); the rest of the text follows as a raw_text line
+    with uid ``{uid}_split``. Empty raw-text lines are dropped. Annotations
+    are sliced per ``select_annotations``."""
+    result: List[Line] = []
+    for line in lines:
+        hl = line.hl if line.hl is not None else HierarchyLevel.create_unknown()
+        if hl.is_raw_text() and len(line.line) == 0:  # skip empty raw text
+            continue
+        if hl.line_type in paragraph_types:
+            matched = False
+            for num, regexp in enumerate(regexps):
+                match = regexp.match(line.line)
+                if match:
+                    matched = True
+                    start = match.start()
+                    end = match.end()
+                    if excluding_regexps[num]:
+                        match_excluding = excluding_regexps[num].search(line.line[start:end])
+                        end = match_excluding.start() if match_excluding else end
+                    result.append(
+                        Line(
+                            line=line.line[start:end],
+                            page_id=line.page_id,
+                            line_id=line.line_id,
+                            tag_hl=line.tag_hl,
+                            hl=hl,
+                            annotations=select_annotations(line.annotations, start, end),
+                            uid=line.uid,
+                            extras=line.extras,
+                        )
+                    )
+                    rest_text = line.line[end:]
+                    if len(rest_text) > 0:
+                        result.append(
+                            Line(
+                                line=rest_text,
+                                page_id=line.page_id,
+                                line_id=line.line_id,
+                                tag_hl=line.tag_hl,
+                                hl=HierarchyLevel.create_raw_text(),
+                                annotations=select_annotations(line.annotations, end, len(line.line)),
+                                uid=line.uid + "_split",
+                                extras=line.extras,
+                            )
+                        )
+                    break
+            if not matched:
+                result.append(line)
+        else:
+            result.append(line)
+    return result

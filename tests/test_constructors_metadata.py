@@ -136,3 +136,58 @@ def test_ole2_summary_information_metadata():
     # files without the stream or non-OLE2 payloads → empty dict
     assert extract_ole2_metadata(build_ole2({"Workbook": b"\x09\x08"})) == {}
     assert extract_ole2_metadata(b"not ole2") == {}
+
+
+def test_json2tree_rendering():
+    """Flat indented debug tree (api_utils.py:79-106): bottom-up emission
+    with |-guides, dashes at node depth, root text in <h3>."""
+    from dedoc_spark.core.json2html import json2tree
+    from dedoc_spark.core.model import HierarchyLevel, Line
+    from dedoc_spark.core.structure import assign_hierarchy_levels
+    from dedoc_spark.core.tree import construct_tree
+
+    lines = [
+        Line(line="Title", tag_hl=HierarchyLevel(1, 1, False, "header")),
+        Line(line="body text", line_id=1),
+    ]
+    for i, ln in enumerate(lines):
+        ln.line_id = i
+    assign_hierarchy_levels(lines)
+    tree = construct_tree(lines)
+    out = json2tree(tree)
+    # root text heads the document
+    assert out.startswith("<h3></h3>")
+    # depth-1 node: dash run with the open-depth guide overwriting col 0
+    assert "<p> <tt> <em>  |--- header&nbsp0.0 </em> </tt> </p>" in out
+    assert "<p> <tt> |&nbsp&nbsp&nbsp Title </tt> </p>" in out
+    # node order: header (0.0) before its raw_text child (0.0.0)
+    assert out.index("header&nbsp0.0 ") < out.index("raw_text&nbsp0.0.0 ")
+    # depth-2 node: indented dash run, guide at its own depth column
+    assert "&nbsp&nbsp&nbsp&nbsp|--- raw_text&nbsp0.0.0" in out
+
+
+def test_json2collapsed_tree_rendering():
+    """<details>-nested rendering (api_utils.py:30-76): parents render as
+    <summary>, leaves as plain <p>, 60-char prettify wrap."""
+    from dedoc_spark.core.json2html import json2collapsed_tree
+    from dedoc_spark.core.model import HierarchyLevel, Line
+    from dedoc_spark.core.structure import assign_hierarchy_levels
+    from dedoc_spark.core.tree import construct_tree
+
+    long_text = " ".join(["word"] * 30)  # forces the 60-char wrap
+    lines = [
+        Line(line="Head", tag_hl=HierarchyLevel(1, 1, False, "header")),
+        Line(line=long_text, line_id=1),
+    ]
+    for i, ln in enumerate(lines):
+        ln.line_id = i
+    assign_hierarchy_levels(lines)
+    tree = construct_tree(lines)
+    out = json2collapsed_tree(tree)
+    assert "<!DOCTYPE html>" in out and "<title>details</title>" in out
+    assert "<details>" in out and "<summary>" in out
+    assert "---- header&nbsp0.0" in out
+    # leaf raw_text paragraph is NOT a <details> (no children)
+    assert "raw_text&nbsp0.0.0" in out
+    wrapped = [seg for seg in out.split("<p>") if "word word" in seg]
+    assert len(wrapped) >= 2  # 150 chars of words wraps into ≥2 <p> blocks

@@ -111,3 +111,79 @@ def test_tree_to_text_trailing_newlines():
     root = construct_tree(lines)
     # root text "" + "\n" + child "a\n" + "\n"
     assert tree_to_text(root) == "\na\n\n"
+
+
+def test_prefix_split_postprocess_reference_examples():
+    """abstract_structure_extractor.py:41-94 docstring examples: the
+    excluding regexp trims trailing garbage from the matched prefix
+    ("4.7.\\t" -> "4.7."), the rest becomes a raw_text _split line."""
+    from dedoc_spark.core.model import HierarchyLevel as HL
+    from dedoc_spark.core.model import Line
+    from dedoc_spark.core.structure import (
+        REGEXPS_ENDS_OF_NUMBER,
+        REGEXPS_PART,
+        prefix_split_postprocess,
+    )
+
+    ln = Line(line="4.7.\tУсловия договора", uid="u1", hl=HL(2, 1, False, "item"))
+    out = prefix_split_postprocess(
+        [ln], ["item"], [REGEXPS_PART], [REGEXPS_ENDS_OF_NUMBER]
+    )
+    assert [(o.line, o.uid, o.hl.line_type) for o in out] == [
+        ("4.7.", "u1", "item"),
+        ("\tУсловия договора", "u1_split", "raw_text"),
+    ]
+    # "1.П" -> prefix "1." (excluding regexp stops before the letter)
+    ln2 = Line(line="1.Пример", uid="u2", hl=HL(2, 1, False, "item"))
+    out2 = prefix_split_postprocess([ln2], ["item"], [REGEXPS_PART], [REGEXPS_ENDS_OF_NUMBER])
+    assert [o.line for o in out2] == ["1.", "Пример"]
+
+
+def test_prefix_split_annotation_slicing():
+    """Span annotations clip+shift; table/attachment survive only on the
+    prefix piece and re-span it (abstract_structure_extractor.py:97-113)."""
+    from dedoc_spark.core.model import Annotation
+    from dedoc_spark.core.model import HierarchyLevel as HL
+    from dedoc_spark.core.model import Line
+    from dedoc_spark.core.structure import (
+        REGEXPS_ENDS_OF_NUMBER,
+        REGEXPS_PART,
+        prefix_split_postprocess,
+    )
+
+    ln = Line(
+        line="4.7. Bold text",
+        uid="u",
+        hl=HL(2, 1, False, "item"),
+        annotations=[
+            Annotation(5, 9, "bold", "True"),
+            Annotation(0, 14, "table", "tbl-1"),
+        ],
+    )
+    out = prefix_split_postprocess([ln], ["item"], [REGEXPS_PART], [REGEXPS_ENDS_OF_NUMBER])
+    prefix, rest = out
+    assert prefix.line == "4.7."
+    assert [(a.name, a.start, a.end, a.value) for a in prefix.annotations] == [
+        ("table", 0, 4, "tbl-1")
+    ]
+    assert rest.line == " Bold text"
+    assert [(a.name, a.start, a.end) for a in rest.annotations] == [("bold", 1, 5)]
+
+
+def test_prefix_split_unmatched_and_empty():
+    from dedoc_spark.core.model import HierarchyLevel as HL
+    from dedoc_spark.core.model import Line
+    from dedoc_spark.core.structure import (
+        REGEXPS_ENDS_OF_NUMBER,
+        REGEXPS_ITEM,
+        prefix_split_postprocess,
+    )
+
+    keep = Line(line="no prefix here", uid="a", hl=HL(2, 1, False, "item"))
+    other = Line(line="header text", uid="b", hl=HL(1, 1, False, "header"))
+    empty_raw = Line(line="", uid="c", hl=HL.create_raw_text())
+    out = prefix_split_postprocess(
+        [keep, other, empty_raw], ["item"], [REGEXPS_ITEM], [REGEXPS_ENDS_OF_NUMBER]
+    )
+    assert [o.uid for o in out] == ["a", "b"]  # empty raw_text dropped
+    assert out[0].line == "no prefix here"
