@@ -92,6 +92,9 @@ def main() -> None:
     timed("q32_gopher_flags", lambda: dq.q32_gopher_flags(spark, SF_DIR).agg(F.count("*")).collect())
     timed("q35_gopher_repetition", lambda: dq.q35_gopher_repetition(spark, SF_DIR).agg(F.count("*")).collect())
     timed("q36_bpe_tokens", lambda: dq.q36_bpe_tokens(spark, SF_DIR).agg(F.sum("bpe_tokens")).collect())
+    timed("q40_pdf_layout", lambda: dq.q40_pdf_layout(spark, SF_DIR).agg(F.count("*")).collect())
+    timed("q41_image_decode", lambda: dq.q41_image_decode(spark, SF_DIR).agg(F.count("*")).collect())
+    timed("q42_multipage_tables", lambda: dq.q42_multipage_tables(spark, SF_DIR).agg(F.count("*")).collect())
 
     # broadcast-model batch classifier over the extracted pages
     from dedoc_spark.operators.classifier import score_text_quality, train_default_model

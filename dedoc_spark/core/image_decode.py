@@ -147,6 +147,111 @@ def _decode_bmp(data: bytes) -> Tuple[int, int, np.ndarray]:
     return width, height, np.ascontiguousarray(rgb)
 
 
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
+    """GIF-variant LZW (GIF89a spec appendix F): variable code width from
+    min_code_size+1 up to 12 bits, CLEAR resets the table, EOI ends."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list = []
+    code_size = prev = 0
+
+    def reset() -> None:
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        prev = -1
+
+    reset()
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            bits -= code_size
+            if code == clear:
+                reset()
+                continue
+            if code == eoi:
+                return out
+            if prev == -1:  # first code after reset
+                if code >= len(table):
+                    raise ValueError("corrupt GIF LZW stream")
+                out += table[code]
+                prev = code
+                continue
+            if code < len(table):
+                entry = table[code]
+                table.append(table[prev] + entry[:1])
+            elif code == len(table):
+                entry = table[prev] + table[prev][:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+            prev = code
+            if len(out) > max_pixels:  # hostile input: bounded output
+                return out
+    return out
+
+
+def _decode_gif(data: bytes) -> Tuple[int, int, np.ndarray]:
+    """First frame of a GIF87a/GIF89a (non-interlaced): global/local color
+    table, LZW indices → RGB."""
+    if len(data) < 13:
+        raise ValueError("GIF too short")
+    packed = data[10]
+    gct_size = 2 << (packed & 0x07)
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        gct = data[pos : pos + gct_size * 3]
+        pos += gct_size * 3
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            width, height = struct.unpack_from("<HH", data, pos + 5)
+            ipacked = data[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:  # local color table
+                lct_size = 2 << (ipacked & 0x07)
+                ct = data[pos : pos + lct_size * 3]
+                pos += lct_size * 3
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if not ct:
+                raise ValueError("GIF missing color table")
+            min_code_size = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                n = data[pos]
+                lzw += data[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            indices = _lzw_decode(bytes(lzw), min_code_size, width * height)
+            if len(indices) < width * height:
+                raise ValueError("GIF pixel data truncated")
+            pal = np.frombuffer(ct.ljust(768, b"\x00"), dtype=np.uint8).reshape(256, 3)
+            idx = np.frombuffer(bytes(indices[: width * height]), dtype=np.uint8)
+            rgb = pal[idx.reshape(height, width)]
+            return width, height, np.ascontiguousarray(rgb)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF has no image data")
+
+
 def decode_image(data: bytes) -> Tuple[int, int, np.ndarray]:
     """Bytes → (width, height, HxWx3 uint8 RGB). Raises ValueError on
     unsupported/corrupt input (callers route it to the error channel)."""
@@ -156,6 +261,8 @@ def decode_image(data: bytes) -> Tuple[int, int, np.ndarray]:
         return _decode_png(data)
     if data[:2] == b"BM":
         return _decode_bmp(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(data)
     raise ValueError(f"unsupported image format (magic {data[:4]!r})")
 
 
@@ -189,6 +296,64 @@ def pixel_hash(data: bytes) -> str:
     return hashlib.md5(
         (f"{width}x{height}" + rgb.tobytes().hex()).encode()
     ).hexdigest()
+
+
+def encode_gif(indices: np.ndarray, palette: bytes) -> bytes:
+    """Minimal GIF89a writer for fixtures: one frame, global color table,
+    real LZW compression (exercises the decoder's variable code widths)."""
+    height, width = indices.shape
+    n_colors = len(palette) // 3
+    ct_bits = max(1, (n_colors - 1).bit_length())
+    gct = palette.ljust((2 ** ct_bits) * 3, b"\x00")
+    min_code_size = max(2, ct_bits)
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    # LZW encode
+    codes = []
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    codes.append((clear, code_size))
+    buf = b""
+    for v in indices.astype(np.uint8).tobytes():
+        cur = buf + bytes([v])
+        if cur in table:
+            buf = cur
+            continue
+        codes.append((table[buf], code_size))
+        table[cur] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        buf = bytes([v])
+    if buf:
+        codes.append((table[buf], code_size))
+    codes.append((eoi, code_size))
+
+    acc = bits = 0
+    out = bytearray()
+    for code, size in codes:
+        acc |= code << bits
+        bits += size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+
+    header = b"GIF89a" + struct.pack("<HH", width, height)
+    header += bytes([0x80 | (ct_bits - 1), 0, 0]) + gct
+    img = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    return header + img + bytes([min_code_size]) + bytes(blocks) + b"\x3b"
 
 
 # --- fixture encoder (tests / driver oracles) ---------------------------------

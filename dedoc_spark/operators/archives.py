@@ -109,10 +109,12 @@ def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None
     )
     out = extract_stage(df.filter(~maybe_zip), params=params)
     pending = df.filter(maybe_zip).select("url", "html")
+    persisted = []
     for _ in range(max_depth):
         # persist: classified feeds three branches (errors, extractables,
         # next-level zips) — without it each branch re-runs the explode
         classified = explode_archives(pending).persist(StorageLevel.DISK_ONLY)
+        persisted.append(classified)
         out = out.unionByName(
             _error_extract_rows(classified.filter(F.col("kind") == "error"), F.col("error"))
         )
@@ -128,7 +130,20 @@ def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None
     out = out.unionByName(
         _error_extract_rows(pending, F.lit(f"needs_explosion:zip beyond max_depth={max_depth}"))
     )
+    out._dedoc_persisted = persisted  # release via unpersist_intermediates
     return out
+
+
+def unpersist_intermediates(df: DataFrame) -> int:
+    """Release the per-level DISK_ONLY frames a multi-level explode pinned
+    (they must stay persisted until the caller's action has run — each
+    level feeds several branches of the returned lazy union). Call AFTER
+    consuming the result in a long-lived session; returns the number of
+    frames released."""
+    frames = getattr(df, "_dedoc_persisted", [])
+    for f in frames:
+        f.unpersist()
+    return len(frames)
 
 
 def explode_attachments(df: DataFrame, max_members: int = 1000) -> DataFrame:
@@ -176,12 +191,15 @@ def extract_with_attachments(df: DataFrame, max_depth: int = 2, params: dict | N
 
     out = extract_stage(df, params=params)
     pending = df.filter(F.col("html").isNotNull()).select("url", "html")
+    persisted = []
     for _ in range(max_depth):
         atts = explode_attachments(pending).persist(StorageLevel.DISK_ONLY)
+        persisted.append(atts)
         out = out.unionByName(
             _error_extract_rows(atts.filter(F.col("kind") == "error"), F.col("error"))
         )
         members = atts.filter(F.col("kind") == "member")
         out = out.unionByName(extract_stage(members, params=params))
         pending = members.select("url", "html")
+    out._dedoc_persisted = persisted  # release via unpersist_intermediates
     return out

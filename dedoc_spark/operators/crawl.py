@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -65,8 +65,13 @@ def process_crawl(
     deduped = dedup_corpus(curated, text_col="text_extracted", id_col="url", threshold=dedup_threshold)
     kept = deduped.filter("is_representative").drop("comp", "is_representative")
     curated_path = os.path.join(output_dir, "curated", f"batch={batch_id}")
-    kept.write.mode("overwrite").parquet(curated_path)
-    n_curated = spark.read.parquet(curated_path).count()
+    # observe() rides the write job itself — no second scan of the curated
+    # set just to count it
+    observation = Observation(f"curated_{batch_id}")
+    kept.observe(observation, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(curated_path)
+    n_curated = observation.get["n"]
 
     manifest = commit_batch(
         extracted, output_dir, log_dir, batch_id,

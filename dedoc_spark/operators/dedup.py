@@ -114,12 +114,17 @@ def minhash_lsh_pairs(
     )
     left = banded.select(F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("a"))
     right = banded.select(F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("b"))
-    return (
+    out = (
         left.join(right, ["band_idx", "band_key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
+    if persist_signatures:
+        # sigs must stay persisted until the caller's action; release in
+        # long-lived sessions via operators.archives.unpersist_intermediates
+        out._dedoc_persisted = [sigs]
+    return out
 
 
 def jaccard_for_pairs(
@@ -516,4 +521,44 @@ def embedding_near_dup(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+    hash_seed: int = 7777,
+) -> DataFrame:
+    """Substring-level duplication profile (the signal behind substring
+    dedup à la Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): every ``window``-token span is hashed; a
+    span is DUPLICATED iff its hash occurs more than once in the corpus
+    (any document, any position). Returns per document:
+
+      (id, n_windows, n_dup_windows, dup_fraction rounded to 6)
+
+    Scale shape: shingle_rows emits one row per span occurrence with NO
+    self-join; the duplicate flag is a groupBy on the 32-bit span hash
+    (uniform key, map-side partial agg) joined back on the same key, then
+    one groupBy on the doc id. Three uniform shuffles, cost linear in
+    total token count — never quadratic."""
+    from dedoc_spark.functions import shingle_rows
+
+    spans = shingle_rows(df, text_col, id_col, window).select(
+        F.col(id_col), hash32(F.col("shingle"), hash_seed).alias("h")
+    )
+    dup_hashes = (
+        spans.groupBy("h")
+        .agg(F.count("*").alias("occ"))
+        .select("h", (F.col("occ") > 1).alias("is_dup"))
+    )
+    flagged = spans.join(dup_hashes, "h")
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_windows"),
+        F.round(
+            F.sum(F.col("is_dup").cast("double")) / F.count("*"), 6
+        ).alias("dup_fraction"),
     )

@@ -31,21 +31,22 @@ def merge_multipage_tables_df(tables: DataFrame) -> DataFrame:
     """→ (url, chain_id, n_parts, page_lo, page_hi, rows) with continuation
     parts' duplicated headers removed and rows concatenated in page order."""
     w = Window.partitionBy("url").orderBy("page_id", "table_seq")
-    wp = Window.partitionBy("url", "page_id")
 
-    t = tables.withColumn("max_seq_on_page", F.max("table_seq").over(wp))
+    # "previous part is the LAST table of the preceding page" is implied:
+    # with rows ordered by (page_id, table_seq), the row right before the
+    # FIRST table of page p (table_seq == 0) with prev_page == p−1 is by
+    # construction the last table of page p−1 — no per-page window (and no
+    # second shuffle) needed.
     prev_page = F.lag("page_id").over(w)
-    prev_last = F.lag(F.col("table_seq") == F.col("max_seq_on_page")).over(w)
     prev_cols = F.lag("n_cols").over(w)
     prev_width = F.lag("width").over(w)
     cont = (
         (F.col("page_id") == prev_page + 1)
         & (F.col("table_seq") == 0)
-        & prev_last
         & (F.col("n_cols") == prev_cols)
         & (F.abs(F.col("width") - prev_width) <= F.floor(prev_width * F.lit(0.03)))
     )
-    t = t.withColumn("is_new_chain", F.when(F.coalesce(cont, F.lit(False)), 0).otherwise(1))
+    t = tables.withColumn("is_new_chain", F.when(F.coalesce(cont, F.lit(False)), 0).otherwise(1))
     t = t.withColumn(
         "chain_id",
         F.sum("is_new_chain").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),

@@ -1735,6 +1735,39 @@ CROSS JOIN (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 0, 1),
 """
 
 # ---------------------------------------------------------------------------
+# q43 substring-level duplication profile (Lee et al. 2021 signal): every
+# 5-token window hashed; a window is duplicated iff its hash occurs >1 time
+# corpus-wide. Linear relational plan — see dedup.duplicated_ngram_spans.
+
+
+def q43_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.operators.dedup import duplicated_ngram_spans
+
+    return duplicated_ngram_spans(_docs(spark, sf_dir), "text", "doc_id", window=5)
+
+
+Q43_SQL = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS toks FROM documents),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 5 THEN [coalesce(array_to_string(toks, ' '), '')]
+              ELSE list_transform(generate_series(1, len(toks) - 4),
+                                  i -> array_to_string(toks[i:i+4], ' ')) END AS spans
+  FROM tok
+),
+occ AS (
+  SELECT doc_id, ('0x' || substr(md5(s || '#7777'), 1, 8))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(spans) AS s FROM sp)
+),
+dup AS (SELECT h, count(*) > 1 AS is_dup FROM occ GROUP BY h)
+SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN dup.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       round(sum(CASE WHEN dup.is_dup THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_fraction
+FROM occ JOIN dup USING (h)
+GROUP BY occ.doc_id
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1779,6 +1812,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_pdf_layout": q40_pdf_layout,
     "q41_image_decode": q41_image_decode,
     "q42_multipage_tables": q42_multipage_tables,
+    "q43_dup_spans": q43_dup_spans,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1824,4 +1858,5 @@ ORACLES: Dict[str, str] = {
     "q40_pdf_layout": Q40_SQL,
     "q41_image_decode": Q41_SQL,
     "q42_multipage_tables": Q42_SQL,
+    "q43_dup_spans": Q43_SQL,
 }

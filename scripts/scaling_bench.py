@@ -150,9 +150,27 @@ Facts the scale claims rest on, re-checked this round:
   per input partition BEFORE any exchange; the first shuffle keys on
   (query_id, partition_id) — parallelism = scan partitions, not |queries|;
   the final per-query window ranks only ≤ k·n_partitions survivors.
-- **q29 connected components**: one shuffle per label-propagation
-  iteration, labels persisted per level, loop exits on a converged count
-  (near-dup clusters are shallow, 2-3 iterations at sf0.01).
+- **q29 connected components (reworked r3)**: one shuffle per
+  label-propagation iteration + ONE aggregate for convergence (xxhash64
+  checksum vs the cached previous value — the old join+count per
+  iteration is gone), and per-round lineage truncation via checkpoint /
+  localCheckpoint (iterative plans reference the previous frame 2-3x, so
+  the raw logical plan grows exponentially — measured: a 3-edge graph
+  OOMed a 1 GiB driver's analyzer at round 2 without truncation). sf0.1
+  wall 21.5 s (r2) -> 3.5-4.6 s (r3). High-diameter graphs:
+  `algorithm="star"` runs the Kiveris large-star/small-star contraction
+  (O(log^2 n) rounds), equivalence-tested vs label propagation.
+- **q40 pdf layout / q41 image decode / q43 dup spans (r3)**: q40/q41 are
+  Scan -> Project -> MapInPandas with **zero Exchange** (the scan-aligned
+  extraction shape); q43 is three uniform-key shuffles (span hash, span
+  hash, doc id), linear in token count, no self-join.
+- **q42 multipage table merge (r3)**: lag-window chain detection +
+  cumulative-sum chain ids + groupBy — **exactly 1 Exchange** (on url;
+  the per-page "last table" predicate is implied by the window order),
+  0 CartesianProduct; chains of any length in one pass, no driver loop.
+- **q09/q13 all-pairs demos (r3)**: routed through max_block-capped
+  operators — oversized blocks are dropped by a count+filter before the
+  self-join, so no unbounded quadratic plan is reachable from the gate.
 
 ## vs reference baseline (BASELINE.md)
 

@@ -150,3 +150,38 @@ def test_unsupported_and_corrupt():
         decode_image(b"\xff\xd8\xff\xe0 jpeg")
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\x08 truncated")
+
+
+def test_gif_roundtrip():
+    """GIF89a LZW round-trip: palette indices survive encode→decode with
+    variable code widths (table growth past the initial code size)."""
+    from dedoc_spark.core.image_decode import encode_gif
+
+    rng_free = (np.arange(12 * 10) * 5) % 7  # 7 colors → code growth
+    idx = rng_free.astype(np.uint8).reshape(10, 12)
+    palette = bytes(
+        b for c in range(7) for b in (c * 30 % 256, 255 - c * 20, c * 11)
+    )
+    gif = encode_gif(idx, palette)
+    assert gif[:6] == b"GIF89a" and gif[-1:] == b"\x3b"
+    w, h, rgb = decode_image(gif)
+    assert (w, h) == (12, 10)
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(7, 3)
+    assert np.array_equal(rgb, pal[idx])
+
+
+def test_gif_classic_1x1():
+    # the canonical 1x1 transparent GIF (public constant)
+    import base64
+
+    gif = base64.b64decode("R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    w, h, rgb = decode_image(gif)
+    assert (w, h) == (1, 1)
+    assert rgb.shape == (1, 1, 3)
+
+
+def test_gif_corrupt_rejected():
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a\x01")
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a" + b"\x00" * 20)

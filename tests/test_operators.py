@@ -514,3 +514,25 @@ def test_embedding_near_dup_max_block_cap(spark, embeddings):
     uncapped = embedding_near_dup(embeddings, threshold=0.0, max_block=10**6).count()
     assert uncapped > 0
     assert embedding_near_dup(embeddings, threshold=0.0, max_block=1).count() == 0
+
+
+def test_unpersist_intermediates_releases_blocks(spark):
+    """ADVICE r2: multi-level explodes and LSH pin DISK_ONLY frames for the
+    duration of the caller's action; unpersist_intermediates releases them."""
+    from dedoc_spark.operators.archives import extract_with_attachments, unpersist_intermediates
+    from dedoc_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [("https://a/x.txt", bytearray(b"plain text body"))], "url string, html binary"
+    )
+    out = extract_with_attachments(df, max_depth=2)
+    out.count()
+    assert unpersist_intermediates(out) == 2  # one frame per depth level
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id bigint, text string",
+    )
+    pairs = minhash_lsh_pairs(docs)
+    pairs.count()
+    assert unpersist_intermediates(pairs) == 1
