@@ -204,8 +204,9 @@ def extract_mhtml(payload: bytes, url_hash: str = "") -> Tuple[List[Line], List[
 def list_archive_members(payload: bytes, max_members: int = 1000) -> List[Tuple[str, bytes]]:
     """Archive members → (name, bytes) for row-explosion (url#member rows
     feed back through dispatch, bounded like the reference's recursion
-    depth). Zip, tar and tar.gz/gz are stdlib-native; a bare .gz (not a
-    tarball) yields one member with the .gz suffix stripped."""
+    depth). Zip (incl. LZMA-method entries), tar and tar.{gz,bz2,xz}/gz/
+    bz2/xz are stdlib-native (zlib/bz2/lzma); a bare compressed file (not
+    a tarball) yields one member."""
     out: List[Tuple[str, bytes]] = []
     if payload[:4] == b"PK\x03\x04":
         with zipfile.ZipFile(io.BytesIO(payload)) as zf:
@@ -214,12 +215,18 @@ def list_archive_members(payload: bytes, max_members: int = 1000) -> List[Tuple[
                     continue
                 out.append((info.filename, zf.read(info)))
         return out
+    import bz2
     import gzip
+    import lzma
     import tarfile
 
     data = payload
     if payload[:2] == b"\x1f\x8b":
         data = gzip.decompress(payload)
+    elif payload[:3] == b"BZh":
+        data = bz2.decompress(payload)
+    elif payload[:6] == b"\xfd7zXZ\x00":
+        data = lzma.decompress(payload)
     if data[257:262] == b"ustar" or _is_tar(data):
         with tarfile.open(fileobj=io.BytesIO(data)) as tf:
             for member in tf.getmembers()[:max_members]:
@@ -229,7 +236,7 @@ def list_archive_members(payload: bytes, max_members: int = 1000) -> List[Tuple[
                 if f is not None:
                     out.append((member.name.rsplit("/", 1)[-1], f.read()))
         return out
-    if payload[:2] == b"\x1f\x8b":  # bare gzip of a single file
+    if data is not payload:  # bare gzip/bz2/xz of a single file
         return [("member", data)]
     raise ValueError("unsupported archive payload")
 
@@ -387,6 +394,7 @@ _EXT_FORMATS = {
     "rar": "needs_unpacker:rar",
     "7z": "needs_unpacker:7z",
     "gz": "zip", "tgz": "zip", "tar": "zip",
+    "bz2": "zip", "tbz2": "zip", "xz": "zip", "txz": "zip",  # stdlib bz2/lzma
     # binary media: typed routing to the (stubbed) decoder channel instead
     # of markup fallback — the reference's image path needs OCR (de-scoped)
     "png": "media:image/png",
@@ -459,6 +467,10 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
             return "needs_unpacker:7z"
         if payload[:2] == b"\x1f\x8b":
             return "zip"  # gzip joins the archive-explosion channel
+        if payload[:3] == b"BZh" and len(payload) > 4 and payload[3:4].isdigit():
+            return "zip"  # bzip2 (stdlib bz2)
+        if payload[:6] == b"\xfd7zXZ\x00":
+            return "zip"  # xz (stdlib lzma)
         if payload[257:262] == b"ustar" and _is_valid_tar(payload):
             return "zip"  # verified tar (plain text can contain 'ustar')
         if payload[:4] == b"PK\x03\x04":

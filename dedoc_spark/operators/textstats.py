@@ -247,3 +247,49 @@ def gopher_repetition_flags(df: DataFrame, text_col: str = "text", id_col: str =
     return out.withColumn(
         "rep_pass", (F.col("dup_line_frac") <= 0.30) & (F.col("top_bigram_frac") <= 0.20)
     )
+
+
+def winnow_fingerprints(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    seed: int = 4242,
+):
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm): normalize (lower, strip non-alnum), hash
+    every char k-gram, slide a ``window`` over the hash sequence and keep
+    the minimum of each window (rightmost on ties) — the guarantee is any
+    shared substring of length ≥ k + window − 1 produces a shared
+    fingerprint. Returns distinct (id, fp) rows.
+
+    Relational shape: posexplode of the k-gram hash array (one row per
+    position), ONE window pass partitioned by the doc id, distinct — a
+    single shuffle on the id, linear in text length. The rightmost-min
+    tie-break is encoded arithmetically (key = h·2^20 + (2^20−1 − pos),
+    positions bounded < 2^20 chars) so the same integer expression runs
+    in the DuckDB oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^0-9a-zа-яё]+", "")
+    base = df.select(F.col(id_col), norm.alias("__norm")).filter(
+        F.length("__norm") >= k
+    )
+    gram_hashes = F.expr(
+        f"transform(sequence(1, length(__norm) - {k - 1}), "
+        f"i -> conv(substr(md5(concat(substring(__norm, i, {k}), '#{seed}')), 1, 8), 16, 10))"
+    )
+    grams = base.select(
+        F.col(id_col), F.posexplode(gram_hashes).alias("pos", "hs")
+    )
+    key = F.col("hs").cast("bigint") * F.lit(1048576) + (F.lit(1048575) - F.col("pos"))
+    keyed = grams.select(F.col(id_col), "pos", key.alias("key"))
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(window - 1), 0)
+    sel = keyed.select(
+        F.col(id_col), "pos", F.min("key").over(w).alias("mkey")
+    ).filter(F.col("pos") >= window - 1)
+    return sel.select(
+        F.col(id_col), F.floor(F.col("mkey") / 1048576).cast("bigint").alias("fp")
+    ).distinct()

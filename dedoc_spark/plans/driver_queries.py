@@ -1768,6 +1768,40 @@ GROUP BY occ.doc_id
 """
 
 # ---------------------------------------------------------------------------
+# q44 winnowing fingerprints (MOSS, Schleimer et al. 2003): min-hash of
+# each 4-window over char-5-gram hashes, rightmost-min tie-break encoded
+# arithmetically so DuckDB mirrors it bit-for-bit.
+
+
+def q44_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dedoc_spark.operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), "text", "doc_id", k=5, window=4)
+
+
+Q44_SQL = """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^0-9a-zа-яё]+', '', 'g') AS nrm
+  FROM documents
+),
+g AS (
+  SELECT doc_id, u.s.i - 1 AS pos, u.s.h AS h FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, length(nrm) - 4),
+      i -> {'i': i, 'h': ('0x' || substr(md5(substr(nrm, i, 5) || '#4242'), 1, 8))::BIGINT})) AS s
+    FROM n WHERE length(nrm) >= 5
+  ) u
+),
+sel AS (
+  SELECT doc_id, pos,
+         min(h * 1048576 + (1048575 - pos))
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mkey
+  FROM g
+)
+SELECT DISTINCT doc_id, CAST(mkey // 1048576 AS BIGINT) AS fp
+FROM sel WHERE pos >= 3
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1813,6 +1847,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_image_decode": q41_image_decode,
     "q42_multipage_tables": q42_multipage_tables,
     "q43_dup_spans": q43_dup_spans,
+    "q44_winnow_fingerprints": q44_winnow_fingerprints,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1859,4 +1894,5 @@ ORACLES: Dict[str, str] = {
     "q41_image_decode": Q41_SQL,
     "q42_multipage_tables": Q42_SQL,
     "q43_dup_spans": Q43_SQL,
+    "q44_winnow_fingerprints": Q44_SQL,
 }

@@ -473,3 +473,32 @@ def test_docx_document2_xml_fallback():
         )
     d = extract_document("https://x/d2.docx", buf.getvalue(), None)
     assert d["error"] is None and "second doc part" in d["text_extracted"]
+
+
+def test_bz2_and_xz_archives():
+    """tar.bz2 / tar.xz / bare .bz2 / bare .xz are stdlib-native archive
+    channels (rar/7z keep typed needs_unpacker rows — external codecs)."""
+    import bz2
+    import io
+    import lzma
+    import tarfile
+
+    from dedoc_spark.core.formats import detect_format, list_archive_members
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        data = b"member body text"
+        info = tarfile.TarInfo("inner.txt")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    tar = buf.getvalue()
+
+    for blob in (bz2.compress(tar), lzma.compress(tar)):
+        assert detect_format("https://a/download", blob, None) == "zip"
+        members = list_archive_members(blob)
+        assert members == [("inner.txt", b"member body text")]
+
+    assert list_archive_members(bz2.compress(b"just bytes")) == [("member", b"just bytes")]
+    assert list_archive_members(lzma.compress(b"just bytes")) == [("member", b"just bytes")]
+    assert detect_format("https://a/x.tbz2", None, None) == "zip"
+    assert detect_format("https://a/x.txz", None, None) == "zip"

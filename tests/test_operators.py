@@ -536,3 +536,29 @@ def test_unpersist_intermediates_releases_blocks(spark):
     pairs = minhash_lsh_pairs(docs)
     pairs.count()
     assert unpersist_intermediates(pairs) == 1
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): two documents sharing a
+    substring of length ≥ k + window − 1 (= 8 normalized chars) share at
+    least one fingerprint; disjoint documents share none."""
+    from dedoc_spark.operators.textstats import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "XX quick brown fox YY totally different tail"),
+            (3, "zzzz qqqq wwww vvvv kkkk mmmm"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = winnow_fingerprints(docs, window=4, k=5)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]  # share "quickbrownfox" (13 ≥ 8)
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # determinism
+    again = {r.doc_id: r.fp for r in fps.orderBy("doc_id", "fp").limit(3).collect()}
+    assert again == {r.doc_id: r.fp for r in fps.orderBy("doc_id", "fp").limit(3).collect()}
