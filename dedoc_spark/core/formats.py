@@ -208,6 +208,10 @@ def list_archive_members(payload: bytes, max_members: int = 1000) -> List[Tuple[
     bz2/xz are stdlib-native (zlib/bz2/lzma); a bare compressed file (not
     a tarball) yields one member."""
     out: List[Tuple[str, bytes]] = []
+    if payload[:6] == b"7z\xbc\xaf\x27\x1c":
+        from dedoc_spark.core.sevenzip import list_members
+
+        return list_members(payload, max_members)
     if payload[:4] == b"PK\x03\x04":
         with zipfile.ZipFile(io.BytesIO(payload)) as zf:
             for info in zf.infolist()[:max_members]:
@@ -389,10 +393,11 @@ _EXT_FORMATS = {
     "odt": "odt", "ods": "ods", "odp": "odp",  # native (core/odf_extract.py)
     "xls": "xls",  # native BIFF8 reader (core/xls_extract.py)
     "ppt": "ppt",  # native record-scan reader (core/doc_extract.py)
-    # rar/7z need external unpackers (reference uses rarfile/py7zr) →
-    # typed error; tar/gz are stdlib-native and join the archive channel
+    # rar needs an external unpacker (the reference uses rarfile) → typed
+    # error; 7z is native (core/sevenzip.py: COPY/LZMA/LZMA2 folders), and
+    # tar/gz/bz2/xz are stdlib-native — all join the archive channel
     "rar": "needs_unpacker:rar",
-    "7z": "needs_unpacker:7z",
+    "7z": "zip",
     "gz": "zip", "tgz": "zip", "tar": "zip",
     "bz2": "zip", "tbz2": "zip", "xz": "zip", "txz": "zip",  # stdlib bz2/lzma
     # binary media: typed routing to the (stubbed) decoder channel instead
@@ -464,7 +469,7 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
         if payload[:6] == b"Rar!\x1a\x07":
             return "needs_unpacker:rar"
         if payload[:6] == b"7z\xbc\xaf\x27\x1c":
-            return "needs_unpacker:7z"
+            return "zip"  # native 7z reader (core/sevenzip.py)
         if payload[:2] == b"\x1f\x8b":
             return "zip"  # gzip joins the archive-explosion channel
         if payload[:3] == b"BZh" and len(payload) > 4 and payload[3:4].isdigit():

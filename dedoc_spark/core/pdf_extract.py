@@ -625,8 +625,21 @@ def extract_pdf_lines(
             uid = f"{url_hash}_{hashlib.md5(f'pdf{page_id}:{len(cur)}:{text}'.encode()).hexdigest()}"
             ln = Line(line=text, page_id=page_id, annotations=annotations, uid=uid)
             if with_layout:
+                import json as _json
+
                 x0, y0, x1, y1 = bbox
-                ln.extras["location"] = Location(page_id, BBox(x0, y0, x1 - x0, y1 - y0))
+                box = BBox(x0, y0, x1 - x0, y1 - y0)
+                ln.extras["location"] = Location(page_id, box)
+                # BBoxAnnotation parity (bbox_annotation.py:27-43): relative
+                # coords + page dims as the json value, non-mergeable
+                ln.annotations.append(
+                    Annotation(
+                        0,
+                        len(text),
+                        "bounding box",
+                        _json.dumps(box.to_relative_dict(page["width"], page["height"])),
+                    )
+                )
             cur.append(ln)
         if with_layout:
             cur = bbox_sanity_filter(cur)

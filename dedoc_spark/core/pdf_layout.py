@@ -64,6 +64,18 @@ class BBox:
             "height": self.height,
         }
 
+    def to_relative_dict(self, page_width: float, page_height: float) -> Dict:
+        """Relative-coordinate dict, the BBoxAnnotation value contract
+        (inverse of bbox_annotation.py:32-43 get_bbox_from_value)."""
+        return {
+            "x_top_left": self.x_top_left / page_width,
+            "y_top_left": self.y_top_left / page_height,
+            "width": self.width / page_width,
+            "height": self.height / page_height,
+            "page_width": page_width,
+            "page_height": page_height,
+        }
+
     def __repr__(self) -> str:
         return f"BBox({self.x_top_left},{self.y_top_left},{self.width},{self.height})"
 

@@ -106,6 +106,9 @@ def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None
         (F.substring(F.col("html").cast("binary"), 1, 4) == F.lit(b"PK\x03\x04"))
         | (F.substring(F.col("html").cast("binary"), 1, 2) == F.lit(b"\x1f\x8b"))
         | (F.substring(F.col("html").cast("binary"), 258, 5) == F.lit(b"ustar"))
+        | (F.substring(F.col("html").cast("binary"), 1, 6) == F.lit(b"7z\xbc\xaf\x27\x1c"))
+        | (F.substring(F.col("html").cast("binary"), 1, 3) == F.lit(b"BZh"))
+        | (F.substring(F.col("html").cast("binary"), 1, 6) == F.lit(b"\xfd7zXZ\x00"))
     )
     out = extract_stage(df.filter(~maybe_zip), params=params)
     pending = df.filter(maybe_zip).select("url", "html")
@@ -123,6 +126,9 @@ def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None
             (F.substring(F.col("html"), 1, 4) == F.lit(b"PK\x03\x04"))
             | (F.substring(F.col("html"), 1, 2) == F.lit(b"\x1f\x8b"))
             | (F.substring(F.col("html"), 258, 5) == F.lit(b"ustar"))
+            | (F.substring(F.col("html"), 1, 6) == F.lit(b"7z\xbc\xaf\x27\x1c"))
+            | (F.substring(F.col("html"), 1, 3) == F.lit(b"BZh"))
+            | (F.substring(F.col("html"), 1, 6) == F.lit(b"\xfd7zXZ\x00"))
         )
         out = out.unionByName(extract_stage(ok.filter(~is_zip_m), params=params))
         pending = ok.filter(is_zip_m).select("url", "html")

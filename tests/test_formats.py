@@ -382,13 +382,15 @@ def test_extract_with_attachments_spark(spark):
     assert "zipped page" in out["https://a/m.eml#bundle.zip#inner.html"].text_extracted
 
 
-def test_rar_7z_typed_routing():
+def test_rar_typed_7z_native_routing():
+    """rar keeps the typed needs_unpacker row (external codec); 7z is
+    native since r3 (core/sevenzip.py) and joins the archive channel."""
     rar = b"Rar!\x1a\x07\x01\x00" + b"\x00" * 20
     sevenz = b"7z\xbc\xaf\x27\x1c" + b"\x00" * 20
     assert detect_format("https://x/a", rar, None) == "needs_unpacker:rar"
-    assert detect_format("https://x/a", sevenz, None) == "needs_unpacker:7z"
+    assert detect_format("https://x/a", sevenz, None) == "zip"
     assert detect_format("https://x/a.rar", b"??", None) == "needs_unpacker:rar"
-    assert detect_format("https://x/a.7z", b"??", None) == "needs_unpacker:7z"
+    assert detect_format("https://x/a.7z", b"??", None) == "zip"
     d = extract_document("https://x/a.rar", rar, None)
     assert d["error"] == "needs_unpacker:rar" and d["n_lines"] == 0
 

@@ -154,3 +154,25 @@ def test_default_path_unchanged():
     lines, _ = extract_pdf_lines(pdf, "h")
     assert all("location" not in ln.extras for ln in lines)
     assert {a.name for ln in lines for a in ln.annotations} <= {"bold"}
+
+
+def test_bbox_annotation_relative_roundtrip():
+    """'bounding box' annotations carry relative coords + page dims (the
+    BBoxAnnotation contract, bbox_annotation.py:27-43): reconstructing via
+    get_bbox_from_value semantics recovers the absolute box."""
+    import json
+
+    pdf = build_pdf([[("Title line", True)]])
+    lines, _ = extract_pdf_lines(pdf, "h", with_layout=True)
+    ann = next(a for a in lines[0].annotations if a.name == "bounding box")
+    d = json.loads(ann.value)
+    assert (d["page_width"], d["page_height"]) == (612.0, 792.0)
+    x = d["x_top_left"] * d["page_width"]
+    y = d["y_top_left"] * d["page_height"]
+    w = d["width"] * d["page_width"]
+    h = d["height"] * d["page_height"]
+    loc = lines[0].extras["location"].bbox
+    assert (round(x, 2), round(y, 2), round(w, 2), round(h, 2)) == (
+        loc.x_top_left, loc.y_top_left, loc.width, loc.height,
+    )
+    assert (ann.start, ann.end) == (0, len("Title line"))
