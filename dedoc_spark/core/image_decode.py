@@ -356,6 +356,71 @@ def encode_gif(indices: np.ndarray, palette: bytes) -> bytes:
     return header + img + bytes([min_code_size]) + bytes(blocks) + b"\x3b"
 
 
+# --- audio (WAV PCM, stdlib) ---------------------------------------------------
+
+
+def decode_audio(data: bytes) -> Tuple[int, int, np.ndarray]:
+    """WAV (RIFF PCM, 8/16/32-bit int) → (sample_rate, n_channels,
+    mono float64 array in [-1, 1]). Other audio containers raise
+    ValueError into the error channel — compressed codecs need external
+    libraries by nature."""
+    import io
+    import wave
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"unsupported audio format (magic {data[:4]!r})")
+    with wave.open(io.BytesIO(data)) as w:
+        rate = w.getframerate()
+        channels = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit
+        arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        arr = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if channels > 1:
+        arr = arr.reshape(-1, channels).mean(axis=1)
+    return rate, channels, arr
+
+
+def audio_features(data: bytes) -> Tuple[int, int, list]:
+    """(sample_rate, n_samples, 8-dim feature) from REAL samples: duration,
+    RMS, peak, zero-crossing rate, and 4 coarse band energies via a plain
+    rFFT — deterministic."""
+    rate, _channels, mono = decode_audio(data)
+    n = len(mono)
+    if n == 0:
+        raise ValueError("empty audio stream")
+    duration = n / rate
+    rms = float(np.sqrt(np.mean(mono**2)))
+    peak = float(np.max(np.abs(mono)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    total = float(spec.sum()) or 1.0
+    quarters = [float(c.sum()) / total for c in np.array_split(spec, 4)]
+    feature = [duration, rms, peak, zcr] + quarters
+    return rate, n, [round(float(v), 6) for v in feature]
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
+    """Fixture writer: 16-bit PCM WAV from float samples in [-1, 1]."""
+    import io
+    import wave
+
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 # --- fixture encoder (tests / driver oracles) ---------------------------------
 
 

@@ -52,6 +52,7 @@ def media_features(
 
         if repo not in sys.path:
             sys.path.insert(0, repo)
+        from dedoc_spark.core.image_decode import audio_features
         from dedoc_spark.core.image_decode import image_features as decode
 
         for pdf in it:
@@ -70,6 +71,10 @@ def media_features(
                     if mtype == "image":
                         w, h, feat = decode(data)
                         row.update(width=w, height=h, feature=feat)
+                    elif mtype == "audio":
+                        # width/height carry (sample_rate, n_samples) for audio
+                        rate, n, feat = audio_features(bytes(data))
+                        row.update(width=rate, height=n, feature=feat)
                     else:
                         raise NotImplementedError(f"decode for {mtype} not available")
                 except Exception as e:

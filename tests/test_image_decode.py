@@ -185,3 +185,32 @@ def test_gif_corrupt_rejected():
         decode_image(b"GIF89a\x01")
     with pytest.raises(ValueError):
         decode_image(b"GIF89a" + b"\x00" * 20)
+
+
+def test_wav_roundtrip_and_features():
+    from dedoc_spark.core.image_decode import audio_features, decode_audio, encode_wav
+
+    tone = np.sin(np.linspace(0, 2 * np.pi * 50, 4000))
+    wav = encode_wav(tone, rate=4000)
+    rate, channels, mono = decode_audio(wav)
+    assert (rate, channels, len(mono)) == (4000, 1, 4000)
+    assert np.max(np.abs(mono - tone)) < 1e-3  # 16-bit quantization error
+    r, n, feat = audio_features(wav)
+    assert (r, n) == (4000, 4000) and len(feat) == 8
+    assert abs(feat[0] - 1.0) < 1e-6  # duration
+    # a 50 Hz tone at 4 kHz: all energy in the lowest spectral quarter
+    assert feat[4] > 0.99
+    # stereo collapses to mono by mean
+    stereo = np.column_stack([tone, -tone]).reshape(-1)
+    wav2 = encode_wav(stereo, rate=4000, channels=2)
+    _, ch2, mono2 = decode_audio(wav2)
+    assert ch2 == 2 and np.max(np.abs(mono2)) < 1e-3  # L+R cancel
+
+
+def test_audio_corrupt_rejected():
+    from dedoc_spark.core.image_decode import decode_audio
+
+    with pytest.raises(ValueError):
+        decode_audio(b"ID3\x03 mp3 data")
+    with pytest.raises(ValueError):
+        decode_audio(b"RIFF\x00\x00\x00\x00AVI LIST")

@@ -219,21 +219,31 @@ def test_multimodal_real_decode(spark):
     from dedoc_spark.core.image_decode import encode_png
     from dedoc_spark.operators.multimodal import media_features
 
+    from dedoc_spark.core.image_decode import encode_wav
+
     solid = np.full((8, 8, 3), 128, dtype=np.uint8)  # mean exactly 128/255
+    tone = np.sin(np.linspace(0, 2 * np.pi * 100, 8000))
     rows = [
         ("m1", "image", bytearray(encode_png(solid))),
-        ("m2", "audio", bytearray(b"RIFFfake")),
+        ("m2", "audio", bytearray(b"RIFFfake not a wave")),
         ("m3", "image", bytearray(b"")),
         ("m4", "image", bytearray(b"\xff\xd8\xff\xe0 jpeg-not-supported")),
+        ("m5", "audio", bytearray(encode_wav(tone, rate=8000))),
+        ("m6", "video", bytearray(b"\x00\x00\x00 ftypmp42")),
     ]
     df = spark.createDataFrame(rows, "media_id string, media_type string, media binary")
     out = {r.media_id: r for r in media_features(df).collect()}
     assert out["m1"].error is None and (out["m1"].width, out["m1"].height) == (8, 8)
     assert abs(out["m1"].feature[0] - 128 / 255) < 1e-5  # real pixel mean
     assert abs(out["m1"].feature[3]) < 1e-5  # solid color: zero std
-    assert "NotImplementedError" in out["m2"].error
+    assert "ValueError" in out["m2"].error  # RIFF but not WAVE
     assert "ValueError" in out["m3"].error
     assert "ValueError" in out["m4"].error  # JPEG → typed error, not a crash
+    # real WAV: (sample_rate, n_samples) in (width, height), duration first
+    assert out["m5"].error is None and (out["m5"].width, out["m5"].height) == (8000, 8000)
+    assert abs(out["m5"].feature[0] - 1.0) < 1e-6  # 1 second
+    assert abs(out["m5"].feature[1] - 0.7071) < 0.01  # sine RMS ≈ 1/√2
+    assert "NotImplementedError" in out["m6"].error  # video stays typed
     out2 = {r.media_id: r for r in media_features(df).collect()}
     assert out2["m1"].feature == out["m1"].feature
 
