@@ -1,10 +1,10 @@
-"""Real image decoding, pure Python + numpy: PNG (zlib inflate + scanline
-filter reversal per the PNG spec) and uncompressed BMP. No PIL/cv2 — the
-reference shells any image format through PIL/cv2
-(converters/concrete_converters/png_converter.py:16-39); this covers the
-formats a from-scratch decoder can do exactly, and keeps the document
-pipeline's error-channel contract for the rest (JPEG etc. land in the
-``error`` column, never crash a task).
+"""Real image/audio decoding, pure Python + numpy: PNG (zlib inflate +
+scanline filter reversal), uncompressed BMP, GIF (LZW), baseline JPEG
+(core/jpeg_decode) and WAV PCM. No PIL/cv2 — the reference shells any
+image format through PIL/cv2
+(converters/concrete_converters/png_converter.py:16-39); unsupported
+variants (progressive JPEG, interlaced PNG/GIF, compressed audio, video)
+land in the pipeline's ``error`` column, never crash a task.
 
 decode_image(data) -> (width, height, HxWx3 uint8 RGB array)
 
@@ -14,6 +14,10 @@ Supported:
        (composited on black, matching a raw-pixel read).
   BMP  BITMAPINFOHEADER, uncompressed (BI_RGB) 24/32-bit, bottom-up or
        top-down rows.
+  GIF  87a/89a first frame, non-interlaced (variable-width LZW).
+  JPEG baseline/extended sequential via core/jpeg_decode (Huffman + IDCT
+       + YCbCr, 4:4:4/4:2:2/4:2:0); progressive → typed error.
+  WAV  RIFF PCM audio via decode_audio/audio_features.
 """
 
 from __future__ import annotations
@@ -263,6 +267,10 @@ def decode_image(data: bytes) -> Tuple[int, int, np.ndarray]:
         return _decode_bmp(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(data)
+    if data[:2] == b"\xff\xd8":
+        from dedoc_spark.core.jpeg_decode import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError(f"unsupported image format (magic {data[:4]!r})")
 
 

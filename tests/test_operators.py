@@ -238,7 +238,7 @@ def test_multimodal_real_decode(spark):
     assert abs(out["m1"].feature[3]) < 1e-5  # solid color: zero std
     assert "ValueError" in out["m2"].error  # RIFF but not WAVE
     assert "ValueError" in out["m3"].error
-    assert "ValueError" in out["m4"].error  # JPEG → typed error, not a crash
+    assert "ValueError" in out["m4"].error  # corrupt JPEG → typed error
     # real WAV: (sample_rate, n_samples) in (width, height), duration first
     assert out["m5"].error is None and (out["m5"].width, out["m5"].height) == (8000, 8000)
     assert abs(out["m5"].feature[0] - 1.0) < 1e-6  # 1 second
