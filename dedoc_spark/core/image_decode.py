@@ -3,15 +3,15 @@ scanline filter reversal), uncompressed BMP, GIF (LZW), baseline JPEG
 (core/jpeg_decode) and WAV PCM. No PIL/cv2 — the reference shells any
 image format through PIL/cv2
 (converters/concrete_converters/png_converter.py:16-39); unsupported
-variants (progressive JPEG, interlaced PNG/GIF, compressed audio, video)
+variants (progressive JPEG, interlaced GIF, compressed audio, video)
 land in the pipeline's ``error`` column, never crash a task.
 
 decode_image(data) -> (width, height, HxWx3 uint8 RGB array)
 
 Supported:
   PNG  bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
-       4 (gray+alpha), 6 (RGBA); non-interlaced. Alpha is dropped
-       (composited on black, matching a raw-pixel read).
+       4 (gray+alpha), 6 (RGBA); interlace 0 and Adam7. Alpha is
+       dropped (composited on black, matching a raw-pixel read).
   BMP  BITMAPINFOHEADER, uncompressed (BI_RGB) 24/32-bit, bottom-up or
        top-down rows.
   GIF  87a/89a first frame, non-interlaced (variable-width LZW).
@@ -96,17 +96,20 @@ def _decode_png(data: bytes) -> Tuple[int, int, np.ndarray]:
         raise ValueError("PNG missing IHDR")
     if bit_depth != 8:
         raise ValueError(f"unsupported PNG bit depth {bit_depth}")
-    if interlace != 0:
-        raise ValueError("interlaced PNG not supported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) < height * (stride + 1):
-        raise ValueError("PNG pixel data truncated")
-    flat = _png_unfilter(raw, height, stride, channels)
-    arr = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(height, width, channels)
+    if interlace == 0:
+        stride = width * channels
+        if len(raw) < height * (stride + 1):
+            raise ValueError("PNG pixel data truncated")
+        flat = _png_unfilter(raw, height, stride, channels)
+        arr = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(height, width, channels)
+    elif interlace == 1:
+        arr = _deinterlace_adam7(raw, width, height, channels)
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color_type == 0:
         rgb = np.repeat(arr, 3, axis=2)
     elif color_type == 2:
@@ -121,6 +124,34 @@ def _decode_png(data: bytes) -> Tuple[int, int, np.ndarray]:
     else:  # 6 RGBA → drop alpha
         rgb = arr[:, :, :3]
     return width, height, np.ascontiguousarray(rgb)
+
+
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step), PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _deinterlace_adam7(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Adam7: seven sub-images, each filtered independently, scattered back
+    onto the full grid by the pass geometry."""
+    out = np.zeros((height, width, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * channels
+        need = ph * (stride + 1)
+        if pos + need > len(raw):
+            raise ValueError("PNG pixel data truncated (interlaced)")
+        flat = _png_unfilter(raw[pos : pos + need], ph, stride, channels)
+        pos += need
+        sub = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(ph, pw, channels)
+        out[y0::dy, x0::dx] = sub
+    return out
 
 
 def _decode_bmp(data: bytes) -> Tuple[int, int, np.ndarray]:

@@ -214,3 +214,36 @@ def test_audio_corrupt_rejected():
         decode_audio(b"ID3\x03 mp3 data")
     with pytest.raises(ValueError):
         decode_audio(b"RIFF\x00\x00\x00\x00AVI LIST")
+
+
+def test_png_adam7_interlaced():
+    """Adam7 deinterlacing: build the seven-pass stream by hand from the
+    spec's pass geometry and require exact pixel recovery."""
+    import struct
+    import zlib
+
+    from dedoc_spark.core.image_decode import PNG_MAGIC, _ADAM7
+
+    rgb = np.repeat(_gradient(10, 7, 5)[:, :, None], 3, axis=2)
+    rgb[:, :, 2] = 255 - rgb[:, :, 2]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = rgb[y0::dy, x0::dx]
+        for r in range(sub.shape[0]):
+            raw.append(0)  # filter None
+            raw += sub[r].tobytes()
+
+    def chunk(ctype, body):
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", zlib.crc32(ctype + body) & 0xFFFFFFFF
+        )
+
+    png = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 7, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, dec = decode_image(png)
+    assert (w, h) == (10, 7)
+    assert np.array_equal(dec, rgb)
