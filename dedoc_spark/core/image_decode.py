@@ -3,8 +3,8 @@ scanline filter reversal), uncompressed BMP, GIF (LZW), baseline JPEG
 (core/jpeg_decode) and WAV PCM. No PIL/cv2 — the reference shells any
 image format through PIL/cv2
 (converters/concrete_converters/png_converter.py:16-39); unsupported
-variants (progressive JPEG, interlaced GIF, compressed audio, video)
-land in the pipeline's ``error`` column, never crash a task.
+variants (arithmetic-coded JPEG, interlaced GIF, compressed audio,
+video) land in the pipeline's ``error`` column, never crash a task.
 
 decode_image(data) -> (width, height, HxWx3 uint8 RGB array)
 
@@ -15,8 +15,9 @@ Supported:
   BMP  BITMAPINFOHEADER, uncompressed (BI_RGB) 24/32-bit, bottom-up or
        top-down rows.
   GIF  87a/89a first frame, non-interlaced (variable-width LZW).
-  JPEG baseline/extended sequential via core/jpeg_decode (Huffman + IDCT
-       + YCbCr, 4:4:4/4:2:2/4:2:0); progressive → typed error.
+  JPEG baseline/extended sequential AND progressive via core/jpeg_decode
+       (Huffman + IDCT + YCbCr, 4:4:4/4:2:2/4:2:0, spectral selection +
+       successive approximation).
   WAV  RIFF PCM audio via decode_audio/audio_features.
 """
 

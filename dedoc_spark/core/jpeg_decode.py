@@ -1,19 +1,26 @@
 """Baseline JPEG decoder (and a minimal encoder for round-trip tests) —
 pure Python + numpy, public JPEG/JFIF spec (ITU-T T.81).
 
-Scope: baseline and extended sequential DCT (SOF0/SOF1), Huffman entropy
-coding, 1- or 3-component scans, 4:4:4 / 4:2:2 / 4:2:0 subsampling
-(nearest-neighbor chroma upsampling — a documented approximation of
-libjpeg's fancy upsampler; fine for feature extraction), restart markers.
-Progressive (SOF2), arithmetic coding and 12-bit precision raise
-ValueError into the pipeline's error channel.
+Scope: baseline/extended sequential (SOF0/SOF1) AND progressive (SOF2)
+Huffman DCT — spectral selection + successive approximation with EOB-run
+bookkeeping (T.81 G.2; control flow mirrors libjpeg's jdphuff) — 1- or
+3-component scans, 4:4:4 / 4:2:2 / 4:2:0 subsampling (nearest-neighbor
+chroma upsampling — a documented approximation of libjpeg's fancy
+upsampler; fine for feature extraction), restart markers. Arithmetic
+coding, hierarchical and 12-bit precision raise ValueError into the
+pipeline's error channel. Architecture: every scan decodes into
+per-component coefficient stores; dequant + a vectorized einsum IDCT run
+once at the end.
 
 The reference hands JPEG to PIL/cv2 (png_converter.py:16-39); neither is
 in this container, so correctness is established by (a) an independent
 minimal encoder here (block DCT + standard tables) whose output must
 round-trip within quantization error, (b) hand-crafted DC-only streams
-with closed-form pixel values, and (c) the reference's own scanned-page
-JPEGs decoding to their SOF dimensions with plausible pixel stats.
+with closed-form pixel values, (c) the reference's own scanned-page
+JPEGs decoding to their SOF dimensions with plausible pixel stats, and
+(d) CROSS-FORMAT ground truth: the corpus's example page exists as both
+lossless PNG and JPEG — the decodes agree to mean |diff| ≈ 1.2/255,
+correlation 0.998 (test_cross_format_ground_truth).
 """
 
 from __future__ import annotations
@@ -129,7 +136,10 @@ class _Huff:
 
 
 def decode_jpeg(data: bytes) -> Tuple[int, int, np.ndarray]:
-    """JPEG bytes → (width, height, HxWx3 uint8 RGB)."""
+    """JPEG bytes → (width, height, HxWx3 uint8 RGB). Baseline, extended
+    sequential AND progressive: every scan decodes into a per-component
+    coefficient store (zigzag order); dequant + IDCT run once at the end —
+    the architecture libjpeg uses for multi-scan files."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -137,16 +147,19 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, np.ndarray]:
     huff_dc: Dict[int, _Huff] = {}
     huff_ac: Dict[int, _Huff] = {}
     frame = None
+    stores: Dict[int, np.ndarray] = {}
     restart_interval = 0
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             pos += 1
             continue
         marker = data[pos + 1]
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+        if marker in (0xD8, 0x01, 0xFF) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(data):
             break
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + seglen]
@@ -163,7 +176,7 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, np.ndarray]:
                     table = np.frombuffer(body[b : b + 64], dtype=np.uint8).astype(np.int32)
                     b += 64
                 qt[tid] = table
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline/extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
             precision = body[0]
             if precision != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -173,9 +186,10 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, np.ndarray]:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"w": width, "h": height, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline/extended sequential supported")
+            frame = {"w": width, "h": height, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: only Huffman sequential/progressive supported")
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
@@ -191,76 +205,175 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, np.ndarray]:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if not stores:
+                stores = _init_stores(frame)
             ns = body[0]
             scan = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c : 3 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append({**comp, "dc": tdta >> 4, "ac": tdta & 0x0F})
-            return _decode_scan(
-                data, pos + 2 + seglen, frame, scan, qt, huff_dc, huff_ac, restart_interval
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            br = _BitReader(data, pos + 2 + seglen)
+            _decode_scan_into(
+                stores, br, frame, scan, huff_dc, huff_ac,
+                restart_interval, ss, se, ahal >> 4, ahal & 0x0F,
             )
+            pos = max(br.pos, pos + 2 + seglen)
+            continue
         pos += 2 + seglen
-    raise ValueError("jpeg: no scan data")
+    if frame is None or not stores:
+        raise ValueError("jpeg: no scan data")
+    return _render(frame, stores, qt)
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
-    width, height = frame["w"], frame["h"]
-    max_h = max(c["h"] for c in scan)
-    max_v = max(c["v"] for c in scan)
-    mcus_x = -(-width // (8 * max_h))
-    mcus_y = -(-height // (8 * max_v))
-    planes = {}
-    for c in scan:
-        pw, ph = mcus_x * c["h"] * 8, mcus_y * c["v"] * 8
-        planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
-    br = _BitReader(data, pos)
+def _mcu_geometry(frame):
+    max_h = max(c["h"] for c in frame["comps"])
+    max_v = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * max_h))
+    mcus_y = -(-frame["h"] // (8 * max_v))
+    return max_h, max_v, mcus_x, mcus_y
+
+
+def _init_stores(frame) -> Dict[int, np.ndarray]:
+    max_h, max_v, mcus_x, mcus_y = _mcu_geometry(frame)
+    return {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    }
+
+
+def _decode_scan_into(stores, br, frame, scan, huff_dc, huff_ac, ri, ss, se, ah, al):
+    """One scan → coefficient stores. Handles interleaved MCUs and
+    non-interleaved single-component scans, sequential full-band blocks,
+    and the four progressive block kinds (DC/AC × first/refine) with
+    EOB-run bookkeeping (T.81 G.2; control flow mirrors libjpeg jdphuff)."""
+    max_h, max_v, mcus_x, mcus_y = _mcu_geometry(frame)
     pred = {c["id"]: 0 for c in scan}
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.sync_restart()
-                pred = {c["id"]: 0 for c in scan}
-            for c in scan:
-                dch = huff_dc[c["dc"]]
-                ach = huff_ac[c["ac"]]
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coefs = np.zeros(64, dtype=np.int32)
-                        t = dch.decode(br)
-                        diff = _extend(br.receive(t), t)
-                        pred[c["id"]] += diff
-                        coefs[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = ach.decode(br)
-                            r, s = rs >> 4, rs & 0x0F
-                            if rs == 0:
-                                break
-                            if rs == 0xF0:
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            coefs[k] = _extend(br.receive(s), s)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_ZIGZAG] = coefs * q
-                        spatial = _M.T @ block.reshape(8, 8) @ _M + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
-            mcu_count += 1
+    state = {"eobrun": 0}
 
-    # upsample to full size (nearest) and convert
+    def decode_block(c, coef):
+        if ss == 0:
+            if ah == 0:  # DC first (or start of a sequential block)
+                t = huff_dc[c["dc"]].decode(br)
+                diff = _extend(br.receive(t), t)
+                pred[c["id"]] += diff
+                coef[0] = pred[c["id"]] << al
+            else:  # DC refinement: one bit
+                if br.receive(1):
+                    coef[0] |= 1 << al
+            if se == 0:
+                return
+        # AC band (sequential continues here with ss=0 → band starts at 1)
+        k = max(ss, 1)
+        ach = huff_ac[c["ac"]]
+        if ah == 0:  # AC first / sequential
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            while k <= se:
+                rs = ach.decode(br)
+                r, s = rs >> 4, rs & 0x0F
+                if s:
+                    k += r
+                    if k > se:
+                        raise ValueError("jpeg: AC index overflow")
+                    coef[k] = _extend(br.receive(s), s) << al
+                    k += 1
+                else:
+                    if r != 15:
+                        eob = 1 << r
+                        if r:
+                            eob += br.receive(r)
+                        state["eobrun"] = eob - 1  # current block included
+                        break
+                    k += 16
+        else:  # AC refinement (jdphuff decode_mcu_AC_refine)
+            p1 = 1 << al
+            m1 = -p1
+            if state["eobrun"] == 0:
+                while k <= se:
+                    rs = ach.decode(br)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s:
+                        newval = p1 if br.receive(1) else m1
+                    elif r != 15:
+                        eob = 1 << r
+                        if r:
+                            eob += br.receive(r)
+                        state["eobrun"] = eob
+                        break
+                    while k <= se:
+                        t = int(coef[k])
+                        if t != 0:
+                            if br.receive(1) and (t & p1) == 0:
+                                coef[k] = t + (p1 if t >= 0 else m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if s and k <= se:
+                        coef[k] = newval
+                    k += 1
+            if state["eobrun"] > 0:
+                while k <= se:
+                    t = int(coef[k])
+                    if t != 0:
+                        if br.receive(1) and (t & p1) == 0:
+                            coef[k] = t + (p1 if t >= 0 else m1)
+                    k += 1
+                state["eobrun"] -= 1
+
+    def maybe_restart(unit_idx):
+        if ri and unit_idx and unit_idx % ri == 0:
+            br.sync_restart()
+            for key in pred:
+                pred[key] = 0
+            state["eobrun"] = 0
+
+    if len(scan) == 1:
+        c = scan[0]
+        cw = -(-frame["w"] * c["h"] // max_h)
+        ch = -(-frame["h"] * c["v"] // max_v)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        store = stores[c["id"]]
+        for i in range(bw * bh):
+            maybe_restart(i)
+            decode_block(c, store[i // bw, i % bw])
+    else:
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart(unit)
+                for c in scan:
+                    store = stores[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(c, store[my * c["v"] + by, mx * c["h"] + bx])
+                unit += 1
+
+
+def _render(frame, stores, qt):
+    """Dequant + IDCT + upsample + color convert, once, after all scans."""
+    width, height = frame["w"], frame["h"]
+    max_h, max_v, _, _ = _mcu_geometry(frame)
     full = []
-    for c in scan:
-        plane = planes[c["id"]]
+    for c in frame["comps"]:
+        store = stores[c["id"]].astype(np.float64)
+        q = qt[c["tq"]].astype(np.float64)
+        by, bx, _ = store.shape
+        deq = store * q  # zigzag order
+        nat = np.zeros_like(deq)
+        nat[:, :, _ZIGZAG] = deq
+        blocks = nat.reshape(by, bx, 8, 8)
+        # vectorized IDCT over all blocks: M.T @ F @ M
+        spatial = np.einsum("ux,yvuw,wz->yvxz", _M, blocks, _M) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         if c["h"] != max_h or c["v"] != max_v:
-            plane = np.repeat(np.repeat(plane, max_v // c["v"], axis=0), max_h // c["h"], axis=1)
+            plane = np.repeat(np.repeat(plane, max_v // c["v"], axis=0),
+                              max_h // c["h"], axis=1)
         full.append(plane[:height, :width])
     if len(full) == 1:
         y = np.clip(full[0], 0, 255).astype(np.uint8)

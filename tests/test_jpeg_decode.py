@@ -41,10 +41,29 @@ def test_reference_scanned_page():
     assert rgb.std() > 5  # but not blank — there is text
 
 
-def test_progressive_rejected_typed():
+def test_progressive_real_image():
+    """Progressive JPEG (SOF2 with DC/AC spectral-selection + successive-
+    approximation scans): the reference's progressive scan decodes to its
+    SOF dimensions with scanned-page stats."""
     data = open("/root/reference/tests/data/tz/small_image.jpg", "rb").read()
-    with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(data)
+    w, h, rgb = decode_jpeg(data)
+    assert (w, h) == (1656, 2339)
+    assert rgb.mean() > 240 and rgb.std() > 5
+
+
+def test_cross_format_ground_truth():
+    """The corpus holds the SAME scanned page as lossless PNG and as JPEG:
+    our JPEG decode must match the PNG pixels up to compression noise —
+    ground truth fully independent of our own encoder."""
+    from dedoc_spark.core.image_decode import decode_image
+
+    png = decode_image(open("/root/reference/tests/data/scanned/example.png", "rb").read())
+    jpg = decode_image(open("/root/reference/tests/data/scanned/example.jpeg", "rb").read())
+    assert (png[0], png[1]) == (jpg[0], jpg[1]) == (827, 1170)
+    a, b = png[2].astype(float), jpg[2].astype(float)
+    diff = np.abs(a - b)
+    assert diff.mean() < 2.0
+    assert float(np.corrcoef(a.ravel(), b.ravel())[0, 1]) > 0.99
 
 
 def test_dispatch_via_decode_image():
