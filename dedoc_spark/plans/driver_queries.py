@@ -1802,6 +1802,68 @@ FROM sel WHERE pos >= 3
 """
 
 # ---------------------------------------------------------------------------
+# q45 BMP decode round-trip: 16×8 gray-in-RGB gradient per doc packed as a
+# real bottom-up 24-bit BMP; the decoder must reverse the row order and the
+# BGR byte order to reproduce the oracle's top-down RGB buffer hash.
+
+
+def q45_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+    schema = "doc_id long, width int, height int, px_hash string"
+
+    def fn(it):
+        import struct
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.image_decode import pixel_hash
+
+        W, H = 16, 8
+        row_size = (W * 3 + 3) // 4 * 4
+        for batch in it:
+            out = []
+            for doc_id in batch["doc_id"]:
+                did = int(doc_id)
+                rows = []
+                for r in range(H - 1, -1, -1):  # bottom-up storage
+                    row = bytearray()
+                    for c in range(W):
+                        v = (did * 5 + r * 16 + c) % 256
+                        row += bytes([v, v, v])
+                    row += b"\x00" * (row_size - len(row))
+                    rows.append(bytes(row))
+                pixel_data = b"".join(rows)
+                bmp = (
+                    b"BM"
+                    + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+                    + struct.pack("<IiiHHIIiiII", 40, W, H, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+                    + pixel_data
+                )
+                out.append(
+                    {"doc_id": did, "width": W, "height": H, "px_hash": pixel_hash(bmp)}
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "width", "height", "px_hash"])
+
+    return _docs(spark, sf_dir).select("doc_id").mapInPandas(fn, schema)
+
+
+Q45_SQL = """
+WITH px AS (
+  SELECT d.doc_id, t.i, (5 * d.doc_id + (t.i // 16) * 16 + (t.i % 16)) % 256 AS v
+  FROM documents d, generate_series(0, 127) t(i)
+)
+SELECT doc_id, 16 AS width, 8 AS height,
+       md5('16x8' || lower(string_agg(repeat(lpad(to_hex(v), 2, '0'), 3), '' ORDER BY i)))
+         AS px_hash
+FROM px GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1848,6 +1910,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_multipage_tables": q42_multipage_tables,
     "q43_dup_spans": q43_dup_spans,
     "q44_winnow_fingerprints": q44_winnow_fingerprints,
+    "q45_bmp_decode": q45_bmp_decode,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1895,4 +1958,5 @@ ORACLES: Dict[str, str] = {
     "q42_multipage_tables": Q42_SQL,
     "q43_dup_spans": Q43_SQL,
     "q44_winnow_fingerprints": Q44_SQL,
+    "q45_bmp_decode": Q45_SQL,
 }
