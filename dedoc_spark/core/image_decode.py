@@ -3,8 +3,8 @@ scanline filter reversal), uncompressed BMP, GIF (LZW), baseline JPEG
 (core/jpeg_decode) and WAV PCM. No PIL/cv2 — the reference shells any
 image format through PIL/cv2
 (converters/concrete_converters/png_converter.py:16-39); unsupported
-variants (arithmetic-coded JPEG, interlaced GIF, compressed audio,
-video) land in the pipeline's ``error`` column, never crash a task.
+variants (arithmetic-coded JPEG, compressed audio, video) land in the
+pipeline's ``error`` column, never crash a task.
 
 decode_image(data) -> (width, height, HxWx3 uint8 RGB array)
 
@@ -14,7 +14,7 @@ Supported:
        dropped (composited on black, matching a raw-pixel read).
   BMP  BITMAPINFOHEADER, uncompressed (BI_RGB) 24/32-bit, bottom-up or
        top-down rows.
-  GIF  87a/89a first frame, non-interlaced (variable-width LZW).
+  GIF  87a/89a first frame, interlaced or not (variable-width LZW).
   JPEG baseline/extended sequential AND progressive via core/jpeg_decode
        (Huffman + IDCT + YCbCr, 4:4:4/4:2:2/4:2:0, spectral selection +
        successive approximation).
@@ -263,8 +263,6 @@ def _decode_gif(data: bytes) -> Tuple[int, int, np.ndarray]:
                 lct_size = 2 << (ipacked & 0x07)
                 ct = data[pos : pos + lct_size * 3]
                 pos += lct_size * 3
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF not supported")
             if not ct:
                 raise ValueError("GIF missing color table")
             min_code_size = data[pos]
@@ -279,7 +277,18 @@ def _decode_gif(data: bytes) -> Tuple[int, int, np.ndarray]:
                 raise ValueError("GIF pixel data truncated")
             pal = np.frombuffer(ct.ljust(768, b"\x00"), dtype=np.uint8).reshape(256, 3)
             idx = np.frombuffer(bytes(indices[: width * height]), dtype=np.uint8)
-            rgb = pal[idx.reshape(height, width)]
+            grid = idx.reshape(height, width)
+            if ipacked & 0x40:
+                # GIF89a interlace: rows stored in four passes
+                # (0::8, 4::8, 2::4, 1::2) — scatter back
+                out = np.zeros_like(grid)
+                row = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    n_rows = len(range(start, height, step))
+                    out[start::step] = grid[row : row + n_rows]
+                    row += n_rows
+                grid = out
+            rgb = pal[grid]
             return width, height, np.ascontiguousarray(rgb)
         elif block == 0x3B:  # trailer
             break

@@ -247,3 +247,22 @@ def test_png_adam7_interlaced():
     w, h, dec = decode_image(png)
     assert (w, h) == (10, 7)
     assert np.array_equal(dec, rgb)
+
+
+def test_gif_interlaced():
+    """GIF89a interlace: rows stored in passes 0::8, 4::8, 2::4, 1::2 —
+    build the stream by permuting rows and require exact recovery."""
+    from dedoc_spark.core.image_decode import encode_gif
+
+    idx = (np.arange(12 * 16, dtype=np.int64) % 5).astype(np.uint8).reshape(16, 12)
+    palette = bytes(b for c in range(5) for b in (c * 40, c * 30, 255 - c * 25))
+    # encode with rows pre-permuted into interlace order, then flip the bit
+    order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(start, 16, step)]
+    gif = bytearray(encode_gif(idx[order], palette))
+    # image descriptor packed byte: header(6)+LSD(7)+GCT(8*3=24) → 0x2C at 37
+    desc = gif.index(0x2C, 13)
+    gif[desc + 9] |= 0x40  # set interlace flag
+    w, h, rgb = decode_image(bytes(gif))
+    assert (w, h) == (12, 16)
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(5, 3)
+    assert np.array_equal(rgb, pal[idx])
