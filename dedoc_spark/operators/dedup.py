@@ -542,8 +542,11 @@ def duplicated_ngram_spans(
     Scale shape: shingle_rows emits one row per span occurrence with NO
     self-join; the duplicate flag is a groupBy on the 32-bit span hash
     (uniform key, map-side partial agg) joined back on the same key, then
-    one groupBy on the doc id. Three uniform shuffles, cost linear in
-    total token count — never quadratic."""
+    one groupBy on the doc id. Every shuffle keys on a uniform value (doc
+    id for the shingle window and the final rollup, span hash for the
+    count and both join sides — 5 exchanges in the audited plan, 0
+    CartesianProduct); cost linear in total token count, never
+    quadratic."""
     from dedoc_spark.functions import shingle_rows
 
     spans = shingle_rows(df, text_col, id_col, window).select(
