@@ -160,10 +160,13 @@ Facts the scale claims rest on, re-checked this round:
   wall 21.5 s (r2) -> 3.5-4.6 s (r3). High-diameter graphs:
   `algorithm="star"` runs the Kiveris large-star/small-star contraction
   (O(log^2 n) rounds), equivalence-tested vs label propagation.
-- **q40 pdf layout / q41 image decode / q43 dup spans (r3)**: q40/q41 are
-  Scan -> Project -> MapInPandas with **zero Exchange** (the scan-aligned
-  extraction shape); q43 is three uniform-key shuffles (span hash, span
-  hash, doc id), linear in token count, no self-join.
+- **q40 pdf layout / q41 image decode / q45 bmp decode (r3)**: Scan ->
+  Project -> MapInPandas with **zero Exchange** (the scan-aligned
+  extraction shape).
+- **q43 dup spans / q44 winnowing (r3)**: q43 = 5 uniform-key exchanges
+  (doc-id shingle window, span-hash count + both join sides, doc-id
+  rollup), 0 CartesianProduct, linear in token count; q44 = exactly
+  1 exchange (the winnowing window partitions on doc id).
 - **q42 multipage table merge (r3)**: lag-window chain detection +
   cumulative-sum chain ids + groupBy — **exactly 1 Exchange** (on url;
   the per-page "last table" predicate is implied by the window order),
