@@ -87,6 +87,11 @@ class _Reader:
         return [True] * n if self.byte() else self.bit_vector(n)
 
 
+# hard ceiling on a single folder's declared unpack size (decompression-bomb
+# guard); raised errors surface through the typed archive error channel
+MAX_UNPACK_BYTES = 1 << 28  # 256 MiB
+
+
 class _Folder:
     __slots__ = ("coder_id", "props", "unpack_sizes", "num_substreams", "substream_sizes")
 
@@ -101,7 +106,14 @@ class _Folder:
     def unpack_size(self) -> int:
         return self.unpack_sizes[-1] if self.unpack_sizes else 0
 
-    def decode(self, packed: bytes) -> bytes:
+    def decode(self, packed: bytes, max_bytes: int = MAX_UNPACK_BYTES) -> bytes:
+        # the header's unpack_size is UNTRUSTED: a tiny crafted archive
+        # claiming a multi-GB output would otherwise allocate that much on
+        # the executor (decompression bomb) — bound it like _lzw_decode does
+        if self.unpack_size > max_bytes:
+            raise ValueError(
+                f"7z: declared unpack size {self.unpack_size} exceeds cap {max_bytes}"
+            )
         if self.coder_id == b"\x00":  # COPY
             return packed[: self.unpack_size]
         if self.coder_id == b"\x21":  # LZMA2

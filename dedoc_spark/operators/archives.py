@@ -90,6 +90,25 @@ def _error_extract_rows(df: DataFrame, error_col) -> DataFrame:
     )
 
 
+def _archive_magic(col) -> "F.Column":
+    """Archive-container magic sniff, matching core.formats.detect_format
+    exactly: zip local header, gzip, tar ustar, 7z signature, bzip2
+    ('BZh' PLUS an ASCII digit level byte — plain text that merely starts
+    with 'BZh' must NOT be routed into the explosion channel), xz."""
+    return (
+        (F.substring(col, 1, 4) == F.lit(b"PK\x03\x04"))
+        | (F.substring(col, 1, 2) == F.lit(b"\x1f\x8b"))
+        | (F.substring(col, 258, 5) == F.lit(b"ustar"))
+        | (F.substring(col, 1, 6) == F.lit(b"7z\xbc\xaf\x27\x1c"))
+        | (
+            (F.substring(col, 1, 3) == F.lit(b"BZh"))
+            & (F.substring(col, 4, 1) >= F.lit(b"1"))
+            & (F.substring(col, 4, 1) <= F.lit(b"9"))
+        )
+        | (F.substring(col, 1, 6) == F.lit(b"\xfd7zXZ\x00"))
+    )
+
+
 def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None = None) -> DataFrame:
     """Full pipeline with bounded archive recursion.
 
@@ -100,16 +119,10 @@ def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None
     per-row invariant (every input url → ≥1 output row) holds."""
     from pyspark.storagelevel import StorageLevel
 
+    from dedoc_spark.operators import _persist
     from dedoc_spark.operators.pipeline import extract_stage
 
-    maybe_zip = F.col("html").isNotNull() & (
-        (F.substring(F.col("html").cast("binary"), 1, 4) == F.lit(b"PK\x03\x04"))
-        | (F.substring(F.col("html").cast("binary"), 1, 2) == F.lit(b"\x1f\x8b"))
-        | (F.substring(F.col("html").cast("binary"), 258, 5) == F.lit(b"ustar"))
-        | (F.substring(F.col("html").cast("binary"), 1, 6) == F.lit(b"7z\xbc\xaf\x27\x1c"))
-        | (F.substring(F.col("html").cast("binary"), 1, 3) == F.lit(b"BZh"))
-        | (F.substring(F.col("html").cast("binary"), 1, 6) == F.lit(b"\xfd7zXZ\x00"))
-    )
+    maybe_zip = F.col("html").isNotNull() & _archive_magic(F.col("html").cast("binary"))
     out = extract_stage(df.filter(~maybe_zip), params=params)
     pending = df.filter(maybe_zip).select("url", "html")
     persisted = []
@@ -122,34 +135,32 @@ def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None
             _error_extract_rows(classified.filter(F.col("kind") == "error"), F.col("error"))
         )
         ok = classified.filter(F.col("kind") != "error")
-        is_zip_m = (F.col("kind") == "member") & (
-            (F.substring(F.col("html"), 1, 4) == F.lit(b"PK\x03\x04"))
-            | (F.substring(F.col("html"), 1, 2) == F.lit(b"\x1f\x8b"))
-            | (F.substring(F.col("html"), 258, 5) == F.lit(b"ustar"))
-            | (F.substring(F.col("html"), 1, 6) == F.lit(b"7z\xbc\xaf\x27\x1c"))
-            | (F.substring(F.col("html"), 1, 3) == F.lit(b"BZh"))
-            | (F.substring(F.col("html"), 1, 6) == F.lit(b"\xfd7zXZ\x00"))
-        )
+        is_zip_m = (F.col("kind") == "member") & _archive_magic(F.col("html"))
         out = out.unionByName(extract_stage(ok.filter(~is_zip_m), params=params))
         pending = ok.filter(is_zip_m).select("url", "html")
     # archives still unexploded after max_depth: typed error rows, not silence
     out = out.unionByName(
         _error_extract_rows(pending, F.lit(f"needs_explosion:zip beyond max_depth={max_depth}"))
     )
+    _persist.register(persisted)
     out._dedoc_persisted = persisted  # release via unpersist_intermediates
     return out
 
 
-def unpersist_intermediates(df: DataFrame) -> int:
-    """Release the per-level DISK_ONLY frames a multi-level explode pinned
-    (they must stay persisted until the caller's action has run — each
-    level feeds several branches of the returned lazy union). Call AFTER
-    consuming the result in a long-lived session; returns the number of
-    frames released."""
-    frames = getattr(df, "_dedoc_persisted", [])
-    for f in frames:
-        f.unpersist()
-    return len(frames)
+def unpersist_intermediates(df: DataFrame | None = None) -> int:
+    """Release the per-level DISK_ONLY frames a multi-level explode (or
+    minhash_lsh_pairs) pinned — they must stay persisted until the
+    caller's action has run, since each level feeds several branches of
+    the returned lazy union. Call AFTER consuming the result in a
+    long-lived session; returns the number of frames released.
+
+    Works on ANY frame: if ``df`` still carries its ``_dedoc_persisted``
+    handle, exactly those frames are released; a derived frame (the
+    handle does not survive transformations) or ``df=None`` releases
+    every registered intermediate in the session."""
+    from dedoc_spark.operators import _persist
+
+    return _persist.release(df)
 
 
 def explode_attachments(df: DataFrame, max_members: int = 1000) -> DataFrame:
@@ -193,6 +204,7 @@ def extract_with_attachments(df: DataFrame, max_depth: int = 2, params: dict | N
     rows."""
     from pyspark.storagelevel import StorageLevel
 
+    from dedoc_spark.operators import _persist
     from dedoc_spark.operators.pipeline import extract_stage
 
     out = extract_stage(df, params=params)
@@ -207,5 +219,6 @@ def extract_with_attachments(df: DataFrame, max_depth: int = 2, params: dict | N
         members = atts.filter(F.col("kind") == "member")
         out = out.unionByName(extract_stage(members, params=params))
         pending = members.select("url", "html")
+    _persist.register(persisted)
     out._dedoc_persisted = persisted  # release via unpersist_intermediates
     return out

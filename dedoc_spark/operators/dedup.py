@@ -123,6 +123,11 @@ def minhash_lsh_pairs(
     if persist_signatures:
         # sigs must stay persisted until the caller's action; release in
         # long-lived sessions via operators.archives.unpersist_intermediates
+        # (works on any frame — the registry tracks sigs even after the
+        # caller transforms this one away)
+        from dedoc_spark.operators import _persist
+
+        _persist.register([sigs])
         out._dedoc_persisted = [sigs]
     return out
 
@@ -133,6 +138,7 @@ def jaccard_for_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    max_shingles: int | None = 50_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pre-generated candidate pairs — the 100 TB
     verify path: feed ``minhash_lsh_pairs`` output, so cost is linear in the
@@ -140,6 +146,15 @@ def jaccard_for_pairs(
 
     pairs: DataFrame(a, b) of id pairs; df: the corpus. Returns
     (a, b, jaccard) with jaccard rounded to 6.
+
+    max_shingles bounds the per-document shingle array (a single 10M-token
+    document must not become one giant row on both join sides — the set-size
+    analogue of minhash_lsh_pairs' max_bucket). Documents under the cap are
+    untouched (exact Jaccard); above it, the set is reduced to its bottom-k
+    sketch under a shared uniform hash order (k-minimum-values, Cohen &
+    Kaplan 2007) so both sides sample the shingle universe consistently and
+    the Jaccard estimate has standard error ≈ 1/√k (< 0.005 at the default
+    cap). ``max_shingles=None`` disables the cap.
     """
     from dedoc_spark.functions import shingle_rows
 
@@ -148,6 +163,23 @@ def jaccard_for_pairs(
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("sh"))
     )
+    if max_shingles is not None:
+        # CaseWhen evaluates branch values lazily, so the per-element sort
+        # subtree only runs on rows that actually exceed the cap
+        ranked = F.array_sort(
+            F.transform(
+                F.col("sh"), lambda s: F.struct(hash32(s, 9191).alias("hk"), s.alias("s"))
+            )
+        )
+        capped = F.transform(
+            F.slice(ranked, 1, max_shingles), lambda t: t["s"]
+        )
+        sets = sets.select(
+            F.col(id_col),
+            F.when(F.size("sh") <= max_shingles, F.col("sh"))
+            .otherwise(capped)
+            .alias("sh"),
+        )
     joined = pairs.join(
         sets.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a"
     ).join(sets.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")
@@ -416,11 +448,18 @@ def dedup_corpus(
     row's own id for non-duplicates) and ``is_representative`` — filter on
     it to keep one document per group. Every stage is candidate-driven
     (no all-pairs join anywhere), so cost scales with real collisions."""
+    from dedoc_spark.operators import _persist
+
     cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n, max_bucket)
     verified = jaccard_for_pairs(cand, df, text_col, id_col, shingle_n).filter(
         F.col("jaccard") >= threshold
     )
     comps = connected_components(verified.select("a", "b")).withColumnRenamed("id", id_col)
+    # connected_components returns lineage-TRUNCATED labels (checkpointed
+    # per round), so the DISK_ONLY signature frame minhash_lsh_pairs pinned
+    # has been fully consumed by now — release it here instead of leaking
+    # it to the caller's session.
+    _persist.release(cand)
     return (
         df.join(comps, id_col, "left")
         .withColumn("comp", F.coalesce(F.col("comp"), F.col(id_col)))

@@ -264,12 +264,19 @@ def winnow_fingerprints(
     shared substring of length ≥ k + window − 1 produces a shared
     fingerprint. Returns distinct (id, fp) rows.
 
-    Relational shape: posexplode of the k-gram hash array (one row per
-    position), ONE window pass partitioned by the doc id, distinct — a
-    single shuffle on the id, linear in text length. The rightmost-min
-    tie-break is encoded arithmetically (key = h·2^20 + (2^20−1 − pos),
-    positions bounded < 2^20 chars) so the same integer expression runs
-    in the DuckDB oracle."""
+    Relational shape: posexplode of the normalized text's CHARS (one row
+    per position — NOT a transform(sequence(...)) lambda, which is
+    interpreted per element and re-evaluates the normalization subtree,
+    the measured O(n²) HOF trap from CLAUDE.md), k-grams assembled with
+    window leads, then ONE logical window pass partitioned by the doc id
+    (gram-lead and min-window share the same exchange + sort) — a single
+    shuffle on the id, linear in text length. The rightmost-min tie-break
+    is encoded arithmetically (key = h·2^31 + (2^31−1 − pos)) so the same
+    integer expression runs in the DuckDB oracle. The encoding is exact
+    for any representable document: h < 2^32 and pos < 2^31 give
+    max(key) = (2^32−1)·2^31 + (2^31−1) = 2^63−1, the signed-bigint
+    maximum, and a JVM string can never exceed 2^31 chars so the position
+    term can't go negative."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -277,19 +284,37 @@ def winnow_fingerprints(
     base = df.select(F.col(id_col), norm.alias("__norm")).filter(
         F.length("__norm") >= k
     )
-    gram_hashes = F.expr(
-        f"transform(sequence(1, length(__norm) - {k - 1}), "
-        f"i -> conv(substr(md5(concat(substring(__norm, i, {k}), '#{seed}')), 1, 8), 16, 10))"
+    # "(?!^)" splits BETWEEN every pair of chars — no empty lead/tail cells
+    chars = base.select(
+        F.col(id_col), F.posexplode(F.split("__norm", r"(?!^)")).alias("pos", "c")
     )
-    grams = base.select(
-        F.col(id_col), F.posexplode(gram_hashes).alias("pos", "hs")
+    wo = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat(*[F.lead("c", j).over(wo) if j else F.col("c") for j in range(k)])
+    # length==k drops both the null tails (concat is null-intolerant) and the
+    # short grams seeded by split's TRAILING EMPTY element (Spark's split
+    # keeps it; the empty cell contributes no chars but truncates the last
+    # window's concat to k−1 chars)
+    grams = (
+        chars.select(F.col(id_col), "pos", gram.alias("g"))
+        .filter(F.length("g") == k)
+        .select(
+            F.col(id_col),
+            "pos",
+            F.conv(F.substring(F.md5(F.concat(F.col("g"), F.lit(f"#{seed}"))), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("hs"),
+        )
     )
-    key = F.col("hs").cast("bigint") * F.lit(1048576) + (F.lit(1048575) - F.col("pos"))
+    key = F.col("hs").cast("bigint") * F.lit(2147483648) + (
+        F.lit(2147483647) - F.col("pos")
+    )
     keyed = grams.select(F.col(id_col), "pos", key.alias("key"))
     w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(window - 1), 0)
     sel = keyed.select(
         F.col(id_col), "pos", F.min("key").over(w).alias("mkey")
     ).filter(F.col("pos") >= window - 1)
+    # `div`, NOT `/` + floor: bigint `/` is DOUBLE division, and mkey ≈ h·2^31
+    # exceeds the 52-bit double mantissa — the rounded quotient floors to h±1
     return sel.select(
-        F.col(id_col), F.floor(F.col("mkey") / 1048576).cast("bigint").alias("fp")
+        F.col(id_col), F.expr("mkey div 2147483648").cast("bigint").alias("fp")
     ).distinct()

@@ -1793,11 +1793,11 @@ g AS (
 ),
 sel AS (
   SELECT doc_id, pos,
-         min(h * 1048576 + (1048575 - pos))
+         min(h * 2147483648 + (2147483647 - pos))
            OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mkey
   FROM g
 )
-SELECT DISTINCT doc_id, CAST(mkey // 1048576 AS BIGINT) AS fp
+SELECT DISTINCT doc_id, CAST(mkey // 2147483648 AS BIGINT) AS fp
 FROM sel WHERE pos >= 3
 """
 

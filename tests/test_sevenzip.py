@@ -70,3 +70,18 @@ def test_pipeline_explodes_7z(spark):
     out = {r.url: r for r in extract_with_archives(df).collect()}
     row = out["https://a/bundle.7z#page.html"]
     assert row.error is None and "seven zip body" in row.text_extracted
+
+
+def test_decompression_bomb_capped():
+    """ADVICE r3: the header's unpack_size is untrusted — a tiny archive
+    claiming a multi-GB output must raise instead of allocating it."""
+    import pytest
+
+    from dedoc_spark.core.sevenzip import MAX_UNPACK_BYTES, _Folder
+
+    folder = _Folder()
+    folder.coder_id = b"\x21"  # LZMA2
+    folder.props = b"\x28"
+    folder.unpack_sizes = [MAX_UNPACK_BYTES + 1]
+    with pytest.raises(ValueError, match="exceeds cap"):
+        folder.decode(b"\x00\x00")
