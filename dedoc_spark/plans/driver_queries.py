@@ -1864,6 +1864,359 @@ FROM px GROUP BY doc_id
 """
 
 # ---------------------------------------------------------------------------
+# q46-q56: driver-oracle gates for every reader that was pytest-only in
+# round 3 (VERDICT r3 "Next round" #1) — csv, json, email, mhtml, rtf,
+# odt/ods/odp, legacy doc/ppt, and the native archive-explosion channel.
+# Pattern is q21's: synthesize the format deterministically from the
+# documents row inside mapInPandas, run the full per-row extraction, emit
+# closed-form columns a DuckDB oracle rebuilds arithmetically.
+
+
+def _field_roundtrip(spark: SparkSession, sf_dir: str, builder, fields) -> DataFrame:
+    """documents → per-row synthesized payload → full extraction → chosen
+    output fields. ``builder(doc_id, text, source, lang) -> (bytes, url)``;
+    ``fields`` = [(name, spark_type)] pulled from the extract_document dict
+    (doc_id is always prepended)."""
+    import pandas as pd
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+    names = [n for n, _ in fields]
+    schema = "doc_id long, " + ", ".join(f"{n} {t}" for n, t in fields)
+
+    def fn(it):
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.document import extract_document
+
+        for pdf in it:
+            out = []
+            for doc_id, text, source, lang in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"], pdf["lang"]
+            ):
+                payload, url = builder(int(doc_id), text, source, lang)
+                d = extract_document(url, payload, None)
+                row = {"doc_id": int(doc_id)}
+                row.update({n: d[n] for n in names})
+                out.append(row)
+            yield pd.DataFrame(out, columns=["doc_id"] + names)
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", "source", "lang")
+        .mapInPandas(fn, schema)
+    )
+
+
+_LINEAR_FIELDS = [("n_lines", "long"), ("text_linear", "string")]
+
+
+def q46_csv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSVReader gate (csv_reader.py:17-58): one Table of stringified
+    cells; the reader must undo csv quoting exactly."""
+    import pandas as pd
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
+    def fn(it):
+        import csv as csvlib
+        import io as iolib
+        import json as jsonlib
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.document import extract_document
+
+        for pdf in it:
+            out = []
+            for doc_id, source, lang in zip(pdf["doc_id"], pdf["source"], pdf["lang"]):
+                buf = iolib.StringIO()
+                w = csvlib.writer(buf, lineterminator="\n")
+                w.writerow(["id", str(int(doc_id))])
+                w.writerow([source, lang])
+                d = extract_document(f"{int(doc_id)}.csv", buf.getvalue().encode(), None)
+                cells = jsonlib.loads(d["tables_json"])[0]["cells"]
+                texts = ["\n".join(ln["line"] for ln in c["lines"]) for row in cells for c in row]
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_tables": d["n_tables"],
+                        "c00": texts[0], "c01": texts[1], "c10": texts[2], "c11": texts[3],
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "n_tables", "c00", "c01", "c10", "c11"])
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "lang")
+        .mapInPandas(fn, "doc_id long, n_tables long, c00 string, c01 string, c10 string, c11 string")
+    )
+
+
+Q46_SQL = Q24_SQL
+
+
+def q47_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JsonReader gate (json_reader.py:22-131): stack DFS, sorted keys —
+    {"id": N, "txt": text} flattens to key/raw_text pairs in key order."""
+
+    def builder(doc_id: int, text: str, source: str, lang: str):
+        import json as jsonlib
+
+        return jsonlib.dumps({"id": doc_id, "txt": text}).encode(), f"{doc_id}.json"
+
+    return _field_roundtrip(spark, sf_dir, builder, _LINEAR_FIELDS)
+
+
+# DFS trace: key "id" → raw "{id}" → key "txt" → raw "{text}" (4 lines);
+# text_linear joins them with \n (unstructured_document.py:44-45)
+Q47_SQL = """
+SELECT doc_id, CAST(4 AS BIGINT) AS n_lines,
+       'id' || chr(10) || doc_id || chr(10) || 'txt' || chr(10) || text AS text_linear
+FROM documents
+"""
+
+
+def q48_email_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EmailReader gate (email_reader.py:34-220): subject appears TWICE
+    (root line + subject field — reference quirk), header fields become
+    typed lines, the text/plain body splits into \\n-suffixed lines."""
+
+    def builder(doc_id: int, text: str, source: str, lang: str):
+        eml = (
+            f"Subject: Doc {doc_id}\r\nFrom: alice@example.com\r\nTo: bob@example.com\r\n"
+            f"Date: Mon, 01 Jan 2024 00:00:00 +0000\r\nMIME-Version: 1.0\r\n"
+            f"Content-Type: text/plain; charset=utf-8\r\n\r\n{text}"
+        )
+        return eml.encode(), f"{doc_id}.eml"
+
+    return _field_roundtrip(spark, sf_dir, builder, _LINEAR_FIELDS)
+
+
+# lines: subject-as-root, subject, from, to, date, body ("{text}\n")
+Q48_SQL = """
+SELECT doc_id, CAST(6 AS BIGINT) AS n_lines,
+       'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) ||
+       'alice@example.com' || chr(10) || 'bob@example.com' || chr(10) ||
+       'Mon, 01 Jan 2024 00:00:00 +0000' || chr(10) || text || chr(10) AS text_linear
+FROM documents
+"""
+
+
+def q49_mhtml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MhtmlReader gate (mhtml_reader.py:33-124): the html part routes
+    through the HTML core — output matches q17's closed form."""
+
+    def builder(doc_id: int, text: str, source: str, lang: str):
+        mh = (
+            "From: <Saved by test>\r\nSubject: snap\r\nMIME-Version: 1.0\r\n"
+            'Content-Type: multipart/related; boundary="BND"\r\n\r\n'
+            "--BND\r\nContent-Type: text/html\r\nContent-Location: https://x/\r\n\r\n"
+            f"<html><body><h1>Doc {doc_id}</h1><p>{text}</p></body></html>\r\n"
+            "--BND--\r\n"
+        )
+        return mh.encode(), f"{doc_id}.mhtml"
+
+    return _field_roundtrip(
+        spark, sf_dir, builder, [("n_lines", "long"), ("text_extracted", "string")]
+    )
+
+
+Q49_SQL = """
+SELECT doc_id, CAST(2 AS BIGINT) AS n_lines,
+       chr(10) || 'Doc ' || doc_id || chr(10) || chr(10) || text || chr(10) || chr(10) AS text_extracted
+FROM documents
+"""
+
+
+def q50_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF gate (reference converts via soffice, docx_converter.py:15-28;
+    here the native control-word parser, core/rtf_extract.py): \\par maps
+    to a line break, the control word eats one trailing space."""
+
+    def builder(doc_id: int, text: str):
+        return f"{{\\rtf1\\ansi Doc {doc_id}\\par {text}}}".encode(), f"{doc_id}.rtf"
+
+    return _binary_roundtrip(spark, sf_dir, builder)
+
+
+Q50_SQL = Q21_SQL
+
+
+def q51_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODT gate (native core/odf_extract.py): text:h outline-level 1 →
+    header line, text:p → raw line — same tree shape as docx."""
+
+    def builder(doc_id: int, text: str):
+        from dedoc_spark.sources.office_fixture import build_odt
+
+        return build_odt([("h", 1, f"Doc {doc_id}"), ("p", text)]), f"{doc_id}.odt"
+
+    return _binary_roundtrip(spark, sf_dir, builder)
+
+
+Q51_SQL = Q21_SQL
+
+
+def q52_ods_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODS gate: table:table-cell grid → one Table, q24 cell layout."""
+    import pandas as pd
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
+    def fn(it):
+        import json as jsonlib
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.document import extract_document
+        from dedoc_spark.sources.office_fixture import build_ods
+
+        for pdf in it:
+            out = []
+            for doc_id, source, lang in zip(pdf["doc_id"], pdf["source"], pdf["lang"]):
+                payload = build_ods([[["id", str(int(doc_id))], [source, lang]]])
+                d = extract_document(f"{int(doc_id)}.ods", payload, None)
+                cells = jsonlib.loads(d["tables_json"])[0]["cells"]
+                texts = ["\n".join(ln["line"] for ln in c["lines"]) for row in cells for c in row]
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_tables": d["n_tables"],
+                        "c00": texts[0], "c01": texts[1], "c10": texts[2], "c11": texts[3],
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "n_tables", "c00", "c01", "c10", "c11"])
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "lang")
+        .mapInPandas(fn, "doc_id long, n_tables long, c00 string, c01 string, c10 string, c11 string")
+    )
+
+
+Q52_SQL = Q24_SQL
+
+
+def q53_odp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODP gate: first paragraph of each draw:page is the slide title
+    (header tag) — same tree shape as pptx (q23)."""
+
+    def builder(doc_id: int, text: str):
+        from dedoc_spark.sources.office_fixture import build_odp
+
+        return build_odp([[f"Doc {doc_id}", text]]), f"{doc_id}.odp"
+
+    return _binary_roundtrip(spark, sf_dir, builder)
+
+
+Q53_SQL = Q21_SQL
+
+
+def q54_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy .doc gate (native piece-table reader, core/doc_extract.py):
+    paragraphs join through the txt pipeline."""
+
+    def builder(doc_id: int, text: str):
+        from dedoc_spark.sources.office_fixture import build_doc
+
+        return build_doc([f"Doc {doc_id}", text]), f"{doc_id}.doc"
+
+    return _binary_roundtrip(spark, sf_dir, builder)
+
+
+Q54_SQL = Q21_SQL
+
+
+def q55_ppt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy .ppt gate (native record-scan reader, core/doc_extract.py):
+    TextCharsAtom/TextBytesAtom texts join through the txt pipeline."""
+
+    def builder(doc_id: int, text: str):
+        from dedoc_spark.sources.office_fixture import build_ppt
+
+        return build_ppt([f"Doc {doc_id}", text]), f"{doc_id}.ppt"
+
+    return _binary_roundtrip(spark, sf_dir, builder)
+
+
+Q55_SQL = Q21_SQL
+
+
+def q56_archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native archive-explosion gate (archive_reader.py:18-55 semantics
+    through operators/archives.extract_with_archives): each document
+    becomes a deterministic tar.gz of two txt members; the pipeline must
+    explode both into url#member rows and extract each through the txt
+    reader. The iterative explode itself (DISK_ONLY per-level persist,
+    typed error rows) is the unit under test."""
+    import pandas as pd
+
+    from dedoc_spark.operators.archives import extract_with_archives
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
+    def fn(it):
+        import gzip as gziplib
+        import io as iolib
+        import sys
+        import tarfile as tarlib
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = iolib.BytesIO()
+                with tarlib.open(fileobj=raw, mode="w", format=tarlib.USTAR_FORMAT) as tf:
+                    for name, body in (("a.txt", text.encode()), ("b.txt", f"Doc {int(doc_id)}".encode())):
+                        info = tarlib.TarInfo(name)
+                        info.size = len(body)
+                        info.mtime = 0
+                        tf.addfile(info, iolib.BytesIO(body))
+                # fixed mtime + no filename → byte-deterministic gzip
+                payload = gziplib.compress(raw.getvalue(), mtime=0)
+                out.append({"url": f"{int(doc_id)}.tgz", "html": payload, "text": ""})
+            yield pd.DataFrame(out, columns=["url", "html", "text"])
+
+    src = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(fn, "url string, html binary, text string")
+    )
+    out = extract_with_archives(src, max_depth=1)
+    return out.select(
+        F.split(F.split("url", "#")[0], r"\.")[0].cast("long").alias("doc_id"),
+        F.split("url", "#")[1].alias("member"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "text_extracted",
+        "error",
+    )
+
+
+# two member rows per document, each a single-line txt doc (q18 form)
+Q56_SQL = """
+SELECT doc_id, 'a.txt' AS member, CAST(1 AS BIGINT) AS n_lines,
+       chr(10) || text || chr(10) AS text_extracted, CAST(NULL AS VARCHAR) AS error
+FROM documents
+UNION ALL
+SELECT doc_id, 'b.txt' AS member, CAST(1 AS BIGINT) AS n_lines,
+       chr(10) || 'Doc ' || doc_id || chr(10) AS text_extracted, CAST(NULL AS VARCHAR) AS error
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -1911,6 +2264,17 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_dup_spans": q43_dup_spans,
     "q44_winnow_fingerprints": q44_winnow_fingerprints,
     "q45_bmp_decode": q45_bmp_decode,
+    "q46_csv_extract": q46_csv_extract,
+    "q47_json_extract": q47_json_extract,
+    "q48_email_extract": q48_email_extract,
+    "q49_mhtml_extract": q49_mhtml_extract,
+    "q50_rtf_extract": q50_rtf_extract,
+    "q51_odt_extract": q51_odt_extract,
+    "q52_ods_extract": q52_ods_extract,
+    "q53_odp_extract": q53_odp_extract,
+    "q54_doc_extract": q54_doc_extract,
+    "q55_ppt_extract": q55_ppt_extract,
+    "q56_archive_members": q56_archive_members,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1959,4 +2323,15 @@ ORACLES: Dict[str, str] = {
     "q43_dup_spans": Q43_SQL,
     "q44_winnow_fingerprints": Q44_SQL,
     "q45_bmp_decode": Q45_SQL,
+    "q46_csv_extract": Q46_SQL,
+    "q47_json_extract": Q47_SQL,
+    "q48_email_extract": Q48_SQL,
+    "q49_mhtml_extract": Q49_SQL,
+    "q50_rtf_extract": Q50_SQL,
+    "q51_odt_extract": Q51_SQL,
+    "q52_ods_extract": Q52_SQL,
+    "q53_odp_extract": Q53_SQL,
+    "q54_doc_extract": Q54_SQL,
+    "q55_ppt_extract": Q55_SQL,
+    "q56_archive_members": Q56_SQL,
 }
