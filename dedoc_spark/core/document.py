@@ -145,11 +145,26 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
     reference's routing warnings. The OCR branch (pdf_image_reader) is
     de-scoped — an incorrect layer keeps the extracted lines plus the
     routing warning instead of re-reading through OCR."""
-    from dedoc_spark.core.pdf_extract import detect_txt_layer, extract_pdf_lines
+    from dedoc_spark.core.pdf_extract import (
+        detect_txt_layer,
+        extract_pdf_lines,
+        extract_pdf_lines_tables,
+    )
 
     params = params or {}
     pages_range = params.get("pages")
-    lines, warnings = extract_pdf_lines(payload, url_hash(url), pages_range=pages_range)
+    tables = []
+    if params.get("need_pdf_table_analysis"):
+        # pdf_txtlayer_reader.py:49-73 table path: ruled tables detected
+        # from the page's painted line art, captured lines leave the flow
+        lines, tables, warnings = extract_pdf_lines_tables(
+            payload,
+            url_hash(url),
+            pages_range=pages_range,
+            with_layout=bool(params.get("with_layout")),
+        )
+    else:
+        lines, warnings = extract_pdf_lines(payload, url_hash(url), pages_range=pages_range)
     if params.get("pdf_with_text_layer", "auto") in ("auto", "auto_tabby"):
         is_correct, first_correct = detect_txt_layer(lines)
         if is_correct:
@@ -158,7 +173,7 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
                 warnings.append("Assume the first page hasn't a textual layer")
         else:
             warnings.append("Assume document has incorrect textual layer")
-    return _finalize(url, lines, [], warnings, params)
+    return _finalize(url, lines, tables, warnings, params)
 
 
 def _error_row(url: str, error: str, warnings: Optional[List[str]] = None) -> Dict:

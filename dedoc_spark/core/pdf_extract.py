@@ -342,6 +342,7 @@ def _extract_page_shows(
     fonts: Dict[str, _FontInfo],
     image_xobjects: Optional[Dict[str, int]] = None,
     images_out: Optional[List[Tuple[str, Tuple[float, float, float, float]]]] = None,
+    rules_out: Optional[List[Tuple[float, float, float, float]]] = None,
 ) -> List[Tuple[float, float, str, str, float, float]]:
     """Content stream → list of (y, x, text, font_base, x2, y2) text shows,
     where (x2, y2) is the device-space image of the text-space extent
@@ -352,7 +353,17 @@ def _extract_page_shows(
     When ``image_xobjects`` maps XObject names to image object ids, every
     ``Do`` of an image appends (name, device bbox of the CTM-mapped unit
     square) to ``images_out`` — image placement per the PDF imaging model
-    (an image fills the unit square of its own space)."""
+    (an image fills the unit square of its own space).
+
+    When ``rules_out`` is given, PAINTED path line art is collected as
+    device-space segments (x0, y0, x1, y1): ``re`` contributes its four
+    edges, ``m``/``l`` chains contribute each drawn segment, CTM applied
+    at construction time. Only painting operators (S s f f* B B* b b*)
+    flush the pending path; ``n`` (the clip no-op) discards it, so
+    ``re W n`` clip rectangles never count as drawn rules. This is the
+    input to core/pdf_tables.detect_ruled_tables — the txt-layer
+    replacement for the reference's image-based table recognizer
+    (pdf_txtlayer_reader.py:49-58)."""
 
     def dec(tok: bytes) -> str:
         return _decode_pdf_string(tok, fonts.get(st.font))
@@ -366,6 +377,9 @@ def _extract_page_shows(
     ctm = _IDENTITY
     gs_stack: List[tuple] = []
     stack: List[bytes] = []
+    path: List[Tuple[float, float, float, float]] = []
+    cur_pt: Optional[Tuple[float, float]] = None
+    sub_start: Optional[Tuple[float, float]] = None
 
     def emit(text: str) -> None:
         m = _mat_mul(st.tm, ctm)
@@ -438,6 +452,49 @@ def _extract_page_shows(
                 xs = [c[0] for c in corners]
                 ys = [c[1] for c in corners]
                 images_out.append((name, (min(xs), min(ys), max(xs), max(ys))))
+        elif rules_out is not None:
+            if op == b"m" and len(stack) >= 2:
+                try:
+                    cur_pt = _mat_apply(ctm, float(stack[-2]), float(stack[-1]))
+                    sub_start = cur_pt
+                except ValueError:
+                    pass
+            elif op == b"l" and len(stack) >= 2 and cur_pt is not None:
+                try:
+                    nxt = _mat_apply(ctm, float(stack[-2]), float(stack[-1]))
+                    path.append((cur_pt[0], cur_pt[1], nxt[0], nxt[1]))
+                    cur_pt = nxt
+                except ValueError:
+                    pass
+            elif op == b"h" and cur_pt is not None and sub_start is not None:
+                path.append((cur_pt[0], cur_pt[1], sub_start[0], sub_start[1]))
+                cur_pt = sub_start
+            elif op == b"re" and len(stack) >= 4:
+                try:
+                    rx, ry, rw, rh = (float(v) for v in stack[-4:])
+                except ValueError:
+                    rx = None
+                if rx is not None:
+                    c = [
+                        _mat_apply(ctm, rx, ry),
+                        _mat_apply(ctm, rx + rw, ry),
+                        _mat_apply(ctm, rx + rw, ry + rh),
+                        _mat_apply(ctm, rx, ry + rh),
+                    ]
+                    for i in range(4):
+                        a, b = c[i], c[(i + 1) % 4]
+                        path.append((a[0], a[1], b[0], b[1]))
+                    cur_pt = c[0]
+                    sub_start = c[0]
+            elif op in (b"S", b"s", b"f", b"F", b"f*", b"B", b"B*", b"b", b"b*"):
+                if op in (b"s", b"b", b"b*") and cur_pt is not None and sub_start is not None:
+                    path.append((cur_pt[0], cur_pt[1], sub_start[0], sub_start[1]))
+                rules_out.extend(path)
+                path = []
+                cur_pt = sub_start = None
+            elif op == b"n":  # clip-path consumer: nothing is painted
+                path = []
+                cur_pt = sub_start = None
         stack.clear()
     return shows
 
@@ -505,7 +562,9 @@ def extract_pdf_pages_layout(payload: bytes) -> List[Dict]:
 
       {"width": w, "height": h,
        "lines":  [(text, is_bold, (x0, y0, x1, y1))],   top-down coords
-       "images": [(xobject_name, (x0, y0, x1, y1))]}
+       "images": [(xobject_name, (x0, y0, x1, y1))],
+       "rules":  [(x0, y0, x1, y1)],                     painted line art
+       "shows":  [(text, (x0, y0, x1, y1))]}             pre-merge shows
 
     Line bboxes union the member shows' device extents and are flipped to
     top-down (y_top = page_height − device_y_top) so downstream layout ops
@@ -544,15 +603,31 @@ def extract_pdf_pages_layout(payload: bytes) -> List[Dict]:
         contents = _dict_value(page_obj, b"/Contents") or b""
         shows: List[Tuple[float, float, str, str, float, float]] = []
         images_dev: List[Tuple[str, Tuple[float, float, float, float]]] = []
+        rules_dev: List[Tuple[float, float, float, float]] = []
         for cid in _resolve_refs(contents):
             data = _stream_data(objects.get(cid, b""))
             if data is None:
                 continue
-            shows.extend(_extract_page_shows(data, fonts, xobjects, images_dev))
+            shows.extend(_extract_page_shows(data, fonts, xobjects, images_dev, rules_dev))
         # group shows into lines by y, top-down (pdfminer sort, height − y1)
         by_y: Dict[float, List[Tuple[float, str, str, float, float]]] = {}
+        shows_td: List[Tuple[str, Tuple[float, float, float, float]]] = []
         for y, x, text, font, x2, y2 in shows:
             by_y.setdefault(round(y, 1), []).append((x, text, font, x2, y2))
+            # per-show top-down bbox (pre line-merge) — the granularity the
+            # ruled-table cell filler needs (same-y shows in different grid
+            # cells must not fuse)
+            shows_td.append(
+                (
+                    text,
+                    (
+                        round(min(max(min(x, x2), 0.0), width), 2),
+                        round(min(max(height - max(y, y2), 0.0), height), 2),
+                        round(min(max(max(x, x2), 0.0), width), 2),
+                        round(min(max(height - min(y, y2), 0.0), height), 2),
+                    ),
+                )
+            )
         lines: List[Tuple[str, bool, Tuple[float, float, float, float]]] = []
         for y in sorted(by_y, reverse=True):
             parts = sorted(by_y[y], key=lambda p: p[0])
@@ -574,7 +649,22 @@ def extract_pdf_pages_layout(payload: bytes) -> List[Dict]:
             (name, (round(bx0, 2), round(height - by1, 2), round(bx1, 2), round(height - by0, 2)))
             for name, (bx0, by0, bx1, by1) in images_dev
         ]
-        pages.append({"width": width, "height": height, "lines": lines, "images": images})
+        # same top-down flip as line bboxes so the table detector shares
+        # the image-pixel orientation of the layout family
+        rules = [
+            (round(rx0, 2), round(height - ry0, 2), round(rx1, 2), round(height - ry1, 2))
+            for rx0, ry0, rx1, ry1 in rules_dev
+        ]
+        pages.append(
+            {
+                "width": width,
+                "height": height,
+                "lines": lines,
+                "images": images,
+                "rules": rules,
+                "shows": shows_td,
+            }
+        )
     return pages
 
 
@@ -596,6 +686,37 @@ def extract_pdf_lines(
     to keep default output bytes stable): per-line bboxes in extras, the
     bbox sanity filter, per-page size/indentation/spacing annotations, and
     the line↔object linker over the page's placed images."""
+    lines, _tables, warnings = _extract_pdf_full(
+        payload, url_hash, pages_range, with_layout, detect_tables=False
+    )
+    return lines, warnings
+
+
+def extract_pdf_lines_tables(
+    payload: bytes,
+    url_hash: str = "",
+    pages_range: Optional[str] = None,
+    with_layout: bool = False,
+):
+    """Txt-layer read WITH ruled-table analysis — the
+    ``need_pdf_table_analysis`` path of the reference
+    (pdf_txtlayer_reader.py:49-73): tables are detected (here from painted
+    line art instead of an OpenCV image pass, core/pdf_tables.py), text
+    lines inside table regions are dropped from the page flow, the
+    detected tables are linked to their closest lines ("table"
+    annotation, line_object_linker semantics) and page-adjacent
+    continuations are merged by core/multipage.extract_multipage_tables.
+    Returns (lines, tables, warnings)."""
+    return _extract_pdf_full(payload, url_hash, pages_range, with_layout, detect_tables=True)
+
+
+def _extract_pdf_full(
+    payload: bytes,
+    url_hash: str,
+    pages_range: Optional[str],
+    with_layout: bool,
+    detect_tables: bool,
+):
     from dedoc_spark.core.pdf_layout import (
         BBox,
         Location,
@@ -618,17 +739,20 @@ def extract_pdf_lines(
         pages = pages[lo - 1 : hi]
     page_lines: List[List[Line]] = []
     image_objects: List[PageObject] = []
+    table_objects: List[PageObject] = []
+    located_tables = []
     for page_id, page in enumerate(pages):
         cur: List[Line] = []
+        boxes: List[BBox] = []
         for text, bold, bbox in page["lines"]:
             annotations = [Annotation(0, len(text), "bold", "True")] if bold else []
             uid = f"{url_hash}_{hashlib.md5(f'pdf{page_id}:{len(cur)}:{text}'.encode()).hexdigest()}"
             ln = Line(line=text, page_id=page_id, annotations=annotations, uid=uid)
+            x0, y0, x1, y1 = bbox
+            box = BBox(x0, y0, x1 - x0, y1 - y0)
             if with_layout:
                 import json as _json
 
-                x0, y0, x1, y1 = bbox
-                box = BBox(x0, y0, x1 - x0, y1 - y0)
                 ln.extras["location"] = Location(page_id, box)
                 # BBoxAnnotation parity (bbox_annotation.py:27-43): relative
                 # coords + page dims as the json value, non-mergeable
@@ -641,6 +765,36 @@ def extract_pdf_lines(
                     )
                 )
             cur.append(ln)
+            boxes.append(box)
+        if detect_tables and page["rules"]:
+            from dedoc_spark.core.pdf_tables import (
+                build_table_from_grid,
+                detect_ruled_tables,
+                inside_any_unreadable_block,
+            )
+
+            grids = detect_ruled_tables(page["rules"])
+            if grids:
+                # pdf_txtlayer_reader.py:70-73: table locations are the
+                # unreadable blocks; captured lines leave the page flow
+                # and become the grid's cell texts instead
+                blocks = [g.bbox for g in grids]
+                captured = [
+                    i for i in range(len(cur))
+                    if inside_any_unreadable_block(boxes[i], blocks)
+                ]
+                # cell contents come from the PRE-MERGE shows: two cells of
+                # one row share a y, so the merged page line would fuse them
+                pairs = [
+                    (text, BBox(sx0, sy0, sx1 - sx0, sy1 - sy0))
+                    for text, (sx0, sy0, sx1, sy1) in page["shows"]
+                ]
+                for gi, g in enumerate(grids):
+                    t = build_table_from_grid(g, pairs, page_id, url_hash, gi)
+                    located_tables.append(t)
+                    table_objects.append(PageObject("table", t.uid, t.location))
+                capset = set(captured)
+                cur = [ln for i, ln in enumerate(cur) if i not in capset]
         if with_layout:
             cur = bbox_sanity_filter(cur)
             # reference metadata extractor runs per page (one PageWithBBox):
@@ -660,12 +814,27 @@ def extract_pdf_lines(
         if removed:
             warnings.append(f"removed {removed} header/footer lines")
     lines = [ln for page in page_lines for ln in page]
-    if with_layout and image_objects:
-        lines = link_objects(lines, image_objects)
+    # linking needs line locations, which only exist on the layout path
+    link_targets = (image_objects + table_objects) if with_layout else []
+    if link_targets:
+        lines = link_objects(lines, link_targets)
+    tables = []
+    if located_tables:
+        # page-adjacent continuations merge AFTER linking, so the absorbed
+        # part's "table" annotation is removed from its referring line
+        # (multipage_table_extractor semantics, core/multipage.py)
+        from dedoc_spark.core.multipage import extract_multipage_tables
+        from dedoc_spark.core.model import Table
+
+        merged = extract_multipage_tables(located_tables, lines)
+        tables = [
+            Table(cells=t.cells, page_id=t.location.page_number, uid=t.uid)
+            for t in merged
+        ]
     for i, ln in enumerate(lines):
         ln.line_id = i
         ln.tag_hl = HierarchyLevel.create_unknown()
-    return lines, warnings
+    return lines, tables, warnings
 
 
 # --- txt-layer correctness detection (pdf_auto_reader) ----------------------

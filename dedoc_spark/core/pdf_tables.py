@@ -1,0 +1,207 @@
+"""Ruled-table detection on the PDF txt-layer path.
+
+The reference detects tables on an IMAGE of the page (OpenCV line
+morphology inside pdf_image_reader/table_recognizer — the OCR-domain
+runtime that SURVEY.md de-scopes) and then EXCLUDES every text line that
+falls inside a detected table region before emitting the page
+(pdf_txtlayer_reader.py:70-73: ``unreadable_blocks`` = table locations,
+``page.bboxes = [b for b in page.bboxes if not
+_inside_any_unreadable_block(...)]``).
+
+This module reproduces the same two-stage contract from the data the
+txt-layer parser already sees, no rasterization needed: painted line art
+(``re``/``m``/``l`` + stroke/fill operators, collected by
+core/pdf_extract._extract_page_shows) is clustered into ruling grids, a
+grid with at least one inner divider becomes a table whose cell texts
+are the text lines captured by the grid, and captured lines are removed
+from the page flow exactly like the reference's unreadable-block filter.
+
+Exclusion predicate: the reference delegates to dedocutils
+``BBox.have_intersection_with_box`` (pdf_txtlayer_reader.py:111); that
+package is external, so the predicate here is documented explicitly —
+a line is inside a block when their intersection covers > ``threshold``
+(default 0.3) of the LINE's own area. All coordinates are top-down
+(image orientation), matching core/pdf_layout.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from dedoc_spark.core.model import Cell, Line
+from dedoc_spark.core.pdf_layout import BBox, Location
+from dedoc_spark.core.multipage import LocatedTable
+
+Segment = Tuple[float, float, float, float]  # (x0, y0, x1, y1) top-down
+
+
+class RuledGrid:
+    """One detected ruling grid: outer bbox + sorted cell boundaries."""
+
+    __slots__ = ("bbox", "row_bounds", "col_bounds")
+
+    def __init__(self, bbox: BBox, row_bounds: List[float], col_bounds: List[float]) -> None:
+        self.bbox = bbox
+        self.row_bounds = row_bounds  # ascending y (top-down)
+        self.col_bounds = col_bounds  # ascending x
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.row_bounds) - 1
+
+    @property
+    def n_cols(self) -> int:
+        return len(self.col_bounds) - 1
+
+
+def _snap(values: List[float], eps: float) -> List[float]:
+    """Cluster near-equal coordinates to their cluster mean (rules drawn
+    as several short strokes or 0.5pt-offset double lines collapse)."""
+    out: List[float] = []
+    for v in sorted(values):
+        if out and v - out[-1][-1] <= eps:  # type: ignore[index]
+            out[-1].append(v)  # type: ignore[union-attr]
+        else:
+            out.append([v])  # type: ignore[arg-type]
+    return [sum(c) / len(c) for c in out]  # type: ignore[arg-type]
+
+
+def detect_ruled_tables(
+    segments: Sequence[Segment], eps: float = 2.0, min_cell: float = 3.0
+) -> List[RuledGrid]:
+    """Painted segments (top-down coords) → ruling grids.
+
+    1. Keep axis-aligned segments longer than ``min_cell``; snap their
+       cross-coordinates with tolerance ``eps``.
+    2. Union-find segments that touch (their bboxes intersect within
+       ``eps``) — each component is a connected lattice of rules.
+    3. A component is a table grid when it has ≥ 2 horizontal and ≥ 2
+       vertical rules AND at least one inner divider (≥ 3 rules in one
+       direction) — a plain rectangle (2+2) is a border, not a table,
+       which mirrors the reference recognizer's single-cell rejection
+       (table_recognizer drops one-cell "tables").
+    Cell boundaries are the snapped distinct rule positions.
+    """
+    horiz: List[Segment] = []
+    vert: List[Segment] = []
+    for x0, y0, x1, y1 in segments:
+        if abs(y1 - y0) <= eps and abs(x1 - x0) > min_cell:
+            horiz.append((min(x0, x1), (y0 + y1) / 2, max(x0, x1), (y0 + y1) / 2))
+        elif abs(x1 - x0) <= eps and abs(y1 - y0) > min_cell:
+            vert.append(((x0 + x1) / 2, min(y0, y1), (x0 + x1) / 2, max(y0, y1)))
+    segs = horiz + vert
+    n = len(segs)
+    if n == 0:
+        return []
+
+    parent = list(range(n))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i: int, j: int) -> None:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[ri] = rj
+
+    def touches(a: Segment, b: Segment) -> bool:
+        ax0, ay0, ax1, ay1 = a
+        bx0, by0, bx1, by1 = b
+        return (
+            ax0 - eps <= bx1
+            and bx0 - eps <= ax1
+            and ay0 - eps <= by1
+            and by0 - eps <= ay1
+        )
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if touches(segs[i], segs[j]):
+                union(i, j)
+
+    comps: Dict[int, List[int]] = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(i)
+
+    grids: List[RuledGrid] = []
+    for members in comps.values():
+        hs = [segs[i] for i in members if i < len(horiz)]
+        vs = [segs[i] for i in members if i >= len(horiz)]
+        if len(hs) < 2 or len(vs) < 2 or (len(hs) < 3 and len(vs) < 3):
+            continue
+        row_bounds = _snap([s[1] for s in hs], eps)
+        col_bounds = _snap([s[0] for s in vs], eps)
+        if len(row_bounds) < 2 or len(col_bounds) < 2:
+            continue
+        bbox = BBox(
+            col_bounds[0],
+            row_bounds[0],
+            col_bounds[-1] - col_bounds[0],
+            row_bounds[-1] - row_bounds[0],
+        )
+        grids.append(RuledGrid(bbox, row_bounds, col_bounds))
+    grids.sort(key=lambda g: (g.bbox.y_top_left, g.bbox.x_top_left))
+    return grids
+
+
+def _intersection_area(a: BBox, b: BBox) -> float:
+    w = min(a.x_bottom_right, b.x_bottom_right) - max(a.x_top_left, b.x_top_left)
+    h = min(a.y_bottom_right, b.y_bottom_right) - max(a.y_top_left, b.y_top_left)
+    return max(0.0, w) * max(0.0, h)
+
+
+def inside_any_unreadable_block(
+    line_bbox: BBox, blocks: Sequence[BBox], threshold: float = 0.3
+) -> bool:
+    """Port of pdf_txtlayer_reader.py:104-113 with the intersection
+    predicate made explicit (see module docstring): a line belongs to an
+    unreadable block when the overlap covers > threshold of the line."""
+    area = max(line_bbox.width * line_bbox.height, 1e-9)
+    return any(_intersection_area(line_bbox, b) / area > threshold for b in blocks)
+
+
+def _bucket(bounds: List[float], v: float) -> Optional[int]:
+    """Index of the cell interval containing v (None outside the grid)."""
+    for i in range(len(bounds) - 1):
+        if bounds[i] <= v <= bounds[i + 1]:
+            return i
+    return None
+
+
+def build_table_from_grid(
+    grid: RuledGrid,
+    page_lines: Sequence[Tuple[str, BBox]],
+    page_number: int,
+    url_hash: str = "",
+    index: int = 0,
+) -> LocatedTable:
+    """Fill the grid's cells with the text lines it captures.
+
+    The reference's recognizer OCRs each cell crop; the txt-layer
+    analogue assigns every captured text line to the cell holding its
+    bbox CENTER, joined top-down then left-to-right with newlines —
+    the same reading order the tabby cell extractor produces."""
+    per_cell: Dict[Tuple[int, int], List[Tuple[float, float, str]]] = {}
+    for text, bbox in page_lines:
+        cx = (bbox.x_top_left + bbox.x_bottom_right) / 2
+        cy = (bbox.y_top_left + bbox.y_bottom_right) / 2
+        r = _bucket(grid.row_bounds, cy)
+        c = _bucket(grid.col_bounds, cx)
+        if r is None or c is None:
+            continue
+        per_cell.setdefault((r, c), []).append((bbox.y_top_left, bbox.x_top_left, text))
+    cells: List[List[Cell]] = []
+    for r in range(grid.n_rows):
+        row: List[Cell] = []
+        for c in range(grid.n_cols):
+            got = sorted(per_cell.get((r, c), []))
+            row.append(
+                Cell(lines=[Line(line=t, page_id=page_number) for _, _, t in got])
+            )
+        cells.append(row)
+    uid = hashlib.md5(f"{url_hash}_pdftable_{page_number}_{index}".encode()).hexdigest()
+    return LocatedTable(cells, Location(page_number, grid.bbox), uid=uid)

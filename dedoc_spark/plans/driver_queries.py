@@ -2216,6 +2216,77 @@ SELECT doc_id, 'b.txt' AS member, CAST(1 AS BIGINT) AS n_lines,
 FROM documents
 """
 
+def q57_pdf_ruled_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Txt-layer ruled-table gate (pdf_txtlayer_reader.py:49-73 contract,
+    core/pdf_tables.py): each doc is a PDF with one body line plus a ruled
+    2×2 table drawn as content-stream line art. With
+    need_pdf_table_analysis the grid must come back as a Table with the
+    right cells and the captured text must LEAVE the page flow (the
+    unreadable-block exclusion), so n_lines stays 1."""
+    import pandas as pd
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
+    def fn(it):
+        import json as jsonlib
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.document import extract_document
+        from dedoc_spark.sources.pdf_fixture import build_pdf, table_ops
+
+        for pdf in it:
+            out = []
+            for doc_id, text, source, lang in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"], pdf["lang"]
+            ):
+                ops = table_ops(
+                    72, 700, [100, 100], 20, [["id", str(int(doc_id))], [source, lang]]
+                )
+                payload = build_pdf([[(text, False)]], extra_content=[ops])
+                d = extract_document(
+                    f"{int(doc_id)}.pdf",
+                    payload,
+                    None,
+                    params={"need_pdf_table_analysis": True, "with_layout": True},
+                )
+                cells = jsonlib.loads(d["tables_json"])[0]["cells"]
+                texts = ["\n".join(ln["line"] for ln in c["lines"]) for row in cells for c in row]
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_lines": d["n_lines"],
+                        "n_tables": d["n_tables"],
+                        "text_extracted": d["text_extracted"],
+                        "c00": texts[0], "c01": texts[1], "c10": texts[2], "c11": texts[3],
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_lines", "n_tables", "text_extracted", "c00", "c01", "c10", "c11"],
+            )
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", "source", "lang")
+        .mapInPandas(
+            fn,
+            "doc_id long, n_lines long, n_tables long, text_extracted string, "
+            "c00 string, c01 string, c10 string, c11 string",
+        )
+    )
+
+
+Q57_SQL = """
+SELECT doc_id, CAST(1 AS BIGINT) AS n_lines, CAST(1 AS BIGINT) AS n_tables,
+       chr(10) || text || chr(10) AS text_extracted,
+       'id' AS c00, CAST(doc_id AS VARCHAR) AS c01, source AS c10, lang AS c11
+FROM documents
+"""
+
 # ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2275,6 +2346,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_doc_extract": q54_doc_extract,
     "q55_ppt_extract": q55_ppt_extract,
     "q56_archive_members": q56_archive_members,
+    "q57_pdf_ruled_tables": q57_pdf_ruled_tables,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2334,4 +2406,5 @@ ORACLES: Dict[str, str] = {
     "q54_doc_extract": Q54_SQL,
     "q55_ppt_extract": Q55_SQL,
     "q56_archive_members": Q56_SQL,
+    "q57_pdf_ruled_tables": Q57_SQL,
 }

@@ -25,12 +25,53 @@ def _escape(s: str) -> str:
 PageImages = Sequence[Tuple[float, float, float, float]]  # (x, y, w, h) device
 
 
-def build_pdf(pages: Sequence[PageLines], images: Optional[Sequence[PageImages]] = None) -> bytes:
+def table_ops(
+    x: float,
+    y_top: float,
+    col_widths: Sequence[float],
+    row_height: float,
+    cell_texts: Sequence[Sequence[str]],
+    font_size: float = 10.0,
+) -> str:
+    """Content-stream ops drawing a ruled table: grid lines via ``m``/``l``
+    strokes + one cell text per cell, positioned with ``Tm``. ``y_top`` is
+    the TOP edge in device (bottom-up) coords; rows grow downward."""
+    n_rows = len(cell_texts)
+    n_cols = len(col_widths)
+    xs = [x]
+    for w in col_widths:
+        xs.append(xs[-1] + w)
+    ys = [y_top - i * row_height for i in range(n_rows + 1)]  # descending
+    ops: List[str] = []
+    for yy in ys:  # horizontal rules
+        ops.append(f"{xs[0]:g} {yy:g} m {xs[-1]:g} {yy:g} l S")
+    for xx in xs:  # vertical rules
+        ops.append(f"{xx:g} {ys[-1]:g} m {xx:g} {ys[0]:g} l S")
+    for r, row in enumerate(cell_texts):
+        for c, text in enumerate(row):
+            if not text:
+                continue
+            tx = xs[c] + 2
+            ty = ys[r] - row_height + 3  # baseline near the cell bottom
+            ops.append(
+                f"BT /F1 {font_size:g} Tf 1 0 0 1 {tx:g} {ty:g} Tm ({_escape(text)}) Tj ET"
+            )
+    return "\n".join(ops)
+
+
+def build_pdf(
+    pages: Sequence[PageLines],
+    images: Optional[Sequence[PageImages]] = None,
+    extra_content: Optional[Sequence[str]] = None,
+) -> bytes:
     """Each page: lines drawn top-down starting at y=760, 20pt leading.
 
     ``images``: optional per-page placements (x, y, w, h) in device points
     (y = bottom edge, PDF bottom-up) — each becomes a 1×1 /Image XObject
-    shown via ``q w 0 0 h x y cm /ImN Do Q``."""
+    shown via ``q w 0 0 h x y cm /ImN Do Q``.
+
+    ``extra_content``: optional per-page raw content-stream ops appended
+    after the text block (line art, positioned text — see table_ops)."""
     objects: List[bytes] = []
 
     def add(obj: str) -> int:
@@ -65,6 +106,8 @@ def build_pdf(pages: Sequence[PageLines], images: Optional[Sequence[PageImages]]
         ops.append("ET")
         for k, (x, y, w, h) in enumerate(page_images[page_idx]):
             ops.append(f"q {w:g} 0 0 {h:g} {x:g} {y:g} cm /Im{k + 1} Do Q")
+        if extra_content is not None and page_idx < len(extra_content) and extra_content[page_idx]:
+            ops.append(extra_content[page_idx])
         stream = "\n".join(ops)
         content_ids.append(
             add(f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream")
