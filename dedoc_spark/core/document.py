@@ -36,7 +36,18 @@ def _finalize(url: str, lines: List[Line], tables, warnings, params: Optional[Di
     chain, ``structure_type`` picks tree|linear."""
     params = params or {}
     patterns = params.get("patterns")
-    if patterns:
+    document_type = params.get("document_type")
+    if document_type in ("law", "foiv_law"):
+        # law-family structure extraction (classifying_law_structure_
+        # extractor routing collapsed to the explicit parameter; "law"
+        # re-routes to foiv when the document hat names a foiv type)
+        from dedoc_spark.core.law_structure import extract_law_structure, route_law_extractor
+
+        hl_type = "foiv" if document_type == "foiv_law" else route_law_extractor(
+            [ln.line for ln in lines]
+        )
+        lines = extract_law_structure(lines, hl_type=hl_type)
+    elif patterns:
         from dedoc_spark.core.constructors import assign_levels_with_patterns
 
         assign_levels_with_patterns(lines, patterns)
@@ -77,10 +88,10 @@ def extract_html_document(
     return _finalize(url, lines, tables, warnings, params)
 
 
-def extract_txt_document(url: str, text: str) -> Dict:
+def extract_txt_document(url: str, text: str, params: Optional[Dict] = None) -> Dict:
     """Full plain-text pipeline for one document."""
     lines = extract_txt_lines(text)
-    return _finalize(url, lines, [], [])
+    return _finalize(url, lines, [], [], params)
 
 
 def extract_json_document(url: str, payload: str) -> Dict:
@@ -154,6 +165,7 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
     params = params or {}
     pages_range = params.get("pages")
     tables = []
+    need_para = bool(params.get("need_paragraph_classification"))
     if params.get("need_pdf_table_analysis"):
         # pdf_txtlayer_reader.py:49-73 table path: ruled tables detected
         # from the page's painted line art, captured lines leave the flow
@@ -162,9 +174,16 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
             url_hash(url),
             pages_range=pages_range,
             with_layout=bool(params.get("with_layout")),
+            need_paragraph_classification=need_para,
         )
     else:
-        lines, warnings = extract_pdf_lines(payload, url_hash(url), pages_range=pages_range)
+        lines, warnings = extract_pdf_lines(
+            payload,
+            url_hash(url),
+            pages_range=pages_range,
+            with_layout=bool(params.get("with_layout")) or need_para,
+            need_paragraph_classification=need_para,
+        )
     if params.get("pdf_with_text_layer", "auto") in ("auto", "auto_tabby"):
         is_correct, first_correct = detect_txt_layer(lines)
         if is_correct:
@@ -280,7 +299,7 @@ def extract_document(
             from dedoc_spark.core.formats import decode_text_payload
 
             return extract_txt_document(
-                url, decode_text_payload(html, params.get("encoding"))
+                url, decode_text_payload(html, params.get("encoding")), params
             )
         if fmt == "docx" and html:
             return extract_docx_document(url, html)
@@ -379,7 +398,7 @@ def extract_document(
             return _error_row(url, f"needs_decoder:{fmt[6:]}", warnings=warnings_list)
         if html:  # unknown markup-ish bytes: html fallback (web default)
             return extract_html_document(url, html, handle_invisible_table, params)
-        return extract_txt_document(url, text or "")
+        return extract_txt_document(url, text or "", params)
     except Exception as e:  # error channel, never job failure
         if html:
             retry = _content_resniff(url, html, fmt, params, handle_invisible_table)

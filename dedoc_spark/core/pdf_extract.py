@@ -673,6 +673,7 @@ def extract_pdf_lines(
     url_hash: str = "",
     pages_range: Optional[str] = None,
     with_layout: bool = False,
+    need_paragraph_classification: bool = False,
 ) -> Tuple[List[Line], List[str]]:
     """Full txt-layer read: per-page lines with page_id, bold annotations,
     header/footer voting applied for multi-page documents.
@@ -687,7 +688,8 @@ def extract_pdf_lines(
     bbox sanity filter, per-page size/indentation/spacing annotations, and
     the line↔object linker over the page's placed images."""
     lines, _tables, warnings = _extract_pdf_full(
-        payload, url_hash, pages_range, with_layout, detect_tables=False
+        payload, url_hash, pages_range, with_layout, detect_tables=False,
+        need_paragraph_classification=need_paragraph_classification,
     )
     return lines, warnings
 
@@ -697,6 +699,7 @@ def extract_pdf_lines_tables(
     url_hash: str = "",
     pages_range: Optional[str] = None,
     with_layout: bool = False,
+    need_paragraph_classification: bool = False,
 ):
     """Txt-layer read WITH ruled-table analysis — the
     ``need_pdf_table_analysis`` path of the reference
@@ -707,7 +710,10 @@ def extract_pdf_lines_tables(
     annotation, line_object_linker semantics) and page-adjacent
     continuations are merged by core/multipage.extract_multipage_tables.
     Returns (lines, tables, warnings)."""
-    return _extract_pdf_full(payload, url_hash, pages_range, with_layout, detect_tables=True)
+    return _extract_pdf_full(
+        payload, url_hash, pages_range, with_layout, detect_tables=True,
+        need_paragraph_classification=need_paragraph_classification,
+    )
 
 
 def _extract_pdf_full(
@@ -716,6 +722,7 @@ def _extract_pdf_full(
     pages_range: Optional[str],
     with_layout: bool,
     detect_tables: bool,
+    need_paragraph_classification: bool = False,
 ):
     from dedoc_spark.core.pdf_layout import (
         BBox,
@@ -834,6 +841,13 @@ def _extract_pdf_full(
     for i, ln in enumerate(lines):
         ln.line_id = i
         ln.tag_hl = HierarchyLevel.create_unknown()
+    if need_paragraph_classification and with_layout:
+        # scan_paragraph_classifier_extractor contract: paragraph starts
+        # get can_be_multiline=False on the reader-assigned tag level
+        # (needs the layout bboxes, hence the with_layout guard)
+        from dedoc_spark.core.paragraph_features import classify_paragraphs
+
+        classify_paragraphs(lines)
     return lines, tables, warnings
 
 

@@ -1,0 +1,123 @@
+"""Paragraph (can_be_multiline) classifier — core/paragraph_features.py;
+reference contract scan_paragraph_classifier_extractor.py:65-81, features
+paragraph_feature_extractor.py:66-112."""
+
+import numpy as np
+
+from dedoc_spark.core.document import extract_document
+from dedoc_spark.core.model import Annotation, Line
+from dedoc_spark.core.paragraph_features import (
+    FEATURE_NAMES,
+    _quantile,
+    _synthetic_paragraph_doc,
+    classify_paragraphs,
+    paragraph_features,
+    train_default_paragraph_model,
+)
+from dedoc_spark.core.pdf_layout import BBox, Location
+from dedoc_spark.sources.pdf_fixture import build_pdf
+
+
+def _line(text, x, y, w=100.0, h=12.0, bold=False):
+    ln = Line(line=text)
+    ln.extras["location"] = Location(0, BBox(x, y, w, h))
+    if bold:
+        ln.annotations.append(Annotation(0, len(text), "bold", "True"))
+    return ln
+
+
+def test_feature_parity_hand_computed():
+    """Raw (pre-quantile) features hand-checked against the reference
+    formulas for a 3-line page."""
+    lines = [
+        _line("HEADING", 72, 50, w=80, bold=True),
+        _line("indented start", 90, 80),
+        _line("flush continuation", 72, 94),
+    ]
+    import pandas as pd
+
+    # bypass quantile normalization: recompute raw dict via the module's
+    # internals by calling paragraph_features on a copy and checking the
+    # non-normalized columns only
+    df = paragraph_features(lines)
+    assert list(df.columns) == FEATURE_NAMES
+    # text lens
+    assert df["text_lens"].tolist() == [7.0, 14.0, 18.0]
+    assert np.isnan(df["prev_text_lens"][0]) and df["prev_text_lens"][2] == 14.0
+    # caps: HEADING is fully upper → is_capitalized
+    assert df["is_capitalized"].tolist() == [1.0, 0.0, 0.0]
+    assert df["upper_letters_percent"][0] == 1.0
+    # reference quirk: _prev column carries the CURRENT line's percentage
+    assert np.isnan(df["upper_letters_percent_prev"][0])
+    assert df["upper_letters_percent_prev"][1] == 0.0
+    # bold flip between line 0 (bold) and 1
+    assert np.isnan(df["is_bold_changed"][0])
+    assert df["is_bold_changed"][1] == 1.0
+    assert df["is_bold_changed_next"][0] == 1.0
+    # intersection quirk: the union_left <= union_right branch forces 0
+    assert df["intersection_prev"][1] == 0.0
+    # quantile-normalized columns are ranks in (0, 1]
+    for col in ("indent", "distance_prev", "height"):
+        assert ((df[col] > 0) & (df[col] <= 1)).all()
+
+
+def test_quantile_matches_reference_formula():
+    import pandas as pd
+
+    col = pd.Series([3.0, 1.0, None, 3.0])
+    q = _quantile(col)
+    # NaN → min-1 = 0 → rank (left+right)/2/n = (0+1)/2/4
+    assert q[2] == 0.125
+    assert q[1] == (1 + 2) / 2 / 4
+    assert q[0] == q[3] == (2 + 4) / 2 / 4
+
+
+def test_default_model_separates_synthetic_paragraphs():
+    model = train_default_paragraph_model()
+    # accuracy on a doc OUTSIDE the training seeds
+    lines, labels = _synthetic_paragraph_doc(seed=11)
+    from dedoc_spark.core.paragraph_features import paragraph_feature_matrix
+
+    proba = model.predict_proba(paragraph_feature_matrix(lines))
+    pred = (proba >= 0.5).astype(int)
+    acc = (pred == np.asarray(labels)).mean()
+    assert acc >= 0.9, acc
+
+
+def test_classify_paragraphs_sets_multiline():
+    from dedoc_spark.core.model import HierarchyLevel
+
+    lines, labels = _synthetic_paragraph_doc(seed=4)
+    for ln in lines:
+        ln.tag_hl = HierarchyLevel.create_unknown()
+    out = classify_paragraphs(lines)
+    starts = [not ln.tag_hl.can_be_multiline for ln in out]
+    acc = (np.asarray(starts) == np.asarray(labels, dtype=bool)).mean()
+    assert acc >= 0.9
+    # blank line is never a paragraph start
+    blank = Line(line="   ")
+    blank.extras["location"] = Location(0, BBox(72, 400, 10, 12))
+    blank.tag_hl = HierarchyLevel.create_unknown()
+    out = classify_paragraphs(lines + [blank])
+    assert out[-1].tag_hl.can_be_multiline
+
+
+def test_pdf_param_wiring_batch_predict():
+    """need_paragraph_classification flows through extract_document and
+    flips can_be_multiline on the tag level of an indented-paragraph pdf."""
+    import json
+
+    pages = [[("first line of page", False), ("continuation here", False)]]
+    pdf = build_pdf(pages)
+    d = extract_document(
+        "p.pdf", pdf, None, params={"need_paragraph_classification": True}
+    )
+    assert d["error"] is None
+    lines = json.loads(d["lines_json"])
+    assert len(lines) == 2
+    # the flag produces an explicit boolean decision on every tag level
+    assert all(isinstance(ln["tag_hl"]["can_be_multiline"], bool) for ln in lines)
+    # default params: bytes unchanged (tag stays unknown/multiline)
+    d2 = extract_document("p.pdf", pdf, None)
+    lines2 = json.loads(d2["lines_json"])
+    assert all(ln["tag_hl"]["can_be_multiline"] for ln in lines2)
