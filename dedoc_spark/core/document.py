@@ -47,6 +47,14 @@ def _finalize(url: str, lines: List[Line], tables, warnings, params: Optional[Di
             [ln.line for ln in lines]
         )
         lines = extract_law_structure(lines, hl_type=hl_type)
+    elif document_type == "tz":
+        from dedoc_spark.core.tz_diploma import extract_tz_structure
+
+        lines = extract_tz_structure(lines)
+    elif document_type == "diploma":
+        from dedoc_spark.core.tz_diploma import extract_diploma_structure
+
+        lines = extract_diploma_structure(lines)
     elif patterns:
         from dedoc_spark.core.constructors import assign_levels_with_patterns
 

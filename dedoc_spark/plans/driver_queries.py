@@ -2359,6 +2359,119 @@ SELECT doc_id, CAST(10 AS BIGINT) AS n_lines,
 FROM documents
 """
 
+def _law_family_gate(spark: SparkSession, sf_dir: str, doc_type: str, make_lines, rest_type: str):
+    """Shared q58-pattern runner for the domain structure extractors: build
+    a synthetic document around the row's text, extract with
+    params={"document_type": ...}, emit the full per-line type sequence
+    plus the raw line that must carry the document's own text."""
+    import pandas as pd
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
+    def fn(it):
+        import json as jsonlib
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.document import extract_document
+
+        for pdf in it:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = "\n".join(make_lines(int(doc_id), text))
+                d = extract_document(
+                    f"{int(doc_id)}.txt", body.encode(), None, params={"document_type": doc_type}
+                )
+                lines = jsonlib.loads(d["lines_json"])
+                types_seq = ",".join(ln["hl"]["line_type"] for ln in lines)
+                rest = next(
+                    (ln["line"] for ln in lines if ln["hl"]["line_type"] == rest_type and text in ln["line"]),
+                    "",
+                )
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_lines": len(lines),
+                        "types_seq": types_seq,
+                        "text_rest": rest,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "n_lines", "types_seq", "text_rest"])
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(fn, "doc_id long, n_lines long, types_seq string, text_rest string")
+    )
+
+
+def q59_tz_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TZ structure gate (core/tz_diploma.py; tz_structure_extractor.py:
+    35-77 + tz body builder): title → root, TOC zone, named раздел item
+    (depth 8), dotted item (9, dot count in level_2), bullet (10), item
+    prefix split."""
+
+    def make_lines(doc_id, text):
+        return [
+            "ТЕХНИЧЕСКОЕ ЗАДАНИЕ",
+            "Содержание",
+            "Раздел 1 Общие сведения .......... 2",
+            "Раздел 2 Назначение .......... 3",
+            "Раздел 1 Общие сведения",
+            f"1.1 {text}",
+            "- пункт списка",
+        ]
+
+    return _law_family_gate(spark, sf_dir, "tz", make_lines, "raw_text")
+
+
+Q59_SQL = """
+SELECT doc_id, CAST(10 AS BIGINT) AS n_lines,
+       'root,toc,toc_item,toc_item,body,item,item,raw_text,item,raw_text' AS types_seq,
+       ' ' || text || chr(10) AS text_rest
+FROM documents
+"""
+
+
+def q60_diploma_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diploma structure gate (core/tz_diploma.py;
+    diploma_structure_extractor.py:38-71): TOC heuristic detection +
+    replacement, named-item keywords, pattern-composition list levels."""
+
+    def make_lines(doc_id, text):
+        return [
+            "ДИПЛОМНАЯ РАБОТА",
+            "СОДЕРЖАНИЕ",
+            "Введение .......... 3",
+            "Глава 1 Обзор .......... 5",
+            "1.1 Постановка .......... 6",
+            "1.2 Методы .......... 9",
+            "Глава 2 Эксперименты .......... 12",
+            "2.1 Датасет .......... 13",
+            "Заключение .......... 20",
+            "Список литературы .......... 22",
+            "Введение",
+            text,
+            "Глава 1 Обзор",
+            f"1) {text}",
+            "Заключение",
+            "итоги работы",
+        ]
+
+    return _law_family_gate(spark, sf_dir, "diploma", make_lines, "raw_text")
+
+
+Q60_SQL = """
+SELECT doc_id, CAST(17 AS BIGINT) AS n_lines,
+       'root,toc,toc_item,toc_item,toc_item,toc_item,toc_item,toc_item,toc_item,toc_item,'
+       || 'body,named_item,raw_text,named_item,list_item,named_item,raw_text' AS types_seq,
+       text || chr(10) AS text_rest
+FROM documents
+"""
+
 # ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2420,6 +2533,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_archive_members": q56_archive_members,
     "q57_pdf_ruled_tables": q57_pdf_ruled_tables,
     "q58_law_structure": q58_law_structure,
+    "q59_tz_structure": q59_tz_structure,
+    "q60_diploma_structure": q60_diploma_structure,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2481,4 +2596,6 @@ ORACLES: Dict[str, str] = {
     "q56_archive_members": Q56_SQL,
     "q57_pdf_ruled_tables": Q57_SQL,
     "q58_law_structure": Q58_SQL,
+    "q59_tz_structure": Q59_SQL,
+    "q60_diploma_structure": Q60_SQL,
 }

@@ -163,10 +163,17 @@ Facts the scale claims rest on, re-checked this round:
 - **q40 pdf layout / q41 image decode / q45 bmp decode (r3)**: Scan ->
   Project -> MapInPandas with **zero Exchange** (the scan-aligned
   extraction shape).
-- **q43 dup spans / q44 winnowing (r3)**: q43 = 5 uniform-key exchanges
-  (doc-id shingle window, span-hash count + both join sides, doc-id
-  rollup), 0 CartesianProduct, linear in token count; q44 = exactly
-  1 exchange (the winnowing window partitions on doc id).
+- **q43 dup spans / q44 winnowing (r3, q44 reworked r4)**: q43 = 5
+  uniform-key exchanges (doc-id shingle window, span-hash count + both
+  join sides, doc-id rollup), 0 CartesianProduct, linear in token count;
+  q44 = char posexplode + k-gram window-leads + min-window (the r3
+  transform(sequence(...)) lambda re-evaluated the normalization per
+  element — interpreted-HOF O(n^2), hung on a 2M-char doc) — still
+  exactly 1 exchange: both Window nodes and the distinct's HashAggregate
+  pair share the single doc-id hash partitioning (verified in the r4
+  formatted plan), and the 2^31 tie-break encoding divides with integer
+  `div` (bigint `/` routes through double and corrupts fp above the
+  52-bit mantissa).
 - **q42 multipage table merge (r3)**: lag-window chain detection +
   cumulative-sum chain ids + groupBy — **exactly 1 Exchange** (on url;
   the per-page "last table" predicate is implied by the window order),
