@@ -95,6 +95,10 @@ def main() -> None:
     timed("q40_pdf_layout", lambda: dq.q40_pdf_layout(spark, SF_DIR).agg(F.count("*")).collect())
     timed("q41_image_decode", lambda: dq.q41_image_decode(spark, SF_DIR).agg(F.count("*")).collect())
     timed("q42_multipage_tables", lambda: dq.q42_multipage_tables(spark, SF_DIR).agg(F.count("*")).collect())
+    timed("q43_dup_spans", lambda: dq.q43_dup_spans(spark, SF_DIR).agg(F.count("*")).collect())
+    timed("q44_winnow_fingerprints", lambda: dq.q44_winnow_fingerprints(spark, SF_DIR).count())
+    timed("q57_pdf_ruled_tables", lambda: dq.q57_pdf_ruled_tables(spark, SF_DIR).agg(F.count("*")).collect())
+    timed("q58_law_structure", lambda: dq.q58_law_structure(spark, SF_DIR).agg(F.count("*")).collect())
 
     # broadcast-model batch classifier over the extracted pages
     from dedoc_spark.operators.classifier import score_text_quality, train_default_model

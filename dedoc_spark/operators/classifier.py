@@ -57,6 +57,15 @@ def txtlayer_features(texts: pd.Series) -> pd.DataFrame:
 
     Divergence (robustness, documented): empty text yields all-zero
     proportions instead of the reference's ZeroDivisionError."""
+    frame = pd.DataFrame(_feature_dicts(texts))
+    return frame[sorted(frame.columns)].astype(float)
+
+
+def _feature_dicts(texts: pd.Series) -> List[dict]:
+    """Per-text feature dicts (the txtlayer_features values before the
+    DataFrame wrap) — the model path consumes these directly because the
+    181-column pandas construction costs ~8 ms per CALL, which dominated
+    per-document extraction when detect_txt_layer ran it twice per doc."""
     from collections import Counter
 
     rows = []
@@ -118,8 +127,7 @@ def txtlayer_features(texts: pd.Series) -> pd.DataFrame:
         feat["mean_char_ord"] = float(np.mean(ords)) if ords else 0.0
         feat["median_char_ord"] = float(np.median(ords)) if ords else 0.0
         rows.append(feat)
-    frame = pd.DataFrame(rows)
-    return frame[sorted(frame.columns)].astype(float)
+    return rows
 
 
 FEATURE_NAMES: List[str] = list(txtlayer_features(pd.Series(["probe"])).columns)
@@ -142,8 +150,13 @@ _SCALE = np.array(
 def features_frame(texts: pd.Series) -> np.ndarray:
     """Model-input matrix: the full reference feature frame, NaN→0 (our
     logistic can't route NaNs the way XGBoost does) and count/ordinal
-    columns scaled into O(1)."""
-    X = txtlayer_features(texts).to_numpy(dtype=np.float64)
+    columns scaled into O(1). Built straight from the feature dicts in
+    FEATURE_NAMES order — same values as txtlayer_features, without the
+    per-call 181-column pandas construction (see _feature_dicts)."""
+    rows = _feature_dicts(texts)
+    X = np.array([[float(r[name]) for name in FEATURE_NAMES] for r in rows], dtype=np.float64)
+    if X.size == 0:
+        X = X.reshape(0, len(FEATURE_NAMES))
     return np.nan_to_num(X, nan=0.0) * _SCALE
 
 

@@ -850,6 +850,17 @@ FROM votes GROUP BY doc_id
 _BIN_SCHEMA = "doc_id long, n_lines long, text_extracted string"
 
 
+def _parallel(df: DataFrame) -> DataFrame:
+    """Spread a synthetic-roundtrip input over the cluster. The driver's
+    documents.parquet is ONE small file → ONE scan partition (the
+    serialized-scan Amdahl cap, CLAUDE.md perf lessons), which would run
+    every per-row SYNTHESIZE+EXTRACT gate on a single core. One narrow
+    shuffle of the tiny id/text rows buys full parallelism; the pure-SQL
+    gates stay scan-aligned (values are partition-independent)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _binary_roundtrip(spark: SparkSession, sf_dir: str, builder) -> DataFrame:
     """documents → per-row synthesized binary payload → full extraction."""
     import pandas as pd
@@ -875,7 +886,7 @@ def _binary_roundtrip(spark: SparkSession, sf_dir: str, builder) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "n_lines", "text_extracted"])
 
-    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(fn, _BIN_SCHEMA)
+    return _parallel(_docs(spark, sf_dir).select("doc_id", "text")).mapInPandas(fn, _BIN_SCHEMA)
 
 
 def q21_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -966,8 +977,10 @@ def q24_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "n_tables", "c00", "c01", "c10", "c11"])
 
     return (
-        _docs(spark, sf_dir)
-        .select("doc_id", "source", "lang")
+        _parallel(
+            _docs(spark, sf_dir)
+            .select("doc_id", "source", "lang")
+        )
         .mapInPandas(fn, "doc_id long, n_tables long, c00 string, c01 string, c10 string, c11 string")
     )
 
@@ -1094,8 +1107,10 @@ def q27_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "n_tables", "c00", "c01", "c10", "c11"])
 
     return (
-        _docs(spark, sf_dir)
-        .select("doc_id", "source", "lang")
+        _parallel(
+            _docs(spark, sf_dir)
+            .select("doc_id", "source", "lang")
+        )
         .mapInPandas(fn, "doc_id long, n_tables long, c00 string, c01 string, c10 string, c11 string")
     )
 
@@ -1139,8 +1154,10 @@ def q28_attachment_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["url", "html", "text"])
 
     pages = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text")
+        _parallel(
+            _docs(spark, sf_dir)
+            .select("doc_id", "text")
+        )
         .mapInPandas(build, "url string, html binary, text string")
     )
     out = extract_with_attachments(pages, max_depth=1)
@@ -1595,7 +1612,7 @@ def q40_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "linked_line", "spacing_seq", "sizes"])
 
-    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(fn, schema)
+    return _parallel(_docs(spark, sf_dir).select("doc_id", "text")).mapInPandas(fn, schema)
 
 
 # geometry constants: 3 lines of height 12 at top-down tops 20/40/60 → first
@@ -1649,7 +1666,7 @@ def q41_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "width", "height", "px_hash"])
 
-    return _docs(spark, sf_dir).select("doc_id").mapInPandas(fn, schema)
+    return _parallel(_docs(spark, sf_dir).select("doc_id")).mapInPandas(fn, schema)
 
 
 Q41_SQL = """
@@ -1849,7 +1866,7 @@ def q45_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["doc_id", "width", "height", "px_hash"])
 
-    return _docs(spark, sf_dir).select("doc_id").mapInPandas(fn, schema)
+    return _parallel(_docs(spark, sf_dir).select("doc_id")).mapInPandas(fn, schema)
 
 
 Q45_SQL = """
@@ -1905,8 +1922,10 @@ def _field_roundtrip(spark: SparkSession, sf_dir: str, builder, fields) -> DataF
             yield pd.DataFrame(out, columns=["doc_id"] + names)
 
     return (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text", "source", "lang")
+        _parallel(
+            _docs(spark, sf_dir)
+            .select("doc_id", "text", "source", "lang")
+        )
         .mapInPandas(fn, schema)
     )
 
@@ -1953,8 +1972,10 @@ def q46_csv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "n_tables", "c00", "c01", "c10", "c11"])
 
     return (
-        _docs(spark, sf_dir)
-        .select("doc_id", "source", "lang")
+        _parallel(
+            _docs(spark, sf_dir)
+            .select("doc_id", "source", "lang")
+        )
         .mapInPandas(fn, "doc_id long, n_tables long, c00 string, c01 string, c10 string, c11 string")
     )
 
@@ -2098,8 +2119,10 @@ def q52_ods_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "n_tables", "c00", "c01", "c10", "c11"])
 
     return (
-        _docs(spark, sf_dir)
-        .select("doc_id", "source", "lang")
+        _parallel(
+            _docs(spark, sf_dir)
+            .select("doc_id", "source", "lang")
+        )
         .mapInPandas(fn, "doc_id long, n_tables long, c00 string, c01 string, c10 string, c11 string")
     )
 
@@ -2191,8 +2214,10 @@ def q56_archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["url", "html", "text"])
 
     src = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text")
+        _parallel(
+            _docs(spark, sf_dir)
+            .select("doc_id", "text")
+        )
         .mapInPandas(fn, "url string, html binary, text string")
     )
     out = extract_with_archives(src, max_depth=1)
@@ -2270,8 +2295,10 @@ def q57_pdf_ruled_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text", "source", "lang")
+        _parallel(
+            _docs(spark, sf_dir)
+            .select("doc_id", "text", "source", "lang")
+        )
         .mapInPandas(
             fn,
             "doc_id long, n_lines long, n_tables long, text_extracted string, "
@@ -2346,8 +2373,10 @@ def q58_law_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "n_lines", "types_seq", "item_rest"])
 
     return (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text")
+        _parallel(
+            _docs(spark, sf_dir)
+            .select("doc_id", "text")
+        )
         .mapInPandas(fn, "doc_id long, n_lines long, types_seq string, item_rest string")
     )
 
@@ -2402,8 +2431,10 @@ def _law_family_gate(spark: SparkSession, sf_dir: str, doc_type: str, make_lines
             yield pd.DataFrame(out, columns=["doc_id", "n_lines", "types_seq", "text_rest"])
 
     return (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text")
+        _parallel(
+            _docs(spark, sf_dir)
+            .select("doc_id", "text")
+        )
         .mapInPandas(fn, "doc_id long, n_lines long, types_seq string, text_rest string")
     )
 
