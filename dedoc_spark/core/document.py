@@ -55,6 +55,18 @@ def _finalize(url: str, lines: List[Line], tables, warnings, params: Optional[Di
         from dedoc_spark.core.tz_diploma import extract_diploma_structure
 
         lines = extract_diploma_structure(lines)
+    elif document_type == "article":
+        # ArticleStructureExtractor (article_structure_extractor.py:19-34):
+        # reader-assigned tag levels pass through untouched, NO
+        # regexp postprocessing; unknown tags become raw_text
+        from dedoc_spark.core.model import HierarchyLevel as _HL
+
+        for ln in lines:
+            if ln.tag_hl is None or ln.tag_hl.is_unknown():
+                ln.tag_hl = _HL.create_raw_text()
+                ln.hl = _HL.create_raw_text()
+            else:
+                ln.hl = ln.tag_hl
     elif patterns:
         from dedoc_spark.core.constructors import assign_levels_with_patterns
 

@@ -67,6 +67,11 @@ def _snap(values: List[float], eps: float) -> List[float]:
     return [sum(c) / len(c) for c in out]  # type: ignore[arg-type]
 
 
+MAX_SEGMENTS = 4000  # union-find is O(n²) in segments; vector-art pages
+# (plots, maps) can paint 10⁵+ strokes — beyond the cap the page cannot
+# be a readable ruled table anyway, so detection degrades to "none"
+
+
 def detect_ruled_tables(
     segments: Sequence[Segment], eps: float = 2.0, min_cell: float = 3.0
 ) -> List[RuledGrid]:
@@ -83,6 +88,8 @@ def detect_ruled_tables(
        (table_recognizer drops one-cell "tables").
     Cell boundaries are the snapped distinct rule positions.
     """
+    if len(segments) > MAX_SEGMENTS:
+        return []
     horiz: List[Segment] = []
     vert: List[Segment] = []
     for x0, y0, x1, y1 in segments:

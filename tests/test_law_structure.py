@@ -206,3 +206,20 @@ def test_document_type_param_wiring():
     d2 = extract_document("law.txt", LAW_TEXT.encode(), None)
     types2 = {ln["hl"]["line_type"] for ln in json.loads(d2["lines_json"])}
     assert "article" not in types2
+
+
+def test_article_document_type_passthrough():
+    """ArticleStructureExtractor contract (article_structure_extractor.py:
+    19-34): reader tag levels pass through with NO regexp postprocessing,
+    unknown tags become raw_text."""
+    import json
+
+    d = extract_document(
+        "a.txt", "1) would normally split\nplain text".encode(), None,
+        params={"document_type": "article"},
+    )
+    lines = json.loads(d["lines_json"])
+    # no prefix-split happened and everything is raw_text (txt reader
+    # assigns unknown tags)
+    assert [ln["line"] for ln in lines] == ["1) would normally split\n", "plain text"]
+    assert all(ln["hl"]["line_type"] == "raw_text" for ln in lines)

@@ -132,3 +132,12 @@ def test_different_width_tables_stay_separate():
     )
     d = extract_document("t.pdf", pdf, None, params=TABLE_PARAMS)
     assert d["n_tables"] == 2
+
+
+def test_vector_art_page_capped():
+    """A plot-like page painting thousands of strokes is not a table —
+    detection degrades to none instead of an O(n²) union-find blow-up."""
+    from dedoc_spark.core.pdf_tables import MAX_SEGMENTS
+
+    segs = [(float(i % 500), float(i % 311), float(i % 500) + 8.0, float(i % 311)) for i in range(MAX_SEGMENTS + 1)]
+    assert detect_ruled_tables(segs) == []
