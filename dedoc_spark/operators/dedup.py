@@ -604,3 +604,91 @@ def duplicated_ngram_spans(
             F.sum(F.col("is_dup").cast("double")) / F.count("*"), 6
         ).alias("dup_fraction"),
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+    hash_seed: int = 7777,
+) -> DataFrame:
+    """Exact substring DEDUP à la Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better", §4.1 ExactSubstr): every
+    ``window``-token span whose hash occurs more than once in the corpus
+    keeps exactly ONE canonical occurrence — the globally first by
+    (doc_id, position) — and the tokens covered by every OTHER occurrence
+    are dropped; each document's text is rebuilt from its surviving
+    tokens (single-space joined — the operator works on the word-token
+    stream, not raw bytes; documented deviation from the suffix-array
+    original, which this engine replaces with hashed fixed-width spans).
+
+    ``duplicated_ngram_spans`` is the read-only profile of the same
+    signal; this is the actionable removal. Returns
+    (id, text_dedup, n_tokens, n_removed) — one row per input document
+    (a fully-duplicated document comes back with text_dedup = '').
+
+    Scale shape: posexplode tokens + window leads (codegen) → span hashes;
+    ONE groupBy on the 32-bit span hash computes (occurrence count,
+    canonical occurrence = min of doc_id·2^31+pos) with map-side partial
+    agg; non-canonical occurrences explode into ≤ window covered
+    positions; a left-anti join on (id, pos) keeps survivors; one final
+    groupBy per doc rebuilds the text. Every exchange keys on a uniform
+    value (doc id or span hash), no self-join, cost linear in token
+    count. The canonical tie-break encodes (id, pos) as id·2^31 + pos —
+    numeric ids only (pass a surrogate for string ids); integer math, no
+    double rounding (bigint `div`-style discipline).
+    """
+    from pyspark.sql.window import Window
+
+    from dedoc_spark.functions import word_tokens
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(word_tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grams = toks.select(
+        F.col(id_col),
+        "pos",
+        F.col("tok").alias("__g0"),
+        *[F.lead("tok", k).over(w).alias(f"__g{k}") for k in range(1, window)],
+    )
+    spans = grams.filter(F.col(f"__g{window - 1}").isNotNull()).select(
+        F.col(id_col),
+        "pos",
+        hash32(
+            F.concat_ws(" ", *[F.col(f"__g{k}") for k in range(window)]), hash_seed
+        ).alias("h"),
+        (F.col(id_col).cast("bigint") * F.lit(2147483648) + F.col("pos")).alias("okey"),
+    )
+    agg = spans.groupBy("h").agg(
+        F.count("*").alias("occ"), F.min("okey").alias("canon")
+    )
+    dups = spans.join(agg.filter(F.col("occ") > 1), "h").filter(
+        F.col("okey") != F.col("canon")
+    )
+    removed = dups.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))).alias("pos"),
+    ).distinct()
+    kept = toks.join(removed, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok), ' ')").alias(
+            "text_dedup"
+        ),
+        F.count("*").alias("n_kept"),
+    )
+    totals = toks.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            (F.coalesce(F.col("n_tokens"), F.lit(0)) - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

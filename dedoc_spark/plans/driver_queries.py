@@ -2503,6 +2503,63 @@ SELECT doc_id, CAST(17 AS BIGINT) AS n_lines,
 FROM documents
 """
 
+def q61_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring removal gate (Lee et al. 2021 ExactSubstr semantics,
+    operators/dedup.remove_duplicated_spans): the DuckDB oracle rebuilds
+    the whole pipeline — token explode, lead-window spans, hash32, global
+    canonical-occurrence argmin, covered-position removal, text rebuild —
+    expression for expression."""
+    from dedoc_spark.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(_docs(spark, sf_dir), window=5)
+
+
+Q61_SQL = """
+WITH toks AS (
+  SELECT doc_id, u.s.i - 1 AS pos, u.s.tok AS tok FROM (
+    SELECT doc_id, unnest(list_transform(
+      list_filter(string_split_regex(lower(text), '[^0-9a-zа-яё]+'), x -> length(x) > 0),
+      (x, i) -> {'i': i, 'tok': x})) AS s
+    FROM documents) u
+),
+grams AS (
+  SELECT doc_id, pos, tok,
+         lead(tok, 1) OVER w AS g1, lead(tok, 2) OVER w AS g2,
+         lead(tok, 3) OVER w AS g3, lead(tok, 4) OVER w AS g4
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+spans AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(tok || ' ' || g1 || ' ' || g2 || ' ' || g3 || ' ' || g4 || '#7777'), 1, 8))::BIGINT AS h,
+         doc_id * 2147483648 + pos AS okey
+  FROM grams WHERE g4 IS NOT NULL
+),
+agg AS (SELECT h, count(*) AS occ, min(okey) AS canon FROM spans GROUP BY h),
+rem AS (
+  SELECT DISTINCT s.doc_id, s.pos + k.g AS pos
+  FROM spans s
+  JOIN agg a ON s.h = a.h AND a.occ > 1 AND s.okey <> a.canon
+  CROSS JOIN generate_series(0, 4) k(g)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM toks t
+  LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+  WHERE r.pos IS NULL
+),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_dedup, count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(reb.text_dedup, '') AS text_dedup,
+       CAST(coalesce(tot.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(tot.n_tokens, 0) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN reb ON d.doc_id = reb.doc_id
+"""
+
 # ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2566,6 +2623,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_law_structure": q58_law_structure,
     "q59_tz_structure": q59_tz_structure,
     "q60_diploma_structure": q60_diploma_structure,
+    "q61_span_removal": q61_span_removal,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2629,4 +2687,5 @@ ORACLES: Dict[str, str] = {
     "q58_law_structure": Q58_SQL,
     "q59_tz_structure": Q59_SQL,
     "q60_diploma_structure": Q60_SQL,
+    "q61_span_removal": Q61_SQL,
 }

@@ -679,3 +679,35 @@ def test_bzh_text_page_not_misrouted(spark):
     member = next(r for u, r in rows.items() if u.startswith("real.bz2#"))
     assert member.error is None
     assert "inner body text" in member.text_extracted
+
+
+def test_remove_duplicated_spans(spark):
+    """Lee et al. exact-substring removal: the globally FIRST occurrence
+    of a duplicated span survives, every other occurrence's tokens are
+    dropped; unique text is untouched; a fully-duplicated doc empties."""
+    from dedoc_spark.operators.dedup import remove_duplicated_spans
+
+    boiler = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {boiler} closing remark"),
+            (2, f"{boiler} unique tail text"),
+            (3, boiler),
+            (4, "completely unrelated document body"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs, window=5).collect()}
+    # doc 1 holds the canonical occurrence (first by (doc_id, pos)) → intact
+    assert out[1].text_dedup == f"intro words here {boiler} closing remark"
+    assert out[1].n_removed == 0
+    # doc 2 loses the boilerplate span, keeps its unique tail
+    assert out[2].text_dedup == "unique tail text"
+    assert out[2].n_removed == 5
+    # doc 3 is ONLY the duplicated span → emptied, row still present
+    assert out[3].text_dedup == "" and out[3].n_removed == 5
+    # untouched doc
+    assert out[4].text_dedup == "completely unrelated document body"
+    assert out[4].n_removed == 0
+    # n_tokens accounting
+    assert out[2].n_tokens == 8 and out[3].n_tokens == 5
