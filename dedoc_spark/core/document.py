@@ -55,6 +55,10 @@ def _finalize(url: str, lines: List[Line], tables, warnings, params: Optional[Di
         from dedoc_spark.core.tz_diploma import extract_diploma_structure
 
         lines = extract_diploma_structure(lines)
+    elif document_type == "fintoc":
+        from dedoc_spark.core.fintoc import extract_fintoc_structure
+
+        lines = extract_fintoc_structure(lines, params)
     elif document_type == "article":
         # ArticleStructureExtractor (article_structure_extractor.py:19-34):
         # reader-assigned tag levels pass through untouched, NO

@@ -2503,6 +2503,41 @@ SELECT doc_id, CAST(17 AS BIGINT) AS n_lines,
 FROM documents
 """
 
+def q62_fintoc_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinTOC gate (core/fintoc.py; fintoc_structure_extractor.py:60-77):
+    body lines matching detected TOC items become headers whose level_2
+    is the TOC depth (dotted numbering), everything else raw_text."""
+
+    def make_lines(doc_id, text):
+        return [
+            "PROSPECTUS",
+            "CONTENTS",
+            "1 Risk Factors .......... 4",
+            "2 Use of Proceeds .......... 9",
+            "2.1 General Allocation .......... 10",
+            "3 Dividend Policy .......... 14",
+            "4 Capitalisation .......... 20",
+            "5 Selected Financials .......... 25",
+            "6 Business Overview .......... 30",
+            "1 Risk Factors",
+            text,
+            "2.1 General Allocation",
+            "more ordinary prose body",
+            "closing ordinary prose line",
+        ]
+
+    return _law_family_gate(spark, sf_dir, "fintoc", make_lines, "raw_text")
+
+
+Q62_SQL = """
+SELECT doc_id, CAST(14 AS BIGINT) AS n_lines,
+       'raw_text,raw_text,raw_text,raw_text,raw_text,raw_text,raw_text,raw_text,raw_text,'
+       || 'header,raw_text,header,raw_text,raw_text' AS types_seq,
+       text || chr(10) AS text_rest
+FROM documents
+"""
+
+
 def q61_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring removal gate (Lee et al. 2021 ExactSubstr semantics,
     operators/dedup.remove_duplicated_spans): the DuckDB oracle rebuilds
@@ -2624,6 +2659,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_tz_structure": q59_tz_structure,
     "q60_diploma_structure": q60_diploma_structure,
     "q61_span_removal": q61_span_removal,
+    "q62_fintoc_structure": q62_fintoc_structure,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2688,4 +2724,5 @@ ORACLES: Dict[str, str] = {
     "q59_tz_structure": Q59_SQL,
     "q60_diploma_structure": Q60_SQL,
     "q61_span_removal": Q61_SQL,
+    "q62_fintoc_structure": Q62_SQL,
 }

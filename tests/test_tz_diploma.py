@@ -191,3 +191,55 @@ def test_document_type_params():
     assert d["error"] is None
     types = {ln["hl"]["line_type"] for ln in json.loads(d["lines_json"])}
     assert {"root", "toc", "toc_item", "named_item", "list_item"} <= types
+
+
+def test_fintoc_structure():
+    """FinTOC contract (fintoc_structure_extractor.py:60-77): TOC-matched
+    lines become headers with the TOC depth in level_2, everything else
+    raw_text; whitespace-only lines and private-use bullets are filtered."""
+    from dedoc_spark.core.fintoc import extract_fintoc_structure, filter_lines
+
+    body = [
+        "PROSPECTUS", "CONTENTS",
+        "1 Risk Factors .......... 4",
+        "2 Use of Proceeds .......... 9",
+        "2.1 General Allocation .......... 10",
+        "3 Dividend Policy .......... 14",
+        "4 Capitalisation .......... 20",
+        "5 Selected Financials .......... 25",
+        "6 Business Overview .......... 30",
+        "1 Risk Factors",
+        "ordinary prose about risks",
+        "2.1 General Allocation",
+        "more ordinary prose body",
+        "closing ordinary prose line",
+        "final ordinary prose words",
+    ]
+    lines = extract_txt_lines("\n".join(body))
+    out = extract_fintoc_structure(lines, {"language": "eng"})
+    headers = {ln.line.strip(): ln.hl.level_2 for ln in out if ln.hl.line_type == "header"}
+    assert headers.get("1 Risk Factors") == 1
+    assert headers.get("2.1 General Allocation") == 2  # dotted depth
+    assert all(
+        ln.hl.line_type in ("header", "raw_text") for ln in out
+    )
+    # filtering: blank lines and bullets glyphs removed
+    glyph = Line(line=" bullet item")
+    blank = Line(line="   \n")
+    kept = filter_lines([glyph, blank])
+    assert len(kept) == 1 and kept[0].line == " bullet item"
+
+
+def test_fintoc_no_toc_all_raw():
+    from dedoc_spark.core.fintoc import extract_fintoc_structure
+
+    out = extract_fintoc_structure(extract_txt_lines("short doc\nno toc here"))
+    assert all(ln.hl.line_type == "raw_text" for ln in out)
+
+
+def test_fintoc_document_type_param():
+    from dedoc_spark.core.document import extract_document
+
+    d = extract_document("f.txt", b"plain line one\nplain line two", None,
+                         params={"document_type": "fintoc"})
+    assert d["error"] is None and d["n_lines"] == 2
