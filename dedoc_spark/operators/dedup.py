@@ -47,21 +47,69 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+_MERSENNE31 = 2147483647  # 2^31 − 1, prime
+
+
+def _mix_constants(num_hashes: int):
+    """Deterministic (a_j, b_j) pairs for the 'mixed' MinHash family —
+    the Carter-Wegman universal family h_j(x) = (a_j·x + b_j) mod p with
+    p = 2^31−1. Constants are splitmix64-derived (j-keyed, no RNG),
+    reduced mod p with a_j forced nonzero; the 62-bit product a_j·x fits
+    a bigint, so the expression is exact under Spark's default ANSI mode
+    (wrap-around multiply would throw ARITHMETIC_OVERFLOW)."""
+    consts = []
+    for j in range(num_hashes):
+        a = ((0x9E3779B97F4A7C15 ^ (j * 0x632BE59BD9B4E019)) % (_MERSENNE31 - 1)) + 1
+        b = (0xBF58476D1CE4E5B9 ^ (j * 0x94D049BB133111EB)) % _MERSENNE31
+        consts.append((a, b))
+    return consts
+
+
 def with_minhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_hashes: int = 16, shingle_n: int = 3,
+    num_hashes: int = 16, shingle_n: int = 3, hash_family: str = "md5",
 ) -> DataFrame:
     """MinHash signatures via row-based shingles + partial-agg minima
-    (codegen path; see functions.shingle_rows) assembled into an array."""
+    (codegen path; see functions.shingle_rows) assembled into an array.
+
+    ``hash_family``:
+      * "md5" (default) — one md5 per (shingle, seed), the formula the
+        DuckDB oracles mirror (functions.hash32). num_hashes md5 calls
+        per shingle row.
+      * "mixed" — ONE md5 per shingle row; the per-seed hashes are
+        Carter-Wegman universal mixes (a_j·x + b_j) mod (2^31−1) of its
+        first 31 bits — num_hashes× fewer digest computations.
+        MEASURED (local[32], 60k docs, warm): md5 3.7 s vs mixed 3.6 s
+        at 128 hashes — Spark's codegen'd md5 is NOT the bottleneck on
+        the JVM (the shuffle+agg dominates), so this family is kept for
+        its universal-hashing properties and for backends where digests
+        are expensive, not as a local-mode speedup. Signatures are NOT
+        comparable across families (same minhash collision semantics,
+        different values — the gates stay on md5)."""
     from dedoc_spark.functions import shingle_rows
 
     sh = shingle_rows(df, text_col, id_col, shingle_n)
-    mins = sh.groupBy(id_col).agg(
-        *[
-            F.min(hash32(F.col("shingle"), j)).alias(f"__h{j}")
-            for j in range(num_hashes)
+    if hash_family == "mixed":
+        # first 8 hex chars → 32 bits, reduced into the Mersenne field
+        base = F.pmod(
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("bigint"),
+            F.lit(_MERSENNE31),
+        )
+        hashes = [
+            F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE31)).alias(f"__m{j}")
+            for j, (a, b) in enumerate(_mix_constants(num_hashes))
         ]
-    )
+        sh = sh.select(F.col(id_col), *hashes)
+        mins = sh.groupBy(id_col).agg(
+            *[F.min(f"__m{j}").alias(f"__h{j}") for j in range(num_hashes)]
+        )
+    else:
+        mins = sh.groupBy(id_col).agg(
+            *[
+                F.min(hash32(F.col("shingle"), j)).alias(f"__h{j}")
+                for j in range(num_hashes)
+            ]
+        )
     return mins.select(
         F.col(id_col), F.array(*[F.col(f"__h{j}") for j in range(num_hashes)]).alias("sig")
     )
@@ -76,6 +124,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     max_bucket: int = 1000,
     persist_signatures: bool = True,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -90,7 +139,7 @@ def minhash_lsh_pairs(
     recomputing the shingle+hash subtree on both sides of the self-join.
     """
     rows_per_band = num_hashes // bands
-    sigs = with_minhash(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = with_minhash(df, text_col, id_col, num_hashes, shingle_n, hash_family)
     if persist_signatures:
         from pyspark.storagelevel import StorageLevel
 

@@ -711,3 +711,41 @@ def test_remove_duplicated_spans(spark):
     assert out[4].n_removed == 0
     # n_tokens accounting
     assert out[2].n_tokens == 8 and out[3].n_tokens == 5
+
+
+def test_minhash_mixed_family_equivalent_collisions(spark):
+    """The 'mixed' hash family (one md5 + affine mixes — the 100 TB path)
+    must reproduce the md5 family's COLLISION semantics: exact duplicates
+    share full signatures, near-duplicates collide in bands, unrelated
+    docs do not; values differ between families by design."""
+    from dedoc_spark.operators.dedup import minhash_lsh_pairs, with_minhash
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1
+            (3, base + " extra tail words here"),  # near dup
+            (4, "completely different content with other tokens entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sig = {r.doc_id: r.sig for r in with_minhash(docs, hash_family="mixed").collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[4]
+    # band collisions (near-dup 3 shares ≥1 band with 1)
+    pairs = {
+        (r.a, r.b)
+        for r in minhash_lsh_pairs(docs, hash_family="mixed").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+    # the md5 family agrees on exact dups and on excluding the unrelated
+    # doc (near-dup band collisions are family-dependent by nature)
+    pairs_md5 = {(r.a, r.b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs_md5
+    assert not any(4 in p for p in pairs_md5)
+    # determinism
+    sig2 = {r.doc_id: r.sig for r in with_minhash(docs, hash_family="mixed").collect()}
+    assert sig == sig2
