@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from typing import Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -236,8 +236,20 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
 
 
 def _decode_gif(data: bytes) -> Tuple[int, int, np.ndarray]:
-    """First frame of a GIF87a/GIF89a (non-interlaced): global/local color
-    table, LZW indices → RGB."""
+    """First frame of a GIF87a/GIF89a: global/local color table, LZW
+    indices → RGB (see decode_gif_frames for the full animation)."""
+    for frame in decode_gif_frames(data, max_frames=1):
+        return frame
+    raise ValueError("GIF has no image data")
+
+
+def decode_gif_frames(data: bytes, max_frames: Optional[int] = None):
+    """All frames of an animated GIF as (width, height, rgb) tuples —
+    the real decode behind the frame-sampling operator (each image
+    descriptor block is one frame; graphic-control extensions are
+    skipped like any extension; no inter-frame compositing — each frame
+    is decoded standalone against its own color table)."""
+    frames = []
     if len(data) < 13:
         raise ValueError("GIF too short")
     packed = data[10]
@@ -272,6 +284,7 @@ def _decode_gif(data: bytes) -> Tuple[int, int, np.ndarray]:
                 n = data[pos]
                 lzw += data[pos + 1 : pos + 1 + n]
                 pos += 1 + n
+            pos += 1  # skip the sub-block terminator (next frame follows)
             indices = _lzw_decode(bytes(lzw), min_code_size, width * height)
             if len(indices) < width * height:
                 raise ValueError("GIF pixel data truncated")
@@ -289,12 +302,16 @@ def _decode_gif(data: bytes) -> Tuple[int, int, np.ndarray]:
                     row += n_rows
                 grid = out
             rgb = pal[grid]
-            return width, height, np.ascontiguousarray(rgb)
+            frames.append((width, height, np.ascontiguousarray(rgb)))
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
         elif block == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
-    raise ValueError("GIF has no image data")
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return frames
 
 
 def decode_image(data: bytes) -> Tuple[int, int, np.ndarray]:
@@ -350,11 +367,11 @@ def pixel_hash(data: bytes) -> str:
 def encode_gif(indices: np.ndarray, palette: bytes) -> bytes:
     """Minimal GIF89a writer for fixtures: one frame, global color table,
     real LZW compression (exercises the decoder's variable code widths)."""
+    return encode_gif_frames([indices], palette)
+
+
+def _lzw_image_block(indices: np.ndarray, min_code_size: int) -> bytes:
     height, width = indices.shape
-    n_colors = len(palette) // 3
-    ct_bits = max(1, (n_colors - 1).bit_length())
-    gct = palette.ljust((2 ** ct_bits) * 3, b"\x00")
-    min_code_size = max(2, ct_bits)
     clear = 1 << min_code_size
     eoi = clear + 1
 
@@ -399,10 +416,33 @@ def encode_gif(indices: np.ndarray, palette: bytes) -> bytes:
         blocks += chunk
     blocks.append(0)
 
+    img = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    return img + bytes([min_code_size]) + bytes(blocks)
+
+
+def encode_gif_frames(frames: List[np.ndarray], palette: bytes) -> bytes:
+    """Multi-frame GIF89a writer (fixtures for the frame-sampling
+    operator): every frame is an index grid against one global color
+    table, each written as its own image-descriptor block."""
+    n_colors = len(palette) // 3
+    ct_bits = max(1, (n_colors - 1).bit_length())
+    gct = palette.ljust((2 ** ct_bits) * 3, b"\x00")
+    min_code_size = max(2, ct_bits)
+    height, width = frames[0].shape
     header = b"GIF89a" + struct.pack("<HH", width, height)
     header += bytes([0x80 | (ct_bits - 1), 0, 0]) + gct
-    img = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
-    return header + img + bytes([min_code_size]) + bytes(blocks) + b"\x3b"
+    body = b"".join(_lzw_image_block(f, min_code_size) for f in frames)
+    return header + body + b"\x3b"
+
+
+def resize_nearest(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize: source index of output
+    pixel i is floor(i * in / out) — integer math only, so a SQL oracle
+    can rebuild the resized buffer arithmetically."""
+    in_h, in_w = rgb.shape[0], rgb.shape[1]
+    rows = (np.arange(out_h) * in_h) // out_h
+    cols = (np.arange(out_w) * in_w) // out_w
+    return np.ascontiguousarray(rgb[rows][:, cols])
 
 
 # --- audio (WAV PCM, stdlib) ---------------------------------------------------

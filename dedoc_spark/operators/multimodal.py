@@ -164,3 +164,123 @@ def with_document_metadata(df: DataFrame, url_col: str = "url", payload_col: str
             yield pd.DataFrame(out, columns=[url_col, "metadata"])
 
     return df.select(url_col, payload_col).mapInPandas(fn, schema)
+
+
+def image_resize(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL nearest-neighbor image resize over the binary column: decode
+    (core/image_decode — PNG/BMP/GIF/JPEG), resize with integer source
+    indices (floor(i·in/out) — arithmetic an SQL oracle can rebuild),
+    emit the resized buffer's md5 over its lowercase hex (the DuckDB-
+    comparable buffer hash discipline, md5(VARCHAR) only). Error-channel
+    semantics as everywhere: undecodable media keep a typed error row."""
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("px_hash", T.StringType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.image_decode import decode_image, resize_nearest
+
+        for pdf in it:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[media_col]):
+                row = {"media_id": mid, "width": out_w, "height": out_h, "px_hash": None, "error": None}
+                try:
+                    _w, _h, rgb = decode_image(bytes(data))
+                    resized = resize_nearest(rgb, out_w, out_h)
+                    hexbuf = f"{out_w}x{out_h}" + resized.tobytes().hex()
+                    row["px_hash"] = hashlib.md5(hexbuf.encode()).hexdigest()
+                except Exception as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, media_col).mapInPandas(fn, schema)
+
+
+def gif_frame_sample(
+    df: DataFrame,
+    every_n: int = 2,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    max_frames: int = 64,
+) -> DataFrame:
+    """REAL video-style frame sampling for animated GIFs: decode up to
+    ``max_frames`` frames (core/image_decode.decode_gif_frames), keep
+    every ``every_n``-th, emit one row per sampled frame with its pixel
+    hash. Codec video (mp4/avi) has no from-scratch decoder — those rows
+    keep the typed error channel, while the Spark-side plumbing (schema,
+    per-frame fan-out, batch shape) is identical and real."""
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("px_hash", T.StringType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.image_decode import decode_gif_frames
+
+        for pdf in it:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    frames = decode_gif_frames(bytes(data), max_frames=max_frames)
+                    for idx in range(0, len(frames), every_n):
+                        w, h, rgb = frames[idx]
+                        hexbuf = f"{w}x{h}" + rgb.tobytes().hex()
+                        out.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": idx,
+                                "width": w,
+                                "height": h,
+                                "px_hash": hashlib.md5(hexbuf.encode()).hexdigest(),
+                                "error": None,
+                            }
+                        )
+                except Exception as e:
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": None,
+                            "width": None,
+                            "height": None,
+                            "px_hash": None,
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, media_col).mapInPandas(fn, schema)

@@ -2595,6 +2595,135 @@ LEFT JOIN tot ON d.doc_id = tot.doc_id
 LEFT JOIN reb ON d.doc_id = reb.doc_id
 """
 
+def q63_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize gate (operators/multimodal.image_resize):
+    the q45 BMP gradient downscaled 16×8 → 8×4; NN source index is
+    floor(i·in/out) = 2i, so the oracle rebuilds the resized buffer
+    arithmetically (v = (5·doc + 2r·16 + 2c) mod 256)."""
+    import pandas as pd
+
+    from dedoc_spark.operators.multimodal import image_resize
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
+    def fn(it):
+        import struct
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        W, H = 16, 8
+        row_size = (W * 3 + 3) // 4 * 4
+        for batch in it:
+            out = []
+            for doc_id in batch["doc_id"]:
+                did = int(doc_id)
+                rows = []
+                for r in range(H - 1, -1, -1):
+                    row = bytearray()
+                    for c in range(W):
+                        v = (did * 5 + r * 16 + c) % 256
+                        row += bytes([v, v, v])
+                    row += b"\x00" * (row_size - len(row))
+                    rows.append(bytes(row))
+                pixel_data = b"".join(rows)
+                bmp = (
+                    b"BM"
+                    + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+                    + struct.pack("<IiiHHIIiiII", 40, W, H, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+                    + pixel_data
+                )
+                out.append({"media_id": str(did), "media": bmp})
+            yield pd.DataFrame(out, columns=["media_id", "media"])
+
+    media = _parallel(_docs(spark, sf_dir).select("doc_id")).mapInPandas(
+        fn, "media_id string, media binary"
+    )
+    out = image_resize(media, 8, 4)
+    return out.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "width",
+        "height",
+        "px_hash",
+        "error",
+    )
+
+
+Q63_SQL = """
+WITH px AS (
+  SELECT d.doc_id, r.r, c.c, (5 * d.doc_id + (2 * r.r) * 16 + (2 * c.c)) % 256 AS v
+  FROM documents d, generate_series(0, 3) r(r), generate_series(0, 7) c(c)
+)
+SELECT doc_id, 8 AS width, 4 AS height,
+       md5('8x4' || lower(string_agg(repeat(lpad(to_hex(v), 2, '0'), 3), '' ORDER BY r, c))) AS px_hash,
+       CAST(NULL AS VARCHAR) AS error
+FROM px GROUP BY doc_id
+"""
+
+
+def q64_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling gate (operators/multimodal.gif_frame_sample over
+    core/image_decode.decode_gif_frames): each doc is a 3-frame animated
+    GIF of 4×4 index grids over a 4-gray palette; sampling every 2nd frame
+    must return frames 0 and 2 with arithmetically reconstructable
+    pixels (gray = 85·((doc + frame + 4r + c) mod 4))."""
+    import pandas as pd
+
+    from dedoc_spark.operators.multimodal import gif_frame_sample
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
+    def fn(it):
+        import sys
+
+        import numpy as np
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.image_decode import encode_gif_frames
+
+        palette = bytes(v for g in (0, 85, 170, 255) for v in (g, g, g))
+        for batch in it:
+            out = []
+            for doc_id in batch["doc_id"]:
+                did = int(doc_id)
+                frames = [
+                    np.fromfunction(
+                        lambda r, c: (did + f + 4 * r + c) % 4, (4, 4)
+                    ).astype(np.uint8)
+                    for f in range(3)
+                ]
+                out.append({"media_id": str(did), "media": encode_gif_frames(frames, palette)})
+            yield pd.DataFrame(out, columns=["media_id", "media"])
+
+    media = _parallel(_docs(spark, sf_dir).select("doc_id")).mapInPandas(
+        fn, "media_id string, media binary"
+    )
+    out = gif_frame_sample(media, every_n=2)
+    return out.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        "width",
+        "height",
+        "px_hash",
+        "error",
+    )
+
+
+Q64_SQL = """
+WITH px AS (
+  SELECT d.doc_id, f.f, r.r, c.c,
+         85 * ((d.doc_id + f.f + 4 * r.r + c.c) % 4) AS v
+  FROM documents d, unnest([0, 2]) f(f), generate_series(0, 3) r(r), generate_series(0, 3) c(c)
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx, 4 AS width, 4 AS height,
+       md5('4x4' || lower(string_agg(repeat(lpad(to_hex(v), 2, '0'), 3), '' ORDER BY r, c))) AS px_hash,
+       CAST(NULL AS VARCHAR) AS error
+FROM px GROUP BY doc_id, f
+"""
+
 # ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2660,6 +2789,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_diploma_structure": q60_diploma_structure,
     "q61_span_removal": q61_span_removal,
     "q62_fintoc_structure": q62_fintoc_structure,
+    "q63_image_resize": q63_image_resize,
+    "q64_gif_frame_sample": q64_gif_frame_sample,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2725,4 +2856,6 @@ ORACLES: Dict[str, str] = {
     "q60_diploma_structure": Q60_SQL,
     "q61_span_removal": Q61_SQL,
     "q62_fintoc_structure": Q62_SQL,
+    "q63_image_resize": Q63_SQL,
+    "q64_gif_frame_sample": Q64_SQL,
 }

@@ -266,3 +266,39 @@ def test_gif_interlaced():
     assert (w, h) == (12, 16)
     pal = np.frombuffer(palette, dtype=np.uint8).reshape(5, 3)
     assert np.array_equal(rgb, pal[idx])
+
+
+def test_gif_multi_frame_roundtrip():
+    """Animated GIF: every image-descriptor block is a frame; the encoder/
+    decoder pair round-trips all of them in order."""
+    import numpy as np
+
+    from dedoc_spark.core.image_decode import decode_gif_frames, encode_gif_frames
+
+    palette = bytes(v for g in (0, 85, 170, 255) for v in (g, g, g))
+    frames = [
+        np.fromfunction(lambda r, c: (f + 4 * r + c) % 4, (4, 4)).astype(np.uint8)
+        for f in range(3)
+    ]
+    dec = decode_gif_frames(encode_gif_frames(frames, palette))
+    assert len(dec) == 3
+    for (w, h, rgb), src in zip(dec, frames):
+        assert (w, h) == (4, 4)
+        assert (rgb[:, :, 0] == src * 85).all()
+    # max_frames truncates
+    assert len(decode_gif_frames(encode_gif_frames(frames, palette), max_frames=2)) == 2
+
+
+def test_resize_nearest_integer_semantics():
+    """NN source index is floor(i·in/out) — exact integer math."""
+    import numpy as np
+
+    from dedoc_spark.core.image_decode import resize_nearest
+
+    rgb = np.arange(16 * 8 * 3, dtype=np.uint8).reshape(8, 16, 3)
+    out = resize_nearest(rgb, 8, 4)
+    assert out.shape == (4, 8, 3)
+    assert (out == rgb[::2, ::2]).all()
+    # upscale repeats source pixels
+    up = resize_nearest(rgb[:2, :2], 4, 4)
+    assert (up[0] == up[1]).all() and (up[:, 0] == up[:, 1]).all()
