@@ -178,6 +178,15 @@ Facts the scale claims rest on, re-checked this round:
   cumulative-sum chain ids + groupBy — **exactly 1 Exchange** (on url;
   the per-page "last table" predicate is implied by the window order),
   0 CartesianProduct; chains of any length in one pass, no driver loop.
+- **q57/q61/q63-q64 + all synthesize-extract gates (r4)**: the driver's
+  documents.parquet is ONE small file = ONE scan partition, which
+  serialized every per-row-expensive mapInPandas gate (q57 measured
+  44.7 s); `_parallel()` repartitions the tiny id/text input rows to
+  defaultParallelism inside those gates only (q57 → 1.15 s), while the
+  q17/q18 extraction gates stay scan-aligned with zero Exchange. The
+  txt-layer detector's feature path also stopped round-tripping through
+  a 181-column pandas frame per call (77 → 2.4 ms per pdf document,
+  bit-identical features).
 - **q09/q13 all-pairs demos (r3)**: routed through max_block-capped
   operators — oversized blocks are dropped by a count+filter before the
   self-join, so no unbounded quadratic plan is reachable from the gate.
