@@ -129,3 +129,83 @@ def streaming_rollup(
             "html_bytes",
         )
     )
+
+
+def streaming_near_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_tokens: int = 512,
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """Stateful streaming NEAR-duplicate detection: MinHash band keys per
+    document, one state-store entry per band key holding the FIRST
+    document that produced it; any later document hitting a seen band
+    emits a candidate event (id, band_idx, dup_of). The batch LSH
+    (operators/dedup.minhash_lsh_pairs) band semantics, continuous.
+
+    Streaming constraints shape the signature path: shingle_rows needs a
+    window function (unsupported on streams), so signatures come from the
+    array-based word_shingles/minhash_signature composition — interpreted
+    per element, hence ``max_tokens`` truncates each document first
+    (bounded per-row cost; the documented O(tokens²) HOF trap stays
+    bounded at 512 tokens ≈ sub-ms per doc).
+
+    Emission semantics: a colliding document emits one event PER seen
+    band (up to ``bands``) — at-least-once candidate events, deduplicate
+    downstream on (id, dup_of) if exactly-once pairs are needed.
+    ``timeout_ms`` > 0 expires idle band entries (bounded state)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from dedoc_spark.functions import minhash_signature, word_shingles, word_tokens
+
+    rows_per_band = num_hashes // bands
+    truncated = F.concat_ws(" ", F.slice(word_tokens(F.col(text_col)), 1, max_tokens))
+    sig = minhash_signature(word_shingles(truncated), num_hashes)
+    banded = stream_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",", *[sig[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+
+    out_schema = f"{id_col} string, band_idx int, dup_of string"
+    state_schema = "first_id string"
+
+    def collide_fn(key, pdf_iter, state: GroupState):
+        if timeout_ms > 0 and state.hasTimedOut:
+            state.remove()
+            return
+        first_id = state.get[0] if state.exists else None
+        events = []
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                if first_id is None:
+                    first_id = row[id_col]
+                elif row[id_col] != first_id:
+                    events.append(
+                        {id_col: row[id_col], "band_idx": int(row["band_idx"]), "dup_of": first_id}
+                    )
+        if first_id is not None and not state.exists:
+            state.update((first_id,))
+        if timeout_ms > 0 and state.exists:
+            state.setTimeoutDuration(timeout_ms)
+        if events:
+            yield pd.DataFrame(events, columns=[id_col, "band_idx", "dup_of"])
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms > 0 else GroupStateTimeout.NoTimeout
+    )
+    return banded.groupBy("band_key").applyInPandasWithState(
+        collide_fn, out_schema, state_schema, "update", timeout_conf
+    )

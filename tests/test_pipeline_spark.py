@@ -221,3 +221,40 @@ def test_streaming_rollup_windowed(spark, tmp_path):
     assert got[(10, "en")] == (2, 17)
     assert got[(10, "ru")] == (1, 8)
     assert got[(11, "en")] == (1, 9)
+
+
+def test_streaming_near_dedup_stateful(spark, tmp_path):
+    """Band-key state survives micro-batches: a near-duplicate arriving in
+    a LATER batch still collides with the first-seen document's bands."""
+    from dedoc_spark.streaming import streaming_near_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    src = tmp_path / "near_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("u1", base), ("u2", "totally different words entirely here now")],
+        "url string, text string",
+    ).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    spark.createDataFrame(
+        [("u3", base), ("u4", "yet another unrelated body of text")],
+        "url string, text string",
+    ).coalesce(1).write.parquet(str(src / "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        streaming_near_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("near_dedup_sink")
+        .option("checkpointLocation", str(tmp_path / "near_ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM near_dedup_sink").collect()
+    pairs = {(r.url, r.dup_of) for r in rows}
+    assert pairs == {("u3", "u1")}  # exact near-dup across batches
