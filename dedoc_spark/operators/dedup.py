@@ -684,9 +684,8 @@ def remove_duplicated_spans(
     positions; a left-anti join on (id, pos) keeps survivors; one final
     groupBy per doc rebuilds the text. Every exchange keys on a uniform
     value (doc id or span hash), no self-join, cost linear in token
-    count. The canonical tie-break encodes (id, pos) as id·2^31 + pos —
-    numeric ids only (pass a surrogate for string ids); integer math, no
-    double rounding (bigint `div`-style discipline).
+    count. The canonical tie-break is the lexicographic min of the
+    (id, pos) struct — any orderable id type, no arithmetic encoding.
     """
     from pyspark.sql.window import Window
 
@@ -708,13 +707,16 @@ def remove_duplicated_spans(
         hash32(
             F.concat_ws(" ", *[F.col(f"__g{k}") for k in range(window)]), hash_seed
         ).alias("h"),
-        (F.col(id_col).cast("bigint") * F.lit(2147483648) + F.col("pos")).alias("okey"),
     )
+    # canonical = lexicographic min of (id, pos) — struct ordering, so any
+    # orderable id type works and nothing overflows (an id*2^31+pos
+    # encoding would throw under ANSI for 64-bit ids)
     agg = spans.groupBy("h").agg(
-        F.count("*").alias("occ"), F.min("okey").alias("canon")
+        F.count("*").alias("occ"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("canon"),
     )
     dups = spans.join(agg.filter(F.col("occ") > 1), "h").filter(
-        F.col("okey") != F.col("canon")
+        ~((F.col(id_col) == F.col("canon.i")) & (F.col("pos") == F.col("canon.p")))
     )
     removed = dups.select(
         F.col(id_col),

@@ -2565,15 +2565,18 @@ grams AS (
 ),
 spans AS (
   SELECT doc_id, pos,
-         ('0x' || substr(md5(tok || ' ' || g1 || ' ' || g2 || ' ' || g3 || ' ' || g4 || '#7777'), 1, 8))::BIGINT AS h,
-         doc_id * 2147483648 + pos AS okey
+         ('0x' || substr(md5(tok || ' ' || g1 || ' ' || g2 || ' ' || g3 || ' ' || g4 || '#7777'), 1, 8))::BIGINT AS h
   FROM grams WHERE g4 IS NOT NULL
 ),
-agg AS (SELECT h, count(*) AS occ, min(okey) AS canon FROM spans GROUP BY h),
+agg AS (
+  SELECT h, count(*) AS occ, min(struct_pack(i := doc_id, p := pos)) AS canon
+  FROM spans GROUP BY h
+),
 rem AS (
   SELECT DISTINCT s.doc_id, s.pos + k.g AS pos
   FROM spans s
-  JOIN agg a ON s.h = a.h AND a.occ > 1 AND s.okey <> a.canon
+  JOIN agg a ON s.h = a.h AND a.occ > 1
+            AND NOT (s.doc_id = a.canon.i AND s.pos = a.canon.p)
   CROSS JOIN generate_series(0, 4) k(g)
 ),
 kept AS (
