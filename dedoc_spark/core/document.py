@@ -325,6 +325,15 @@ def extract_document(
             return extract_txt_document(
                 url, decode_text_payload(html, params.get("encoding")), params
             )
+        if fmt == "txt_gz" and html:
+            # .txt.gz reads as ONE text document (raw_text_reader.py:34-50)
+            import gzip as _gzip
+
+            from dedoc_spark.core.formats import decode_text_payload
+
+            return extract_txt_document(
+                url, decode_text_payload(_gzip.decompress(html), params.get("encoding")), params
+            )
         if fmt == "docx" and html:
             return extract_docx_document(url, html)
         if fmt == "pdf" and html:

@@ -440,6 +440,10 @@ def _is_valid_tar(payload: bytes) -> bool:
 def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> str:
     """Extension-first, then content-magic re-sniff (the reference's retry
     collapsed to one pass)."""
+    # .txt.gz is a SINGLE text document in the reference (RawTextReader
+    # can_read, raw_text_reader.py:34-50), not an archive to explode
+    if url.lower().endswith(".txt.gz"):
+        return "txt_gz"
     ext = url.rsplit(".", 1)[-1].lower() if "." in url.rsplit("/", 1)[-1] else ""
     if ext in _EXT_FORMATS:
         return _EXT_FORMATS[ext]

@@ -122,7 +122,13 @@ def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None
     from dedoc_spark.operators import _persist
     from dedoc_spark.operators.pipeline import extract_stage
 
-    maybe_zip = F.col("html").isNotNull() & _archive_magic(F.col("html").cast("binary"))
+    # .txt.gz is a SINGLE text document (raw_text_reader.py can_read) —
+    # gzip magic alone must not route it into the explosion channel
+    maybe_zip = (
+        F.col("html").isNotNull()
+        & _archive_magic(F.col("html").cast("binary"))
+        & ~F.lower(F.col("url")).endswith(".txt.gz")
+    )
     out = extract_stage(df.filter(~maybe_zip), params=params)
     pending = df.filter(maybe_zip).select("url", "html")
     persisted = []

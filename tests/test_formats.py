@@ -504,3 +504,40 @@ def test_bz2_and_xz_archives():
     assert list_archive_members(lzma.compress(b"just bytes")) == [("member", b"just bytes")]
     assert detect_format("https://a/x.tbz2", None, None) == "zip"
     assert detect_format("https://a/x.txz", None, None) == "zip"
+
+
+def test_txt_gz_reads_as_single_text_document():
+    """.txt.gz is ONE text document in the reference (RawTextReader
+    can_read), not an archive to explode into member rows."""
+    import gzip
+
+    from dedoc_spark.core.document import extract_document
+    from dedoc_spark.core.formats import detect_format
+
+    payload = gzip.compress("first line\nsecond line".encode())
+    assert detect_format("https://x/notes.txt.gz", payload, None) == "txt_gz"
+    d = extract_document("https://x/notes.txt.gz", payload, None)
+    assert d["error"] is None and d["n_lines"] == 2
+    assert "first line" in d["text_extracted"] and "second line" in d["text_extracted"]
+    # a bare .gz (no .txt) still explodes through the archive channel
+    assert detect_format("https://x/data.gz", payload, None) == "zip"
+
+
+def test_txt_gz_not_exploded_by_archive_channel(spark):
+    import gzip
+
+    from dedoc_spark.operators.archives import extract_with_archives, unpersist_intermediates
+
+    df = spark.createDataFrame(
+        [
+            ("https://x/notes.txt.gz", bytearray(gzip.compress(b"gzipped text body"))),
+            ("https://x/bundle.gz", bytearray(gzip.compress(b"bare member body"))),
+        ],
+        "url string, html binary",
+    )
+    rows = {r.url: r for r in extract_with_archives(df, max_depth=1).collect()}
+    unpersist_intermediates()
+    assert rows["https://x/notes.txt.gz"].error is None
+    assert "gzipped text body" in rows["https://x/notes.txt.gz"].text_extracted
+    member = next(u for u in rows if u.startswith("https://x/bundle.gz#"))
+    assert "bare member body" in rows[member].text_extracted
