@@ -118,11 +118,22 @@ def extract_txt_document(url: str, text: str, params: Optional[Dict] = None) -> 
     return _finalize(url, lines, [], [], params)
 
 
-def extract_json_document(url: str, payload: str) -> Dict:
+def extract_json_document(url: str, payload: str, params: Optional[Dict] = None) -> Dict:
     from dedoc_spark.core.formats import extract_json_lines
 
-    lines = extract_json_lines(payload, url_hash(url))
-    return _finalize(url, lines, [], [])
+    params = params or {}
+    html_fields = params.get("html_fields")
+    lines = extract_json_lines(payload, url_hash(url), html_fields=html_fields)
+    warnings: List[str] = []
+    if html_fields:
+        # excluded fields become html attachments (surface through the
+        # attachment channel, list_attachments with the same params)
+        from dedoc_spark.core.formats import json_html_field_attachments
+
+        warnings = [
+            f"attachment: {name}" for name, _ in json_html_field_attachments(payload, html_fields)
+        ]
+    return _finalize(url, lines, [], warnings, params)
 
 
 def extract_csv_document(url: str, payload: str, is_tsv: bool = False) -> Dict:
@@ -310,7 +321,7 @@ def extract_document(
         if fmt == "html" and html:
             return extract_html_document(url, html, handle_invisible_table, params)
         if fmt == "json" and html:
-            return extract_json_document(url, html.decode("utf-8", errors="replace"))
+            return extract_json_document(url, html.decode("utf-8", errors="replace"), params)
         if fmt in ("csv", "tsv") and html:
             return extract_csv_document(
                 url, html.decode("utf-8", errors="replace"), is_tsv=fmt == "tsv"

@@ -41,9 +41,56 @@ _HTML = HtmlExtractor()
 # --- JSON -------------------------------------------------------------------
 
 
-def extract_json_lines(payload: str, url_hash: str = "") -> List[Line]:
-    """Generic JSON tree-flatten with the reference's DFS order."""
+def json_html_field_attachments(payload: str, html_fields: List[List[str]]) -> List[Tuple[str, bytes]]:
+    """JsonAttachmentsExtractor port (json_attachment_extractor.py:16-61):
+    each key path in ``html_fields`` whose end node is a STRING becomes an
+    attached html file named ``json.dumps(keys)`` + ".html"; non-string
+    end nodes are skipped."""
     data = json.loads(payload)
+    out: List[Tuple[str, bytes]] = []
+    for keys in html_fields:
+        name = json.dumps(keys, ensure_ascii=False) + ".html"
+        content = data
+        try:
+            for key in keys:
+                content = content[key]
+        except (KeyError, TypeError, IndexError):
+            continue
+        if isinstance(content, str):
+            out.append((name, content.encode("utf-8")))
+    return out
+
+
+def _exclude_json_fields(data, field_keys: List[List[str]]):
+    """json_reader.py:66-85 __exclude_html_fields: delete each key path,
+    then prune parents that became empty (bottom-up)."""
+    for keys in field_keys:
+        node = data
+        parents = []
+        try:
+            for key in keys[:-1]:
+                parents.append((node, key))
+                node = node[key]
+            del node[keys[-1]]
+        except (KeyError, TypeError, IndexError):
+            continue
+        for parent, key in parents[::-1]:
+            if not parent[key]:
+                del parent[key]
+    return data
+
+
+def extract_json_lines(
+    payload: str, url_hash: str = "", html_fields: Optional[List[List[str]]] = None
+) -> List[Line]:
+    """Generic JSON tree-flatten with the reference's DFS order.
+
+    ``html_fields`` (json_reader.py:41-49): key paths excluded from the
+    flatten — their content is surfaced as html attachments instead
+    (json_html_field_attachments)."""
+    data = json.loads(payload)
+    if html_fields:
+        data = _exclude_json_fields(data, html_fields)
 
     def is_flat(v) -> bool:
         return not isinstance(v, (dict, list))
@@ -258,7 +305,9 @@ def _is_tar(data: bytes) -> bool:
 # --- attachments (attachments_handler.py:31-81 re-entry semantics) -----------
 
 
-def list_attachments(url: str, payload: bytes, max_members: int = 1000) -> List[Tuple[str, bytes]]:
+def list_attachments(
+    url: str, payload: bytes, max_members: int = 1000, params: Optional[Dict] = None
+) -> List[Tuple[str, bytes]]:
     """Attachment payloads of one document as (name, bytes) — the pure
     function behind the Spark attachment-explosion channel. Covers:
 
@@ -271,6 +320,10 @@ def list_attachments(url: str, payload: bytes, max_members: int = 1000) -> List[
     """
     fmt = detect_format(url, payload, None)
     out: List[Tuple[str, bytes]] = []
+    if fmt == "json" and params and params.get("html_fields"):
+        return json_html_field_attachments(
+            payload.decode("utf-8", errors="replace"), params["html_fields"]
+        )[:max_members]
     if fmt == "zip":
         return list_archive_members(payload, max_members)
     if fmt == "email" or fmt == "mhtml":

@@ -541,3 +541,33 @@ def test_txt_gz_not_exploded_by_archive_channel(spark):
     assert "gzipped text body" in rows["https://x/notes.txt.gz"].text_extracted
     member = next(u for u in rows if u.startswith("https://x/bundle.gz#"))
     assert "bare member body" in rows[member].text_extracted
+
+
+def test_json_html_fields_excluded_and_attached():
+    """json_reader.py html_fields: listed key paths leave the flatten
+    (empty parents pruned bottom-up) and become html attachments named
+    json.dumps(keys)+'.html'; non-string end nodes are skipped."""
+    import json
+
+    from dedoc_spark.core.document import extract_json_document
+    from dedoc_spark.core.formats import json_html_field_attachments, list_attachments
+
+    payload = json.dumps(
+        {"a": {"b": "<p>inner html</p>"}, "c": "<i>outer html</i>", "keep": "plain", "n": 5}
+    )
+    fields = [["a", "b"], ["c"], ["n"]]
+    atts = json_html_field_attachments(payload, fields)
+    assert atts == [
+        ('["a", "b"].html', b"<p>inner html</p>"),
+        ('["c"].html', b"<i>outer html</i>"),
+        # "n" is not a string → skipped (reference behavior)
+    ]
+    d = extract_json_document("x.json", payload, params={"html_fields": fields})
+    assert "inner html" not in d["text_linear"] and "outer html" not in d["text_linear"]
+    assert "plain" in d["text_linear"]
+    # "a" became empty after exclusion → pruned, so no dangling "a" key line
+    assert "a" not in d["text_linear"].split("\n")
+    assert d["warnings"] == ['attachment: ["a", "b"].html', 'attachment: ["c"].html']
+    # attachment channel surfaces the same payloads
+    listed = list_attachments("x.json", payload.encode(), params={"html_fields": fields})
+    assert listed == atts
