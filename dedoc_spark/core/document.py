@@ -201,6 +201,8 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
     pages_range = params.get("pages")
     tables = []
     need_para = bool(params.get("need_paragraph_classification"))
+    hf_raw = params.get("need_header_footer_analysis")
+    need_hf = True if hf_raw is None else str(hf_raw).lower() == "true"
     if params.get("need_pdf_table_analysis"):
         # pdf_txtlayer_reader.py:49-73 table path: ruled tables detected
         # from the page's painted line art, captured lines leave the flow
@@ -210,6 +212,7 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
             pages_range=pages_range,
             with_layout=bool(params.get("with_layout")),
             need_paragraph_classification=need_para,
+            need_header_footer_analysis=need_hf,
         )
     else:
         lines, warnings = extract_pdf_lines(
@@ -218,6 +221,7 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
             pages_range=pages_range,
             with_layout=bool(params.get("with_layout")) or need_para,
             need_paragraph_classification=need_para,
+            need_header_footer_analysis=need_hf,
         )
     if params.get("pdf_with_text_layer", "auto") in ("auto", "auto_tabby"):
         is_correct, first_correct = detect_txt_layer(lines)

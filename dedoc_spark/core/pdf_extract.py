@@ -674,6 +674,7 @@ def extract_pdf_lines(
     pages_range: Optional[str] = None,
     with_layout: bool = False,
     need_paragraph_classification: bool = False,
+    need_header_footer_analysis: bool = True,
 ) -> Tuple[List[Line], List[str]]:
     """Full txt-layer read: per-page lines with page_id, bold annotations,
     header/footer voting applied for multi-page documents.
@@ -690,6 +691,7 @@ def extract_pdf_lines(
     lines, _tables, warnings = _extract_pdf_full(
         payload, url_hash, pages_range, with_layout, detect_tables=False,
         need_paragraph_classification=need_paragraph_classification,
+        need_header_footer_analysis=need_header_footer_analysis,
     )
     return lines, warnings
 
@@ -700,6 +702,7 @@ def extract_pdf_lines_tables(
     pages_range: Optional[str] = None,
     with_layout: bool = False,
     need_paragraph_classification: bool = False,
+    need_header_footer_analysis: bool = True,
 ):
     """Txt-layer read WITH ruled-table analysis — the
     ``need_pdf_table_analysis`` path of the reference
@@ -713,6 +716,7 @@ def extract_pdf_lines_tables(
     return _extract_pdf_full(
         payload, url_hash, pages_range, with_layout, detect_tables=True,
         need_paragraph_classification=need_paragraph_classification,
+        need_header_footer_analysis=need_header_footer_analysis,
     )
 
 
@@ -723,6 +727,7 @@ def _extract_pdf_full(
     with_layout: bool,
     detect_tables: bool,
     need_paragraph_classification: bool = False,
+    need_header_footer_analysis: bool = True,
 ):
     from dedoc_spark.core.pdf_layout import (
         BBox,
@@ -815,7 +820,13 @@ def _extract_pdf_full(
                     PageObject("image", uid, Location(page_id, BBox(x0, y0, x1 - x0, y1 - y0)))
                 )
         page_lines.append(cur)
-    if len(page_lines) > 1:
+    # the reference gates this behind need_header_footer_analysis
+    # (default False, parameter_utils.py:51); HERE the default is True —
+    # a documented deviation: at web scale repeated-header removal is the
+    # useful default, and the engine's output contract since round 1.
+    # Passing need_header_footer_analysis=False restores reference-default
+    # behavior.
+    if need_header_footer_analysis and len(page_lines) > 1:
         page_lines, headers, footers = footer_header_analysis(page_lines)
         removed = sum(len(h) for h in headers) + sum(len(f) for f in footers)
         if removed:

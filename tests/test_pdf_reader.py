@@ -164,3 +164,17 @@ def test_auto_reader_routing_warnings():
     # explicit non-auto mode skips detection entirely
     d = extract_document("https://x/good.pdf", good, None, params={"pdf_with_text_layer": "tabby"})
     assert not any(w.startswith("Assume") for w in d["warnings"])
+
+
+def test_header_footer_param_opt_out():
+    """need_header_footer_analysis=False (the REFERENCE default,
+    parameter_utils.py:51) keeps repeated headers/footers in the flow;
+    this engine's default stays True (documented deviation)."""
+    doc = extract_document(
+        "https://x/report.pdf", example_pdf(4), None,
+        params={"need_header_footer_analysis": "false"},
+    )
+    assert doc["error"] is None
+    assert "ACME Corp" in doc["text_extracted"]  # header kept
+    doc_on = extract_document("https://x/report.pdf", example_pdf(4), None)
+    assert "ACME Corp" not in doc_on["text_extracted"]  # default removal
