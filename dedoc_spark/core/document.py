@@ -136,11 +136,16 @@ def extract_json_document(url: str, payload: str, params: Optional[Dict] = None)
     return _finalize(url, lines, [], warnings, params)
 
 
-def extract_csv_document(url: str, payload: str, is_tsv: bool = False) -> Dict:
+def extract_csv_document(
+    url: str, payload: str, is_tsv: bool = False, params: Optional[Dict] = None
+) -> Dict:
     from dedoc_spark.core.formats import extract_csv_table
 
-    tables, warnings = extract_csv_table(payload, url_hash(url), is_tsv=is_tsv)
-    return _finalize(url, [], tables, warnings)
+    params = params or {}
+    tables, warnings = extract_csv_table(
+        payload, url_hash(url), delimiter=params.get("delimiter"), is_tsv=is_tsv
+    )
+    return _finalize(url, [], tables, warnings, params)
 
 
 def extract_email_document(url: str, payload: bytes) -> Dict:
@@ -327,8 +332,9 @@ def extract_document(
         if fmt == "json" and html:
             return extract_json_document(url, html.decode("utf-8", errors="replace"), params)
         if fmt in ("csv", "tsv") and html:
+            # explicit delimiter parameter wins (csv_reader.py:31-33)
             return extract_csv_document(
-                url, html.decode("utf-8", errors="replace"), is_tsv=fmt == "tsv"
+                url, html.decode("utf-8", errors="replace"), is_tsv=fmt == "tsv", params=params
             )
         if fmt == "email" and html:
             return extract_email_document(url, html)

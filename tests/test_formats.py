@@ -571,3 +571,17 @@ def test_json_html_fields_excluded_and_attached():
     # attachment channel surfaces the same payloads
     listed = list_attachments("x.json", payload.encode(), params={"html_fields": fields})
     assert listed == atts
+
+
+def test_csv_delimiter_param():
+    """csv_reader.py:31-33: an explicit delimiter parameter beats the
+    extension default."""
+    import json
+
+    from dedoc_spark.core.document import extract_document
+
+    d = extract_document("t.csv", b"a;b;c\n1;2;3", None, params={"delimiter": ";"})
+    cells = json.loads(d["tables_json"])[0]["cells"]
+    texts = [[l["line"] for c in row for l in c["lines"]] for row in cells]
+    assert texts == [["a", "b", "c"], ["1", "2", "3"]]
+    assert "delimiter is ';'" in d["warnings"]
