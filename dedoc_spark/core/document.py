@@ -215,7 +215,9 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
             payload,
             url_hash(url),
             pages_range=pages_range,
-            with_layout=bool(params.get("with_layout")),
+            # paragraph classification needs layout bboxes — force them on
+            # exactly like the non-table branch, or the flag silently no-ops
+            with_layout=bool(params.get("with_layout")) or need_para,
             need_paragraph_classification=need_para,
             need_header_footer_analysis=need_hf,
         )

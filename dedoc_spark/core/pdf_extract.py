@@ -557,7 +557,7 @@ def extract_pdf_pages(payload: bytes) -> List[List[Tuple[str, bool]]]:
     ]
 
 
-def extract_pdf_pages_layout(payload: bytes) -> List[Dict]:
+def extract_pdf_pages_layout(payload: bytes, collect_rules: bool = True) -> List[Dict]:
     """Payload → per-page layout dicts:
 
       {"width": w, "height": h,
@@ -603,7 +603,10 @@ def extract_pdf_pages_layout(payload: bytes) -> List[Dict]:
         contents = _dict_value(page_obj, b"/Contents") or b""
         shows: List[Tuple[float, float, str, str, float, float]] = []
         images_dev: List[Tuple[str, Tuple[float, float, float, float]]] = []
-        rules_dev: List[Tuple[float, float, float, float]] = []
+        # rules/per-show bboxes feed ONLY the ruled-table detector —
+        # collect_rules=False keeps the default extraction hot path free
+        # of the line-art CTM mapping and the per-show tuple build
+        rules_dev: Optional[List[Tuple[float, float, float, float]]] = [] if collect_rules else None
         for cid in _resolve_refs(contents):
             data = _stream_data(objects.get(cid, b""))
             if data is None:
@@ -614,6 +617,8 @@ def extract_pdf_pages_layout(payload: bytes) -> List[Dict]:
         shows_td: List[Tuple[str, Tuple[float, float, float, float]]] = []
         for y, x, text, font, x2, y2 in shows:
             by_y.setdefault(round(y, 1), []).append((x, text, font, x2, y2))
+            if not collect_rules:
+                continue
             # per-show top-down bbox (pre line-merge) — the granularity the
             # ruled-table cell filler needs (same-y shows in different grid
             # cells must not fuse)
@@ -653,7 +658,7 @@ def extract_pdf_pages_layout(payload: bytes) -> List[Dict]:
         # the image-pixel orientation of the layout family
         rules = [
             (round(rx0, 2), round(height - ry0, 2), round(rx1, 2), round(height - ry1, 2))
-            for rx0, ry0, rx1, ry1 in rules_dev
+            for rx0, ry0, rx1, ry1 in (rules_dev or [])
         ]
         pages.append(
             {
@@ -740,7 +745,7 @@ def _extract_pdf_full(
         link_objects,
     )
 
-    pages = extract_pdf_pages_layout(payload)
+    pages = extract_pdf_pages_layout(payload, collect_rules=detect_tables)
     warnings: List[str] = []
     if pages_range:
         left, _, right = pages_range.partition(":")

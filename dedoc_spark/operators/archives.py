@@ -124,10 +124,14 @@ def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None
 
     # .txt.gz is a SINGLE text document (raw_text_reader.py can_read) —
     # gzip magic alone must not route it into the explosion channel
+    # coalesce: a NULL url must not make the predicate NULL (a NULL
+    # filter value would drop the row from BOTH branches and break the
+    # every-url-yields-a-row invariant)
+    is_txt_gz = F.coalesce(F.lower(F.col("url")).endswith(".txt.gz"), F.lit(False))
     maybe_zip = (
         F.col("html").isNotNull()
         & _archive_magic(F.col("html").cast("binary"))
-        & ~F.lower(F.col("url")).endswith(".txt.gz")
+        & ~is_txt_gz
     )
     out = extract_stage(df.filter(~maybe_zip), params=params)
     pending = df.filter(maybe_zip).select("url", "html")
@@ -141,7 +145,11 @@ def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None
             _error_extract_rows(classified.filter(F.col("kind") == "error"), F.col("error"))
         )
         ok = classified.filter(F.col("kind") != "error")
-        is_zip_m = (F.col("kind") == "member") & _archive_magic(F.col("html"))
+        is_zip_m = (
+            (F.col("kind") == "member")
+            & _archive_magic(F.col("html"))
+            & ~F.coalesce(F.lower(F.col("url")).endswith(".txt.gz"), F.lit(False))
+        )
         out = out.unionByName(extract_stage(ok.filter(~is_zip_m), params=params))
         pending = ok.filter(is_zip_m).select("url", "html")
     # archives still unexploded after max_depth: typed error rows, not silence
@@ -169,7 +177,9 @@ def unpersist_intermediates(df: DataFrame | None = None) -> int:
     return _persist.release(df)
 
 
-def explode_attachments(df: DataFrame, max_members: int = 1000) -> DataFrame:
+def explode_attachments(
+    df: DataFrame, max_members: int = 1000, params: dict | None = None
+) -> DataFrame:
     """(url, html) rows → one row per attachment payload (url#name, bytes):
     email parts, office media/embeddings members, mhtml parts, zip members —
     formats.list_attachments. Rows with no attachments produce nothing."""
@@ -192,7 +202,7 @@ def explode_attachments(df: DataFrame, max_members: int = 1000) -> DataFrame:
                 raw = bytes(payload)
                 sniff_url = url.rsplit("#", 1)[-1] if "#" in url else url
                 try:
-                    for name, data in list_attachments(sniff_url, raw, max_members):
+                    for name, data in list_attachments(sniff_url, raw, max_members, params):
                         out.append({"url": f"{url}#{name}", "html": data, "text": "", "error": None, "kind": "member"})
                 except Exception as e:
                     out.append({"url": url, "html": None, "text": "", "error": f"{type(e).__name__}: {e}", "kind": "error"})
@@ -217,7 +227,7 @@ def extract_with_attachments(df: DataFrame, max_depth: int = 2, params: dict | N
     pending = df.filter(F.col("html").isNotNull()).select("url", "html")
     persisted = []
     for _ in range(max_depth):
-        atts = explode_attachments(pending).persist(StorageLevel.DISK_ONLY)
+        atts = explode_attachments(pending, params=params).persist(StorageLevel.DISK_ONLY)
         persisted.append(atts)
         out = out.unionByName(
             _error_extract_rows(atts.filter(F.col("kind") == "error"), F.col("error"))

@@ -701,12 +701,19 @@ def remove_duplicated_spans(
         F.col("tok").alias("__g0"),
         *[F.lead("tok", k).over(w).alias(f"__g{k}") for k in range(1, window)],
     )
+    # 60-bit span hash (first 15 md5 hex chars), NOT hash32: removal is
+    # DESTRUCTIVE, and 32-bit collisions (~N²/2^33) would delete tokens
+    # from unrelated documents already at ~1M distinct spans; 60 bits
+    # keeps the expected collision count ≪ 1 up to ~10^8 spans and stays
+    # DuckDB-mirrorable (('0x'||substr(md5(..),1,15))::BIGINT).
+    gram_text = F.concat_ws(" ", *[F.col(f"__g{k}") for k in range(window)])
+    h60 = F.conv(
+        F.substring(F.md5(F.concat(gram_text, F.lit(f"#{hash_seed}"))), 1, 15), 16, 10
+    ).cast("bigint")
     spans = grams.filter(F.col(f"__g{window - 1}").isNotNull()).select(
         F.col(id_col),
         "pos",
-        hash32(
-            F.concat_ws(" ", *[F.col(f"__g{k}") for k in range(window)]), hash_seed
-        ).alias("h"),
+        h60.alias("h"),
     )
     # canonical = lexicographic min of (id, pos) — struct ordering, so any
     # orderable id type works and nothing overflows (an id*2^31+pos

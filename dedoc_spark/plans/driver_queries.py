@@ -2317,74 +2317,29 @@ FROM documents
 def q58_law_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Law-family structure gate (core/law_structure.py; reference contract
     abstract_law_structure_extractor.py:56-82 + law_structure_excractor.py):
-    each doc is a synthetic law whose zones (title/body/cellar/application),
-    unit hierarchy (article/item/subitem) and prefix-split postprocess are
-    checked via the full per-line type sequence; the item's split-off rest
-    line must carry the document's own text."""
-    import pandas as pd
+    zones (title/body/cellar/application), unit hierarchy (article/item/
+    subitem) and prefix-split postprocess checked via the full per-line
+    type sequence; the item's split-off rest line carries the document's
+    own text. Runs through the shared _law_family_gate harness."""
 
-    from dedoc_spark.operators.pipeline import _REPO_ROOT
+    def make_lines(doc_id, text):
+        return [
+            "ЗАКОН",
+            "Статья 1. Сфера",
+            f"1) {text}",
+            "а) подпункт один",
+            "Президент Российской Федерации",
+            "Приложение",
+            "Статья 2. Нормы",
+        ]
 
-    repo = _REPO_ROOT
-
-    def fn(it):
-        import json as jsonlib
-        import sys
-
-        if repo not in sys.path:
-            sys.path.insert(0, repo)
-        from dedoc_spark.core.document import extract_document
-
-        for pdf in it:
-            out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                law = "\n".join(
-                    [
-                        "ЗАКОН",
-                        "Статья 1. Сфера",
-                        f"1) {text}",
-                        "а) подпункт один",
-                        "Президент Российской Федерации",
-                        "Приложение",
-                        "Статья 2. Нормы",
-                    ]
-                )
-                d = extract_document(
-                    f"{int(doc_id)}.txt", law.encode(), None, params={"document_type": "law"}
-                )
-                lines = jsonlib.loads(d["lines_json"])
-                types_seq = ",".join(ln["hl"]["line_type"] for ln in lines)
-                item_rest = next(
-                    (
-                        ln["line"]
-                        for prev, ln in zip(lines, lines[1:])
-                        if prev["hl"]["line_type"] == "item"
-                    ),
-                    "",
-                )
-                out.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "n_lines": len(lines),
-                        "types_seq": types_seq,
-                        "item_rest": item_rest,
-                    }
-                )
-            yield pd.DataFrame(out, columns=["doc_id", "n_lines", "types_seq", "item_rest"])
-
-    return (
-        _parallel(
-            _docs(spark, sf_dir)
-            .select("doc_id", "text")
-        )
-        .mapInPandas(fn, "doc_id long, n_lines long, types_seq string, item_rest string")
-    )
+    return _law_family_gate(spark, sf_dir, "law", make_lines, "raw_text")
 
 
 Q58_SQL = """
 SELECT doc_id, CAST(10 AS BIGINT) AS n_lines,
        'root,body,article,item,raw_text,subitem,raw_text,cellar,application,article' AS types_seq,
-       ' ' || text || chr(10) AS item_rest
+       ' ' || text || chr(10) AS text_rest
 FROM documents
 """
 
@@ -2565,7 +2520,7 @@ grams AS (
 ),
 spans AS (
   SELECT doc_id, pos,
-         ('0x' || substr(md5(tok || ' ' || g1 || ' ' || g2 || ' ' || g3 || ' ' || g4 || '#7777'), 1, 8))::BIGINT AS h
+         ('0x' || substr(md5(tok || ' ' || g1 || ' ' || g2 || ' ' || g3 || ' ' || g4 || '#7777'), 1, 15))::BIGINT AS h
   FROM grams WHERE g4 IS NOT NULL
 ),
 agg AS (

@@ -585,3 +585,50 @@ def test_csv_delimiter_param():
     texts = [[l["line"] for c in row for l in c["lines"]] for row in cells]
     assert texts == [["a", "b", "c"], ["1", "2", "3"]]
     assert "delimiter is ';'" in d["warnings"]
+
+
+def test_txt_gz_member_inside_archive(spark):
+    """A .txt.gz MEMBER of an archive reads as one text document instead of
+    burning an explosion level (or erroring at the depth bound)."""
+    import gzip
+    import io
+    import zipfile
+
+    from dedoc_spark.operators.archives import extract_with_archives, unpersist_intermediates
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("notes.txt.gz", gzip.compress(b"member text body"))
+    df = spark.createDataFrame(
+        [("https://x/bundle.zip", bytearray(buf.getvalue()))], "url string, html binary"
+    )
+    rows = {r.url: r for r in extract_with_archives(df, max_depth=1).collect()}
+    unpersist_intermediates()
+    member = rows["https://x/bundle.zip#notes.txt.gz"]
+    assert member.error is None
+    assert "member text body" in member.text_extracted
+
+
+def test_html_fields_attachments_through_spark_channel(spark):
+    """extract_with_attachments(params={'html_fields': ...}) must surface
+    the excluded json fields as url#name attachment rows."""
+    import json
+
+    from dedoc_spark.operators.archives import extract_with_attachments, unpersist_intermediates
+
+    payload = json.dumps({"a": {"b": "<p>field html</p>"}, "keep": "plain"}).encode()
+    df = spark.createDataFrame(
+        [("https://x/data.json", bytearray(payload))], "url string, html binary"
+    )
+    rows = {
+        r.url: r
+        for r in extract_with_attachments(
+            df, max_depth=1, params={"html_fields": [["a", "b"]]}
+        ).collect()
+    }
+    unpersist_intermediates()
+    att_url = 'https://x/data.json#["a", "b"].html'
+    assert att_url in rows, sorted(rows)
+    assert "field html" in rows[att_url].text_extracted
+    # the excluded field is gone from the parent's flatten
+    assert "field html" not in rows["https://x/data.json"].text_linear

@@ -121,3 +121,20 @@ def test_pdf_param_wiring_batch_predict():
     d2 = extract_document("p.pdf", pdf, None)
     lines2 = json.loads(d2["lines_json"])
     assert all(ln["tag_hl"]["can_be_multiline"] for ln in lines2)
+
+
+def test_paragraph_flag_works_with_table_analysis():
+    """need_paragraph_classification must not silently no-op when combined
+    with need_pdf_table_analysis (the table branch forces layout on just
+    like the plain branch)."""
+    import json
+
+    pages = [[("first line of page", False), ("continuation here", False)]]
+    pdf = build_pdf(pages)
+    d = extract_document(
+        "p.pdf", pdf, None,
+        params={"need_pdf_table_analysis": True, "need_paragraph_classification": True},
+    )
+    assert d["error"] is None
+    lines = json.loads(d["lines_json"])
+    assert all(isinstance(ln["tag_hl"]["can_be_multiline"], bool) for ln in lines)
