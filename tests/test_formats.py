@@ -632,3 +632,43 @@ def test_html_fields_attachments_through_spark_channel(spark):
     assert "field html" in rows[att_url].text_extracted
     # the excluded field is gone from the parent's flatten
     assert "field html" not in rows["https://x/data.json"].text_linear
+
+
+def test_param_surface_never_raises_on_hostile_bytes():
+    """The error channel must hold for EVERY opt-in parameter combination:
+    hostile/truncated payloads under every document_type and pdf flag come
+    back as rows (extracted or typed error), never exceptions."""
+    import hashlib
+
+    from dedoc_spark.core.document import extract_document
+
+    payloads = [
+        b"",
+        b"\x00" * 64,
+        b"%PDF-1.4 truncated",
+        b"PK\x03\x04garbage",
+        b"GIF89a\x01",
+        b"{\\rtf1 unterminated",
+        b'{"broken json',
+        hashlib.md5(b"x").digest() * 40,
+        "ЗАКОН\nСтатья 1. але".encode("cp1251"),
+    ]
+    param_sets = [
+        {},
+        {"document_type": "law"},
+        {"document_type": "foiv_law"},
+        {"document_type": "tz"},
+        {"document_type": "diploma"},
+        {"document_type": "fintoc"},
+        {"document_type": "article"},
+        {"need_pdf_table_analysis": True, "with_layout": True},
+        {"need_paragraph_classification": True},
+        {"need_header_footer_analysis": "false"},
+        {"html_fields": [["a"]]},
+        {"structure_type": "linear"},
+    ]
+    for ext in ("html", "pdf", "txt", "json", "zip", "txt.gz", "docx"):
+        for payload in payloads:
+            for params in param_sets:
+                d = extract_document(f"u.{ext}", payload, None, params=dict(params))
+                assert isinstance(d, dict) and "error" in d, (ext, params)
