@@ -74,11 +74,9 @@ def predict_fintoc_depths(lines: Sequence[Line], threshold: float = 0.8) -> List
     toc = get_toc(lines)
     if not toc:
         return [0] * len(lines)
-    # TocItem.filter_toc_line semantics: strip the page number and the
-    # "......" leader before matching body lines against TOC entries
-    toc_texts = [
-        t.line.line.strip("\n ").rstrip(str(t.page)).rstrip(". ").lower() for t in toc
-    ]
+    # strip the page number and the "……" leader before matching body
+    # lines against TOC entries (shared filter_toc_line semantics)
+    toc_texts = [t.stripped_text().lower() for t in toc]
     out: List[int] = []
     for ln in lines:
         text = ln.line.strip().lower()

@@ -275,6 +275,13 @@ def _build_application(lines_with_labels: List[Tuple[Line, str]], init_hl_depth:
             line.line, label, init_hl_depth, previous_hl, hl_type
         )
         if regexp_application_begin.match(line.line.strip().lower()):
+            # NOTE reference-faithful aliasing: when _line_2level returned
+            # the SHARED previous_hl object, this mutation lands on it
+            # before the copy below — exactly the reference's order
+            # (abstract_application_hierarchy_level_builder.py:41-52, where
+            # deepcopy also happens after this postprocess). Also faithful:
+            # _line_2level matches the regexp against NON-lowercased text
+            # (:66) while this check lowercases (:41).
             hierarchy_level.can_be_multiline = previous_line_start_of_application
             previous_line_start_of_application = True
         elif line.line.strip() != "":

@@ -144,6 +144,11 @@ def detect_ruled_tables(
         col_bounds = _snap([s[0] for s in vs], eps)
         if len(row_bounds) < 2 or len(col_bounds) < 2:
             continue
+        # the inner-divider requirement must hold on the SNAPPED bounds:
+        # a double-stroked plain rectangle yields 3 raw segments that
+        # snap back to 2 positions — still a border, not a table
+        if (len(row_bounds) - 1) * (len(col_bounds) - 1) <= 1:
+            continue
         bbox = BBox(
             col_bounds[0],
             row_bounds[0],

@@ -36,9 +36,14 @@ class TocItem:
         self.line = line
         self.page = page
 
+    def stripped_text(self) -> str:
+        """filter_toc_line semantics (toc_feature_extractor.py:19-23):
+        the item text without the page number and the "……" leader."""
+        return self.line.line.strip("\n ").rstrip(str(self.page)).rstrip(". ")
+
     def filter_toc_line(self) -> "TocItem":
         # strip the page number and the "........" leader in place
-        self.line.line = self.line.line.strip("\n ").rstrip(str(self.page)).rstrip(". ")
+        self.line.line = self.stripped_text()
         return self
 
 
@@ -92,17 +97,25 @@ def _probable_toc(document: Sequence[Line]) -> Tuple[List[Union[TocItem, Line]],
 def _unmerged_toc(
     lines: List[Union[TocItem, Line]], marks: List[bool]
 ) -> List[Union[TocItem, Line]]:
-    """Window-5 mark smoothing (toc_feature_extractor.py:88-100)."""
+    """Window-5 mark smoothing (toc_feature_extractor.py:88-100) — same
+    decisions, O(n): running prefix count replaces the per-iteration
+    marks[:idx] slices (a 50k-line no-TOC document would otherwise cost
+    ~n²/2 slice elements inside the executor)."""
     corrected: List[bool] = []
     n = len(lines)
+    window_sum = sum(marks[:WINDOW_SIZE])  # marks[idx : idx+WINDOW_SIZE]
+    prefix = 0  # sum(marks[:idx])
     for idx in range(n - WINDOW_SIZE):
-        window = marks[idx: idx + WINDOW_SIZE]
-        if sum(marks[:idx]) > 5 and not any(window):
+        if prefix > 5 and window_sum == 0:
             corrected.extend([False] * (n - WINDOW_SIZE - idx))
             break
-        marked_before = any(window) and any(marks[:idx])
-        marked_after = marks[idx] and any(marks[idx + 1: idx + WINDOW_SIZE])
+        marked_before = window_sum > 0 and prefix > 0
+        marked_after = marks[idx] and (window_sum - (1 if marks[idx] else 0)) > 0
         corrected.append(marked_before or marked_after)
+        prefix += 1 if marks[idx] else 0
+        window_sum -= 1 if marks[idx] else 0
+        if idx + WINDOW_SIZE < n:
+            window_sum += 1 if marks[idx + WINDOW_SIZE] else 0
     corrected.extend([False] * WINDOW_SIZE)
     return [ln for ln, keep in zip(lines, corrected) if keep]
 
@@ -117,6 +130,11 @@ def _merged_multiline_toc(result: List[Union[TocItem, Line]]) -> List[TocItem]:
             cur_line = entry if cur_line is None else _concat(cur_line, entry)
         elif isinstance(entry, TocItem):
             cur = entry.line if cur_line is None else _concat(cur_line, entry.line)
+            # the merged line keeps the FIRST component's line_id (concat
+            # semantics); record the closing component's id so callers that
+            # excise the TOC span (diploma _replace_toc_lines) can cover
+            # the continuation lines too
+            cur.extras["toc_span_last_id"] = entry.line.line_id
             merged.append(TocItem(line=cur, page=entry.page))
             cur_line = None
     return merged

@@ -290,8 +290,14 @@ def _replace_toc_lines(lines: List[Line]) -> List[Line]:
     if len(toc_items) == 0:
         return lines
     toc_lines = [item.line for item in toc_items]
-    ids = [ln.line_id or 0 for ln in toc_lines]
-    min_id, max_id = min(ids), max(ids)
+    # a multiline item's merged line keeps its FIRST component's id; the
+    # excised range must extend to the closing component (toc_span_last_id)
+    # or the continuation line would survive the filter AND appear inside
+    # the merged item — duplicated text
+    min_id = min(ln.line_id or 0 for ln in toc_lines)
+    max_id = max(
+        max(ln.line_id or 0, ln.extras.get("toc_span_last_id") or 0) for ln in toc_lines
+    )
 
     lines_wo_toc: List[Line] = []
     toc_title: Optional[Line] = None

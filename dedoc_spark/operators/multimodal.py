@@ -125,9 +125,11 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: explode frame indices from metadata so
     each (video, frame) is its own row/task — the decode itself is the stub
     above. Shows the partitioning shape for per-frame fan-out."""
-    return df.select(
+    # n_frames NULL or 0 must emit NOTHING (greatest() skips nulls, and
+    # sequence(0,0) is [0] — both would schedule a phantom frame-0 task)
+    return df.filter(F.col("n_frames") >= 1).select(
         "media_id",
-        F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))).alias(
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias(
             "frame_idx"
         ),
     )
@@ -210,6 +212,10 @@ def image_resize(
                     hexbuf = f"{out_w}x{out_h}" + resized.tobytes().hex()
                     row["px_hash"] = hashlib.md5(hexbuf.encode()).hexdigest()
                 except Exception as e:
+                    # error-channel discipline (media_features): a failed
+                    # decode must not claim it produced a sized image
+                    row["width"] = None
+                    row["height"] = None
                     row["error"] = f"{type(e).__name__}: {e}"
                 out.append(row)
             yield pd.DataFrame(out, columns=[f.name for f in schema.fields])

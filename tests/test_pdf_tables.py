@@ -141,3 +141,17 @@ def test_vector_art_page_capped():
 
     segs = [(float(i % 500), float(i % 311), float(i % 500) + 8.0, float(i % 311)) for i in range(MAX_SEGMENTS + 1)]
     assert detect_ruled_tables(segs) == []
+
+
+def test_double_stroked_rectangle_rejected():
+    """A plain rectangle whose top edge is double-stroked (3 raw h-segments
+    snapping to 2 boundaries) is still a border, not a 1×1 table — the
+    inner-divider check holds on the SNAPPED bounds."""
+    rect = [
+        (10, 10.0, 110, 10.0),
+        (10, 10.5, 110, 10.5),  # double stroke of the top edge
+        (10, 50, 110, 50),
+        (10, 10, 10, 50),
+        (110, 10, 110, 50),
+    ]
+    assert detect_ruled_tables(rect) == []

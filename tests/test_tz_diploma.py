@@ -243,3 +243,37 @@ def test_fintoc_document_type_param():
     d = extract_document("f.txt", b"plain line one\nplain line two", None,
                          params={"document_type": "fintoc"})
     assert d["error"] is None and d["n_lines"] == 2
+
+
+def test_diploma_multiline_last_toc_item_not_duplicated():
+    """When the LAST TOC entry wraps onto a continuation line, the excised
+    range must cover the closing component — otherwise its text appears
+    both inside the merged item and again as a body line."""
+    from dedoc_spark.core.tz_diploma import _replace_toc_lines
+
+    lines = extract_txt_lines(
+        "\n".join(
+            [
+                "СОДЕРЖАНИЕ",
+                "Введение .......... 3",
+                "Глава 1 Обзор .......... 5",
+                "1.1 Постановка .......... 6",
+                "1.2 Методы .......... 9",
+                "Глава 2 Эксперименты .......... 12",
+                "2.1 Датасет .......... 13",
+                "Приложение А Материалы",  # wraps — no page number
+                "эксперимента .......... 43",
+                "Введение",
+                "текст введения обычный",
+                "далее текст без номеров",
+                "и ещё обычные строки",
+                "и последняя строка текста",
+            ]
+        )
+    )
+    out = _replace_toc_lines(lines)
+    texts = [ln.line for ln in out]
+    # the continuation text appears exactly once (inside the merged item)
+    assert sum("эксперимента" in t for t in texts) == 1
+    merged = next(t for t in texts if "Материалы" in t)
+    assert "эксперимента" in merged
