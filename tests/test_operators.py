@@ -316,13 +316,16 @@ def test_frame_sample_plan(spark):
     partitioning shape for per-frame decode tasks."""
     from dedoc_spark.operators.multimodal import frame_sample_plan
 
-    df = spark.createDataFrame([(1, 100), (2, 15), (3, 0)], "media_id bigint, n_frames int")
+    df = spark.createDataFrame(
+        [(1, 100), (2, 15), (3, 0), (4, None)], "media_id bigint, n_frames int"
+    )
     got = {}
     for r in frame_sample_plan(df, every_n=30).collect():
         got.setdefault(r.media_id, []).append(r.frame_idx)
     assert got[1] == [0, 30, 60, 90]
     assert got[2] == [0]
-    assert got[3] == [0]  # zero-frame video still yields the 0 index row
+    # zero-frame and unknown-frame-count videos emit NO phantom rows
+    assert 3 not in got and 4 not in got
 
 
 def test_ivf_kmeans_and_search(spark, embeddings):
