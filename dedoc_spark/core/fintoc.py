@@ -37,7 +37,10 @@ from dedoc_spark.core.toc import get_toc
 SPECIAL_UNICODE_SYMBOLS = [
     "\uf0b7", "\uf0d8", "\uf084", "\uf0a7", "\uf0f0", "\x83",
 ]  # private-use bullet glyphs the reference strips (:105)
-empty_string_regexp = re.compile(r"^\s*\n$")
+# the reference regexp is ^\s*\n$ over \n-terminated LineWithMeta text;
+# this engine's pdf lines carry no trailing newline, so the port widens
+# to any whitespace-only line (same intent: drop blanks)
+empty_string_regexp = re.compile(r"^\s*\n$|^\s+$")
 
 LANGUAGES = ("en", "fr", "sp")
 

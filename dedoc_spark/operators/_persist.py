@@ -31,7 +31,10 @@ def release(df=None) -> int:
     the safety net for long-lived sessions.
     """
     handle = getattr(df, "_dedoc_persisted", None) if df is not None else None
-    frames = list(handle) if handle else list(_REGISTRY)
+    # `handle == []` means "this frame pinned NOTHING" (e.g. max_depth=0)
+    # and must release nothing — only a MISSING handle falls back to the
+    # session-wide registry drain
+    frames = list(handle) if handle is not None else list(_REGISTRY)
     n = 0
     for f in frames:
         try:

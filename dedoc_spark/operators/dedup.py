@@ -138,6 +138,12 @@ def minhash_lsh_pairs(
     executor loss on a real cluster, unlike localCheckpoint) instead of
     recomputing the shingle+hash subtree on both sides of the self-join.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make every band key the empty string
+        # (all documents collide, then the max_bucket cap silently drops
+        # everything); non-divisible bands would silently ignore the
+        # trailing hashes
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
     sigs = with_minhash(df, text_col, id_col, num_hashes, shingle_n, hash_family)
     if persist_signatures:
@@ -201,9 +207,12 @@ def jaccard_for_pairs(
     analogue of minhash_lsh_pairs' max_bucket). Documents under the cap are
     untouched (exact Jaccard); above it, the set is reduced to its bottom-k
     sketch under a shared uniform hash order (k-minimum-values, Cohen &
-    Kaplan 2007) so both sides sample the shingle universe consistently and
-    the Jaccard estimate has standard error ≈ 1/√k (< 0.005 at the default
-    cap). ``max_shingles=None`` disables the cap.
+    Kaplan 2007). CAVEAT (documented bias): when only ONE side of a pair
+    is capped the estimator is asymmetric and biased LOW by up to
+    (|A|−k)/|A∪B| — treat capped-pair scores as a lower bound, and size
+    the cap well above the typical document so capping is the exception
+    (the default 50k ≈ a 50k-token document). Symmetric capped pairs have
+    the usual ≈1/√k sketch error. ``max_shingles=None`` disables the cap.
     """
     from dedoc_spark.functions import shingle_rows
 
@@ -229,6 +238,16 @@ def jaccard_for_pairs(
             .otherwise(capped)
             .alias("sh"),
         )
+    # both join sides read `sets` — persist it (the shingle collect_set
+    # over the whole corpus is the expensive aggregation; Spark performs
+    # no common-subplan elimination across the two joins). Registered for
+    # session-wide release like the minhash signature frame.
+    from pyspark.storagelevel import StorageLevel
+
+    from dedoc_spark.operators import _persist
+
+    sets = sets.persist(StorageLevel.DISK_ONLY)
+    _persist.register([sets])
     joined = pairs.join(
         sets.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a"
     ).join(sets.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")
@@ -471,9 +490,15 @@ def _star_components(
         if on_exhausted == "raise":
             raise RuntimeError(msg)
         warnings.warn(msg)
-    # fixpoint edges are (member, root); roots label themselves
+    # fixpoint edges are (member, root); roots label themselves. The
+    # groupBy(min) guards the one-row-per-id contract when max_iter was
+    # exhausted mid-contraction (a node can still hold edges to two
+    # different provisional roots; converged fixpoints have exactly one)
+    labels = cur.select(F.col("x").alias("id"), F.col("y").alias("comp")).groupBy("id").agg(
+        F.min("comp").alias("comp")
+    )
     return (
-        nodes.join(cur.select(F.col("x").alias("id"), F.col("y").alias("comp")), "id", "left")
+        nodes.join(labels, "id", "left")
         .select("id", F.coalesce("comp", "id").alias("comp"))
     )
 
@@ -676,6 +701,13 @@ def remove_duplicated_spans(
     signal; this is the actionable removal. Returns
     (id, text_dedup, n_tokens, n_removed) — one row per input document
     (a fully-duplicated document comes back with text_dedup = '').
+
+    Overlap caveat (documented policy, matches the reference Lee et al.
+    tooling's behavior on overlapping ranges): the removal set is the
+    UNION of all non-canonical occurrences' token ranges, so a canonical
+    occurrence overlapped by a DIFFERENT duplicated span's removal can
+    itself lose tokens — 'one surviving copy' is guaranteed per removal
+    decision, not across overlapping span families.
 
     Scale shape: posexplode tokens + window leads (codegen) → span hashes;
     ONE groupBy on the 32-bit span hash computes (occurrence count,

@@ -13,7 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dedoc_spark.operators.pipeline import EXTRACT_SCHEMA, bootstrapped
 
 WEB_PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
@@ -28,10 +27,14 @@ def read_web_pages_stream(
     )
 
 
-def extract_stream(stream_df: DataFrame) -> DataFrame:
-    """Attach the extraction stage to a streaming web_pages DataFrame."""
-    cols = [c for c in ("url", "html", "text") if c in stream_df.columns]
-    return stream_df.select(*cols).mapInPandas(bootstrapped("_extract_batches"), schema=EXTRACT_SCHEMA)
+def extract_stream(stream_df: DataFrame, params: dict | None = None) -> DataFrame:
+    """Attach the extraction stage to a streaming web_pages DataFrame —
+    the SAME extract_stage the batch path uses (no salting: repartition
+    is not applicable to a stream), so the two front doors can never
+    drift and the full parameter surface works on streams too."""
+    from dedoc_spark.operators.pipeline import extract_stage
+
+    return extract_stage(stream_df, params=params)
 
 
 def start_extraction_stream(
@@ -139,6 +142,7 @@ def streaming_near_dedup(
     bands: int = 4,
     max_tokens: int = 512,
     timeout_ms: int = 0,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Stateful streaming NEAR-duplicate detection: MinHash band keys per
     document, one state-store entry per band key holding the FIRST
@@ -162,6 +166,8 @@ def streaming_near_dedup(
 
     from dedoc_spark.functions import minhash_signature, word_shingles, word_tokens
 
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
     truncated = F.concat_ws(" ", F.slice(word_tokens(F.col(text_col)), 1, max_tokens))
     sig = minhash_signature(word_shingles(truncated), num_hashes)
@@ -180,24 +186,28 @@ def streaming_near_dedup(
     )
 
     out_schema = f"{id_col} string, band_idx int, dup_of string"
-    state_schema = "first_id string"
+    state_schema = "first_id string, emitted long"
 
     def collide_fn(key, pdf_iter, state: GroupState):
         if timeout_ms > 0 and state.hasTimedOut:
             state.remove()
             return
-        first_id = state.get[0] if state.exists else None
+        first_id, emitted = state.get if state.exists else (None, 0)
         events = []
         for pdf in pdf_iter:
             for _, row in pdf.iterrows():
                 if first_id is None:
                     first_id = row[id_col]
-                elif row[id_col] != first_id:
+                elif row[id_col] != first_id and emitted < max_bucket:
+                    # max_bucket mirrors the batch LSH degenerate-bucket
+                    # cap: an all-empty-documents band key would otherwise
+                    # grow a hot state group emitting unbounded events
                     events.append(
                         {id_col: row[id_col], "band_idx": int(row["band_idx"]), "dup_of": first_id}
                     )
-        if first_id is not None and not state.exists:
-            state.update((first_id,))
+                    emitted += 1
+        if first_id is not None:
+            state.update((first_id, emitted))
         if timeout_ms > 0 and state.exists:
             state.setTimeoutDuration(timeout_ms)
         if events:
@@ -206,6 +216,8 @@ def streaming_near_dedup(
     timeout_conf = (
         GroupStateTimeout.ProcessingTimeTimeout if timeout_ms > 0 else GroupStateTimeout.NoTimeout
     )
-    return banded.groupBy("band_key").applyInPandasWithState(
+    # key on (band_idx, band_key) like the batch LSH join — a band-0 key
+    # equal to another doc's band-2 key is NOT a collision
+    return banded.groupBy("band_idx", "band_key").applyInPandasWithState(
         collide_fn, out_schema, state_schema, "update", timeout_conf
     )

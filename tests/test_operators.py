@@ -752,3 +752,39 @@ def test_minhash_mixed_family_equivalent_collisions(spark):
     # determinism
     sig2 = {r.doc_id: r.sig for r in with_minhash(docs, hash_family="mixed").collect()}
     assert sig == sig2
+
+
+def test_lsh_bands_validation(spark, docs):
+    """bands must divide num_hashes — bands > num_hashes would silently
+    return ZERO pairs (empty band keys all collide, then the bucket cap
+    drops everything)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(docs, num_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=3)
+
+
+def test_unpersist_empty_handle_releases_nothing(spark):
+    """A frame whose operator pinned NOTHING (empty handle) must not drain
+    the session registry (other operators' still-pending frames)."""
+    from dedoc_spark.operators import _persist
+    from dedoc_spark.operators.archives import extract_with_archives, unpersist_intermediates
+    from dedoc_spark.operators.dedup import minhash_lsh_pairs
+
+    _persist.release()
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id bigint, text string",
+    )
+    pairs = minhash_lsh_pairs(docs)  # registers its signature + sets frames
+    pages = spark.createDataFrame([("u.txt", bytearray(b"plain"))], "url string, html binary")
+    out = extract_with_archives(pages, max_depth=0)  # pins nothing
+    out.count()
+    n_before = len(_persist._REGISTRY)
+    assert unpersist_intermediates(out) == 0  # empty handle → release nothing
+    assert len(_persist._REGISTRY) == n_before
+    pairs.count()
+    unpersist_intermediates()  # session drain still works
+    assert _persist._REGISTRY == []
