@@ -254,7 +254,9 @@ def jaccard_for_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
-    return joined.select("a", "b", F.round(jac, 6).alias("jaccard"))
+    out = joined.select("a", "b", F.round(jac, 6).alias("jaccard"))
+    out._dedoc_persisted = [sets]  # release via unpersist_intermediates
+    return out
 
 
 def cosine_for_pairs(
@@ -525,15 +527,15 @@ def dedup_corpus(
     from dedoc_spark.operators import _persist
 
     cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n, max_bucket)
-    verified = jaccard_for_pairs(cand, df, text_col, id_col, shingle_n).filter(
-        F.col("jaccard") >= threshold
-    )
+    verified_raw = jaccard_for_pairs(cand, df, text_col, id_col, shingle_n)
+    verified = verified_raw.filter(F.col("jaccard") >= threshold)
     comps = connected_components(verified.select("a", "b")).withColumnRenamed("id", id_col)
     # connected_components returns lineage-TRUNCATED labels (checkpointed
-    # per round), so the DISK_ONLY signature frame minhash_lsh_pairs pinned
-    # has been fully consumed by now — release it here instead of leaking
-    # it to the caller's session.
+    # per round), so the DISK_ONLY frames the chain pinned (minhash
+    # signatures + the shingle-set aggregation) have been fully consumed
+    # by now — release them here instead of leaking to the session.
     _persist.release(cand)
+    _persist.release(verified_raw)
     return (
         df.join(comps, id_col, "left")
         .withColumn("comp", F.coalesce(F.col("comp"), F.col(id_col)))
