@@ -208,6 +208,9 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
     need_para = bool(params.get("need_paragraph_classification"))
     hf_raw = params.get("need_header_footer_analysis")
     need_hf = True if hf_raw is None else str(hf_raw).lower() == "true"
+    # is_one_column_document (parameter_utils): "false" → two-column
+    # reading order; default/"true"/anything else keeps single-column
+    one_col = str(params.get("is_one_column_document", "true")).lower() != "false"
     if params.get("need_pdf_table_analysis"):
         # pdf_txtlayer_reader.py:49-73 table path: ruled tables detected
         # from the page's painted line art, captured lines leave the flow
@@ -220,6 +223,7 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
             with_layout=bool(params.get("with_layout")) or need_para,
             need_paragraph_classification=need_para,
             need_header_footer_analysis=need_hf,
+            one_column=one_col,
         )
     else:
         lines, warnings = extract_pdf_lines(
@@ -229,6 +233,7 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
             with_layout=bool(params.get("with_layout")) or need_para,
             need_paragraph_classification=need_para,
             need_header_footer_analysis=need_hf,
+            one_column=one_col,
         )
     if params.get("pdf_with_text_layer", "auto") in ("auto", "auto_tabby"):
         is_correct, first_correct = detect_txt_layer(lines)

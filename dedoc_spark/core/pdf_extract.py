@@ -557,7 +557,9 @@ def extract_pdf_pages(payload: bytes) -> List[List[Tuple[str, bool]]]:
     ]
 
 
-def extract_pdf_pages_layout(payload: bytes, collect_rules: bool = True) -> List[Dict]:
+def extract_pdf_pages_layout(
+    payload: bytes, collect_rules: bool = True, one_column: bool = True
+) -> List[Dict]:
     """Payload → per-page layout dicts:
 
       {"width": w, "height": h,
@@ -612,11 +614,20 @@ def extract_pdf_pages_layout(payload: bytes, collect_rules: bool = True) -> List
             if data is None:
                 continue
             shows.extend(_extract_page_shows(data, fonts, xobjects, images_dev, rules_dev))
-        # group shows into lines by y, top-down (pdfminer sort, height − y1)
-        by_y: Dict[float, List[Tuple[float, str, str, float, float]]] = {}
+        # group shows into lines by y, top-down (pdfminer sort, height − y1).
+        # one_column=False (the reference's is_one_column_document="false"):
+        # split shows at the page midline FIRST, so a two-column page reads
+        # left column top-to-bottom then right column — same-y shows from
+        # different columns must not concatenate into one line. A full-width
+        # line (x0 left of the midline) sorts with the left column —
+        # documented simple semantics (the reference's column classifier is
+        # part of the de-scoped image path).
+        by_y: Dict[Tuple[int, float], List[Tuple[float, str, str, float, float]]] = {}
         shows_td: List[Tuple[str, Tuple[float, float, float, float]]] = []
+        mid = width / 2
         for y, x, text, font, x2, y2 in shows:
-            by_y.setdefault(round(y, 1), []).append((x, text, font, x2, y2))
+            column = 0 if (one_column or x < mid) else 1
+            by_y.setdefault((column, round(y, 1)), []).append((x, text, font, x2, y2))
             if not collect_rules:
                 continue
             # per-show top-down bbox (pre line-merge) — the granularity the
@@ -634,8 +645,9 @@ def extract_pdf_pages_layout(payload: bytes, collect_rules: bool = True) -> List
                 )
             )
         lines: List[Tuple[str, bool, Tuple[float, float, float, float]]] = []
-        for y in sorted(by_y, reverse=True):
-            parts = sorted(by_y[y], key=lambda p: p[0])
+        # columns in reading order, each top-down (device y descends)
+        for column, y in sorted(by_y, key=lambda k: (k[0], -k[1])):
+            parts = sorted(by_y[(column, y)], key=lambda p: p[0])
             text = "".join(p[1] for p in parts)
             bold = any("Bold" in p[2] for p in parts)
             x0 = min(p[0] for p in parts)
@@ -680,6 +692,7 @@ def extract_pdf_lines(
     with_layout: bool = False,
     need_paragraph_classification: bool = False,
     need_header_footer_analysis: bool = True,
+    one_column: bool = True,
 ) -> Tuple[List[Line], List[str]]:
     """Full txt-layer read: per-page lines with page_id, bold annotations,
     header/footer voting applied for multi-page documents.
@@ -697,6 +710,7 @@ def extract_pdf_lines(
         payload, url_hash, pages_range, with_layout, detect_tables=False,
         need_paragraph_classification=need_paragraph_classification,
         need_header_footer_analysis=need_header_footer_analysis,
+        one_column=one_column,
     )
     return lines, warnings
 
@@ -708,6 +722,7 @@ def extract_pdf_lines_tables(
     with_layout: bool = False,
     need_paragraph_classification: bool = False,
     need_header_footer_analysis: bool = True,
+    one_column: bool = True,
 ):
     """Txt-layer read WITH ruled-table analysis — the
     ``need_pdf_table_analysis`` path of the reference
@@ -722,6 +737,7 @@ def extract_pdf_lines_tables(
         payload, url_hash, pages_range, with_layout, detect_tables=True,
         need_paragraph_classification=need_paragraph_classification,
         need_header_footer_analysis=need_header_footer_analysis,
+        one_column=one_column,
     )
 
 
@@ -733,6 +749,7 @@ def _extract_pdf_full(
     detect_tables: bool,
     need_paragraph_classification: bool = False,
     need_header_footer_analysis: bool = True,
+    one_column: bool = True,
 ):
     from dedoc_spark.core.pdf_layout import (
         BBox,
@@ -745,7 +762,7 @@ def _extract_pdf_full(
         link_objects,
     )
 
-    pages = extract_pdf_pages_layout(payload, collect_rules=detect_tables)
+    pages = extract_pdf_pages_layout(payload, collect_rules=detect_tables, one_column=one_column)
     warnings: List[str] = []
     if pages_range:
         left, _, right = pages_range.partition(":")

@@ -178,3 +178,28 @@ def test_header_footer_param_opt_out():
     assert "ACME Corp" in doc["text_extracted"]  # header kept
     doc_on = extract_document("https://x/report.pdf", example_pdf(4), None)
     assert "ACME Corp" not in doc_on["text_extracted"]  # default removal
+
+
+def test_two_column_reading_order():
+    """is_one_column_document="false": a two-column page reads the left
+    column top-to-bottom, then the right column — same-y shows from
+    different columns must not concatenate into one interleaved line."""
+    from dedoc_spark.sources.pdf_fixture import build_pdf
+
+    ops = "\n".join(
+        f"BT /F1 12 Tf 1 0 0 1 {x:g} {y:g} Tm ({t}) Tj ET"
+        for x, y, t in [
+            (72, 700, "left one"),
+            (330, 700, "right one"),
+            (72, 680, "left two"),
+            (330, 680, "right two"),
+        ]
+    )
+    pdf = build_pdf([[]], extra_content=[ops])
+    d = extract_document("c.pdf", pdf, None, params={"is_one_column_document": "false"})
+    lines = [ln.strip() for ln in d["text_linear"].split("\n") if ln.strip()]
+    assert lines == ["left one", "left two", "right one", "right two"]
+    # default single-column behavior: same-y shows concatenate by x order
+    d1 = extract_document("c.pdf", pdf, None)
+    lines1 = [ln.strip() for ln in d1["text_linear"].split("\n") if ln.strip()]
+    assert lines1 == ["left oneright one", "left tworight two"]
