@@ -353,6 +353,13 @@ def extract_document(
             return extract_txt_document(
                 url, decode_text_payload(html, params.get("encoding")), params
             )
+        if fmt == "note" and html:
+            # NoteReader (note_reader.py:15-37): one line from the pickled
+            # dict's "content" — restricted unpickler, see formats.py
+            from dedoc_spark.core.formats import extract_note_content
+
+            lines = [Line(line=extract_note_content(html))]
+            return _finalize(url, lines, [], [], params)
         if fmt == "txt_gz" and html:
             # .txt.gz reads as ONE text document (raw_text_reader.py:34-50)
             import gzip as _gzip

@@ -374,6 +374,32 @@ def list_attachments(
     return out
 
 
+# --- note (.note.pickle, labeling format) ------------------------------------
+
+
+def extract_note_content(payload: bytes) -> str:
+    """NoteReader port (note_reader.py:15-37): unpickle the note dict and
+    return its "content" text. SECURITY deviation from the reference:
+    the reference calls pickle.load directly — on untrusted web bytes
+    that is arbitrary code execution, so this port uses a RESTRICTED
+    unpickler that refuses every global/class lookup (plain containers
+    and scalars only; a malicious pickle raises into the typed error
+    channel instead of executing)."""
+    import pickle
+
+    class _SafeUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):  # noqa: ARG002
+            raise pickle.UnpicklingError(
+                f"note pickle requested global {module}.{name} — refused"
+            )
+
+    note_dict = _SafeUnpickler(io.BytesIO(payload)).load()
+    text = note_dict["content"]
+    if isinstance(text, bytes):
+        text = text.decode()
+    return text
+
+
 # --- text encoding detection (utils.get_encoding semantics, §2.9) -----------
 
 
@@ -497,6 +523,8 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
     # can_read, raw_text_reader.py:34-50), not an archive to explode
     if url.lower().endswith(".txt.gz"):
         return "txt_gz"
+    if url.lower().endswith(".note.pickle"):
+        return "note"
     ext = url.rsplit(".", 1)[-1].lower() if "." in url.rsplit("/", 1)[-1] else ""
     if ext in _EXT_FORMATS:
         return _EXT_FORMATS[ext]

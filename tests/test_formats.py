@@ -672,3 +672,30 @@ def test_param_surface_never_raises_on_hostile_bytes():
             for params in param_sets:
                 d = extract_document(f"u.{ext}", payload, None, params=dict(params))
                 assert isinstance(d, dict) and "error" in d, (ext, params)
+
+
+def test_note_pickle_reader_restricted():
+    """NoteReader port: the pickled dict's content becomes one line —
+    and a MALICIOUS pickle requesting any global lands in the error
+    channel instead of executing (security deviation from the reference's
+    raw pickle.load, documented)."""
+    import pickle
+
+    from dedoc_spark.core.document import extract_document
+
+    good = pickle.dumps({"content": "note body text"})
+    d = extract_document("n.note.pickle", good, None)
+    assert d["error"] is None and d["n_lines"] == 1
+    assert "note body text" in d["text_extracted"]
+    # bytes content decodes
+    d = extract_document("n.note.pickle", pickle.dumps({"content": b"bytes body"}), None)
+    assert "bytes body" in d["text_extracted"]
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, ("echo pwned",))
+
+    d = extract_document("n.note.pickle", pickle.dumps(Evil()), None)
+    assert d["error"] is not None and "refused" in d["error"]
