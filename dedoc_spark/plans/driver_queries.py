@@ -2683,6 +2683,190 @@ FROM px GROUP BY doc_id, f
 """
 
 # ---------------------------------------------------------------------------
+# Consolidated capability-family gates (round 5, VERDICT r4 "Next round" #1).
+#
+# The driver attests only the FIRST 50 entries of queries() — round 4
+# registered 64 and CORRECTNESS_r04 stopped at q50, leaving 14 shipped
+# capabilities outside the hard gate. Same-shaped per-format gates are
+# folded into one union gate per result shape with a ``fmt``/``op``/
+# ``metric`` discriminator column, and one-row-per-doc scalar gates into
+# equi-joins on doc_id, so EVERY capability family carries a driver-attested
+# oracle row. The per-format builders above stay callable (bench.py and
+# tests reuse them); only the registry entries changed.
+
+
+def q21_doc_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven text-shaped readers in one gate — docx (q21), pptx (q23),
+    rtf (q50), odt (q51), odp (q53), legacy .doc (q54), legacy .ppt (q55).
+    Every branch must extract the identical closed-form two-line tree
+    (header "Doc {id}" + body), so one Q21-family oracle covers all seven,
+    discriminated by fmt."""
+    parts = [
+        ("docx", q21_docx_extract),
+        ("pptx", q23_pptx_extract),
+        ("rtf", q50_rtf_extract),
+        ("odt", q51_odt_extract),
+        ("odp", q53_odp_extract),
+        ("doc", q54_doc_extract),
+        ("ppt", q55_ppt_extract),
+    ]
+    out = None
+    for fmt, fn in parts:
+        branch = fn(spark, sf_dir).select(F.lit(fmt).alias("fmt"), "*")
+        out = branch if out is None else out.unionByName(branch)
+    return out
+
+
+Q21F_SQL = """
+SELECT f.fmt, doc_id, CAST(2 AS BIGINT) AS n_lines,
+       chr(10) || 'Doc ' || doc_id || chr(10) || text || chr(10) AS text_extracted
+FROM documents
+CROSS JOIN (VALUES ('docx'), ('pptx'), ('rtf'), ('odt'), ('odp'), ('doc'), ('ppt')) f(fmt)
+"""
+
+
+def q24_table_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four grid-shaped readers in one gate — xlsx (q24), legacy .xls
+    (q27), csv (q46), ods (q52); all share the Q24 2×2-cell closed form."""
+    parts = [
+        ("xlsx", q24_xlsx_extract),
+        ("xls", q27_xls_extract),
+        ("csv", q46_csv_extract),
+        ("ods", q52_ods_extract),
+    ]
+    out = None
+    for fmt, fn in parts:
+        branch = fn(spark, sf_dir).select(F.lit(fmt).alias("fmt"), "*")
+        out = branch if out is None else out.unionByName(branch)
+    return out
+
+
+Q24F_SQL = """
+SELECT f.fmt, doc_id, CAST(1 AS BIGINT) AS n_tables, 'id' AS c00,
+       CAST(doc_id AS VARCHAR) AS c01, source AS c10, lang AS c11
+FROM documents
+CROSS JOIN (VALUES ('xlsx'), ('xls'), ('csv'), ('ods')) f(fmt)
+"""
+
+
+def q25_pair_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two candidate-pair exact-verify paths of the dedup chain in one
+    gate: LSH→Jaccard over shingles (q25) and hyperplane-LSH→cosine over
+    embeddings (q26). Both are linear in |candidates| — no self-join."""
+    jac = q25_lsh_jaccard(spark, sf_dir).select(
+        F.lit("jaccard").alias("metric"), "a", "b", F.col("jaccard").alias("value")
+    )
+    cos = q26_lsh_cosine(spark, sf_dir).select(
+        F.lit("cosine").alias("metric"), "a", "b", F.col("cos").alias("value")
+    )
+    return jac.unionByName(cos)
+
+
+Q25F_SQL = f"""
+SELECT 'jaccard' AS metric, a, b, jaccard AS value FROM ({Q25_SQL}) j
+UNION ALL
+SELECT 'cosine' AS metric, a, b, cos AS value FROM ({Q26_SQL}) c
+"""
+
+
+def q31_doc_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three one-row-per-doc scalar-function gates equi-joined on doc_id:
+    n-gram language ID (q31), BPE-pretokenizer token count (q36), and PII
+    redaction (q37)."""
+    return (
+        q31_lang_multi(spark, sf_dir)
+        .join(q36_bpe_tokens(spark, sf_dir), "doc_id")
+        .join(q37_pii_redact(spark, sf_dir), "doc_id")
+    )
+
+
+Q31F_SQL = f"""
+SELECT l.doc_id, l.lang_multi, t.bpe_tokens, p.redacted
+FROM ({Q31_SQL}) l
+JOIN ({Q36_SQL}) t ON l.doc_id = t.doc_id
+JOIN ({Q37_SQL}) p ON l.doc_id = p.doc_id
+"""
+
+
+def q32_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (q32) + Gopher repetition rules (q35) joined on
+    doc_id — the full per-document quality gate in one attested row set."""
+    return q32_gopher_flags(spark, sf_dir).join(
+        q35_gopher_repetition(spark, sf_dir), "doc_id"
+    )
+
+
+Q32F_SQL = f"""
+SELECT g.doc_id, g.ok_word_count, g.ok_mean_word_len, g.ok_symbol_ratio,
+       g.ok_alpha_words, g.ok_stopwords, g.gopher_pass,
+       r.dup_line_frac, r.top_bigram_frac, r.rep_pass
+FROM ({Q32_SQL}) g JOIN ({Q35_SQL}) r ON g.doc_id = r.doc_id
+"""
+
+
+def q41_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-python image decode round-trips in one gate: PNG with rotating
+    scanline filters (q41) and bottom-up padded 24-bit BMP (q45)."""
+    png = q41_image_decode(spark, sf_dir).select(F.lit("png").alias("fmt"), "*")
+    bmp = q45_bmp_decode(spark, sf_dir).select(F.lit("bmp").alias("fmt"), "*")
+    return png.unionByName(bmp)
+
+
+Q41F_SQL = f"""
+SELECT 'png' AS fmt, * FROM ({Q41_SQL}) a
+UNION ALL
+SELECT 'bmp' AS fmt, * FROM ({Q45_SQL}) b
+"""
+
+
+def q48_mime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two MIME-envelope readers in one gate: EmailReader (q48,
+    subject-twice quirk kept) and MhtmlReader (q49, html part through the
+    HTML core). Output text columns are aliased to a shared text_out."""
+    eml = q48_email_extract(spark, sf_dir).select(
+        F.lit("eml").alias("fmt"), "doc_id", "n_lines",
+        F.col("text_linear").alias("text_out"),
+    )
+    mh = q49_mhtml_extract(spark, sf_dir).select(
+        F.lit("mhtml").alias("fmt"), "doc_id", "n_lines",
+        F.col("text_extracted").alias("text_out"),
+    )
+    return eml.unionByName(mh)
+
+
+Q48F_SQL = f"""
+SELECT 'eml' AS fmt, doc_id, n_lines, text_linear AS text_out FROM ({Q48_SQL}) e
+UNION ALL
+SELECT 'mhtml' AS fmt, doc_id, n_lines, text_extracted AS text_out FROM ({Q49_SQL}) m
+"""
+
+
+def q63_media_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal media ops in one gate: real nearest-neighbor resize of
+    the BMP gradient (q63) and animated-GIF every-nth frame sampling
+    (q64); resize rows carry frame_idx NULL."""
+    rz = q63_image_resize(spark, sf_dir).select(
+        F.lit("resize").alias("op"), "doc_id",
+        F.lit(None).cast("int").alias("frame_idx"),
+        "width", "height", "px_hash", "error",
+    )
+    gf = q64_gif_frame_sample(spark, sf_dir).select(
+        F.lit("gif_sample").alias("op"), "doc_id", "frame_idx",
+        "width", "height", "px_hash", "error",
+    )
+    return rz.unionByName(gf)
+
+
+Q63F_SQL = f"""
+SELECT 'resize' AS op, doc_id, CAST(NULL AS INT) AS frame_idx, width, height, px_hash, error
+FROM ({Q63_SQL}) r
+UNION ALL
+SELECT 'gif_sample' AS op, doc_id, frame_idx, width, height, px_hash, error
+FROM ({Q64_SQL}) g
+"""
+
+
+# ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_token_explode": q01_token_explode,
@@ -2705,41 +2889,26 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_txt_extract": q18_txt_extract,
     "q19_html_tables": q19_html_tables,
     "q20_simhash": q20_simhash,
-    "q21_docx_extract": q21_docx_extract,
+    "q21_doc_formats": q21_doc_formats,
     "q22_pdf_extract": q22_pdf_extract,
-    "q23_pptx_extract": q23_pptx_extract,
-    "q24_xlsx_extract": q24_xlsx_extract,
-    "q25_lsh_jaccard": q25_lsh_jaccard,
-    "q26_lsh_cosine": q26_lsh_cosine,
-    "q27_xls_extract": q27_xls_extract,
+    "q24_table_formats": q24_table_formats,
+    "q25_pair_verify": q25_pair_verify,
     "q28_attachment_extract": q28_attachment_extract,
     "q29_dup_groups": q29_dup_groups,
     "q30_ivf_assign": q30_ivf_assign,
-    "q31_lang_multi": q31_lang_multi,
-    "q32_gopher_flags": q32_gopher_flags,
+    "q31_doc_scalars": q31_doc_scalars,
+    "q32_quality_flags": q32_quality_flags,
     "q33_c4_lines": q33_c4_lines,
     "q34_url_normalize": q34_url_normalize,
-    "q35_gopher_repetition": q35_gopher_repetition,
-    "q36_bpe_tokens": q36_bpe_tokens,
-    "q37_pii_redact": q37_pii_redact,
     "q38_domain_rollup": q38_domain_rollup,
     "q39_sentences": q39_sentences,
     "q40_pdf_layout": q40_pdf_layout,
-    "q41_image_decode": q41_image_decode,
+    "q41_image_formats": q41_image_formats,
     "q42_multipage_tables": q42_multipage_tables,
     "q43_dup_spans": q43_dup_spans,
     "q44_winnow_fingerprints": q44_winnow_fingerprints,
-    "q45_bmp_decode": q45_bmp_decode,
-    "q46_csv_extract": q46_csv_extract,
     "q47_json_extract": q47_json_extract,
-    "q48_email_extract": q48_email_extract,
-    "q49_mhtml_extract": q49_mhtml_extract,
-    "q50_rtf_extract": q50_rtf_extract,
-    "q51_odt_extract": q51_odt_extract,
-    "q52_ods_extract": q52_ods_extract,
-    "q53_odp_extract": q53_odp_extract,
-    "q54_doc_extract": q54_doc_extract,
-    "q55_ppt_extract": q55_ppt_extract,
+    "q48_mime_extract": q48_mime_extract,
     "q56_archive_members": q56_archive_members,
     "q57_pdf_ruled_tables": q57_pdf_ruled_tables,
     "q58_law_structure": q58_law_structure,
@@ -2747,8 +2916,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_diploma_structure": q60_diploma_structure,
     "q61_span_removal": q61_span_removal,
     "q62_fintoc_structure": q62_fintoc_structure,
-    "q63_image_resize": q63_image_resize,
-    "q64_gif_frame_sample": q64_gif_frame_sample,
+    "q63_media_ops": q63_media_ops,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2772,41 +2940,26 @@ ORACLES: Dict[str, str] = {
     "q18_txt_extract": Q18_SQL,
     "q19_html_tables": Q19_SQL,
     "q20_simhash": Q20_SQL,
-    "q21_docx_extract": Q21_SQL,
+    "q21_doc_formats": Q21F_SQL,
     "q22_pdf_extract": Q22_SQL,
-    "q23_pptx_extract": Q23_SQL,
-    "q24_xlsx_extract": Q24_SQL,
-    "q25_lsh_jaccard": Q25_SQL,
-    "q26_lsh_cosine": Q26_SQL,
-    "q27_xls_extract": Q27_SQL,
+    "q24_table_formats": Q24F_SQL,
+    "q25_pair_verify": Q25F_SQL,
     "q28_attachment_extract": Q28_SQL,
     "q29_dup_groups": Q29_SQL,
     "q30_ivf_assign": Q30_SQL,
-    "q31_lang_multi": Q31_SQL,
-    "q32_gopher_flags": Q32_SQL,
+    "q31_doc_scalars": Q31F_SQL,
+    "q32_quality_flags": Q32F_SQL,
     "q33_c4_lines": Q33_SQL,
     "q34_url_normalize": Q34_SQL,
-    "q35_gopher_repetition": Q35_SQL,
-    "q36_bpe_tokens": Q36_SQL,
-    "q37_pii_redact": Q37_SQL,
     "q38_domain_rollup": Q38_SQL,
     "q39_sentences": Q39_SQL,
     "q40_pdf_layout": Q40_SQL,
-    "q41_image_decode": Q41_SQL,
+    "q41_image_formats": Q41F_SQL,
     "q42_multipage_tables": Q42_SQL,
     "q43_dup_spans": Q43_SQL,
     "q44_winnow_fingerprints": Q44_SQL,
-    "q45_bmp_decode": Q45_SQL,
-    "q46_csv_extract": Q46_SQL,
     "q47_json_extract": Q47_SQL,
-    "q48_email_extract": Q48_SQL,
-    "q49_mhtml_extract": Q49_SQL,
-    "q50_rtf_extract": Q50_SQL,
-    "q51_odt_extract": Q51_SQL,
-    "q52_ods_extract": Q52_SQL,
-    "q53_odp_extract": Q53_SQL,
-    "q54_doc_extract": Q54_SQL,
-    "q55_ppt_extract": Q55_SQL,
+    "q48_mime_extract": Q48F_SQL,
     "q56_archive_members": Q56_SQL,
     "q57_pdf_ruled_tables": Q57_SQL,
     "q58_law_structure": Q58_SQL,
@@ -2814,6 +2967,5 @@ ORACLES: Dict[str, str] = {
     "q60_diploma_structure": Q60_SQL,
     "q61_span_removal": Q61_SQL,
     "q62_fintoc_structure": Q62_SQL,
-    "q63_image_resize": Q63_SQL,
-    "q64_gif_frame_sample": Q64_SQL,
+    "q63_media_ops": Q63F_SQL,
 }
