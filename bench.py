@@ -51,11 +51,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    # min-of-N discipline (BENCH.md): the container host is noisy (2-3×
+    # outlier trials are normal) — a single-pass sample understated the
+    # round-4 artifact by 2.3×. min over 3 passes per query bounds the
+    # noise without an exclusive window.
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, out = None, None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         return out
 
     # headline: full HTML extraction over synthetic web_pages
