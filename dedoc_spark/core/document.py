@@ -211,6 +211,7 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
     # is_one_column_document (parameter_utils): "false" → two-column
     # reading order; default/"true"/anything else keeps single-column
     one_col = str(params.get("is_one_column_document", "true")).lower() != "false"
+    need_gost = bool(params.get("need_gost_frame_analysis"))
     if params.get("need_pdf_table_analysis"):
         # pdf_txtlayer_reader.py:49-73 table path: ruled tables detected
         # from the page's painted line art, captured lines leave the flow
@@ -224,6 +225,7 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
             need_paragraph_classification=need_para,
             need_header_footer_analysis=need_hf,
             one_column=one_col,
+            need_gost_frame_analysis=need_gost,
         )
     else:
         lines, warnings = extract_pdf_lines(
@@ -234,6 +236,7 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
             need_paragraph_classification=need_para,
             need_header_footer_analysis=need_hf,
             one_column=one_col,
+            need_gost_frame_analysis=need_gost,
         )
     if params.get("pdf_with_text_layer", "auto") in ("auto", "auto_tabby"):
         is_correct, first_correct = detect_txt_layer(lines)

@@ -693,6 +693,7 @@ def extract_pdf_lines(
     need_paragraph_classification: bool = False,
     need_header_footer_analysis: bool = True,
     one_column: bool = True,
+    need_gost_frame_analysis: bool = False,
 ) -> Tuple[List[Line], List[str]]:
     """Full txt-layer read: per-page lines with page_id, bold annotations,
     header/footer voting applied for multi-page documents.
@@ -711,6 +712,7 @@ def extract_pdf_lines(
         need_paragraph_classification=need_paragraph_classification,
         need_header_footer_analysis=need_header_footer_analysis,
         one_column=one_column,
+        need_gost_frame_analysis=need_gost_frame_analysis,
     )
     return lines, warnings
 
@@ -723,6 +725,7 @@ def extract_pdf_lines_tables(
     need_paragraph_classification: bool = False,
     need_header_footer_analysis: bool = True,
     one_column: bool = True,
+    need_gost_frame_analysis: bool = False,
 ):
     """Txt-layer read WITH ruled-table analysis — the
     ``need_pdf_table_analysis`` path of the reference
@@ -738,6 +741,7 @@ def extract_pdf_lines_tables(
         need_paragraph_classification=need_paragraph_classification,
         need_header_footer_analysis=need_header_footer_analysis,
         one_column=one_column,
+        need_gost_frame_analysis=need_gost_frame_analysis,
     )
 
 
@@ -750,6 +754,7 @@ def _extract_pdf_full(
     need_paragraph_classification: bool = False,
     need_header_footer_analysis: bool = True,
     one_column: bool = True,
+    need_gost_frame_analysis: bool = False,
 ):
     from dedoc_spark.core.pdf_layout import (
         BBox,
@@ -762,7 +767,11 @@ def _extract_pdf_full(
         link_objects,
     )
 
-    pages = extract_pdf_pages_layout(payload, collect_rules=detect_tables, one_column=one_column)
+    pages = extract_pdf_pages_layout(
+        payload,
+        collect_rules=detect_tables or need_gost_frame_analysis,
+        one_column=one_column,
+    )
     warnings: List[str] = []
     if pages_range:
         left, _, right = pages_range.partition(":")
@@ -800,14 +809,44 @@ def _extract_pdf_full(
                 )
             cur.append(ln)
             boxes.append(box)
-        if detect_tables and page["rules"]:
+        page_rules = page["rules"]
+        if need_gost_frame_analysis and page_rules:
+            # pdf_txtlayer_reader.py:63-70: the detected frame's content
+            # box is the readable block — text bboxes with NO intersection
+            # leave the page (BBox.have_intersection_with_box is a plain
+            # any-overlap test, so the keep predicate here is
+            # intersection > 0, unlike the 0.3-of-line-area threshold the
+            # table EXCLUSION uses); rules are cropped to the box so the
+            # frame border and title block never reach the table detector
+            # (the reference crops the image itself before recognition).
+            # Table/text coordinates need NO shift-back on this path: the
+            # content-stream parser works in page coordinates throughout,
+            # whereas the reference's _move_table_cells only undoes its
+            # own image crop.
+            from dedoc_spark.core.pdf_tables import (
+                _intersection_area,
+                detect_gost_frame,
+                segments_inside_box,
+            )
+
+            frame_box = detect_gost_frame(page_rules, page["width"], page["height"])
+            if frame_box is not None:
+                keep = [
+                    i
+                    for i in range(len(cur))
+                    if _intersection_area(boxes[i], frame_box) > 0
+                ]
+                cur = [cur[i] for i in keep]
+                boxes = [boxes[i] for i in keep]
+                page_rules = segments_inside_box(page_rules, frame_box)
+        if detect_tables and page_rules:
             from dedoc_spark.core.pdf_tables import (
                 build_table_from_grid,
                 detect_ruled_tables,
                 inside_any_unreadable_block,
             )
 
-            grids = detect_ruled_tables(page["rules"])
+            grids = detect_ruled_tables(page_rules)
             if grids:
                 # pdf_txtlayer_reader.py:70-73: table locations are the
                 # unreadable blocks; captured lines leave the page flow

@@ -160,6 +160,128 @@ def detect_ruled_tables(
     return grids
 
 
+MIN_FRAME_CONTENT_AREA = 0.65  # gost_frame_recognizer.py:12
+
+
+def detect_gost_frame(
+    segments: Sequence[Segment],
+    page_width: float,
+    page_height: float,
+    eps: float = 2.0,
+) -> Optional[BBox]:
+    """Content-stream analogue of GOSTFrameRecognizer.rec_and_clean_frame
+    (gost_frame_recognizer.py:20-44).
+
+    The reference binarizes the page IMAGE, contours the line art into a
+    nesting tree (TableTree), and accepts as the frame's readable content
+    box the first child-of-the-outermost-contour whose area exceeds
+    MIN_FRAME_CONTENT_AREA of the page (``_analyze_cells_on_frame``,
+    gost_frame_recognizer.py:36-44). Here the same lattice comes from
+    painted rules: closed axis-aligned rectangles are reconstructed from
+    long rule segments (frame borders span most of a page dimension), and
+    the largest rectangle that (a) covers > 0.65 of the page area and
+    (b) is NESTED inside another detected rectangle — the reference's
+    child-of-outer-contour requirement — is the content box. Returns
+    None when no frame is found (the reference then treats the whole
+    page as the box and changes nothing downstream).
+    """
+    page_area = page_width * page_height
+    if page_area <= 0:
+        return None
+    horiz: List[Tuple[float, float, float]] = []  # (y, x0, x1)
+    vert: List[Tuple[float, float, float]] = []  # (x, y0, y1)
+    for x0, y0, x1, y1 in segments:
+        lo_x, hi_x = min(x0, x1), max(x0, x1)
+        lo_y, hi_y = min(y0, y1), max(y0, y1)
+        if hi_y - lo_y <= eps and hi_x - lo_x > page_width * 0.5:
+            horiz.append(((lo_y + hi_y) / 2, lo_x, hi_x))
+        elif hi_x - lo_x <= eps and hi_y - lo_y > page_height * 0.5:
+            vert.append(((lo_x + hi_x) / 2, lo_y, hi_y))
+    # frame pages paint a handful of long border rules; a page drowning in
+    # long strokes (charts, hatching) is not a frame — bail like the
+    # recognizer's exception path rather than go O(h²v²)
+    if len(horiz) > 20 or len(vert) > 20 or not horiz or not vert:
+        return None
+    horiz.sort()
+    vert.sort()
+
+    def _closed(h_top, h_bot, v_left, v_right) -> bool:
+        yt, xt0, xt1 = h_top
+        yb, xb0, xb1 = h_bot
+        xl, yl0, yl1 = v_left
+        xr, yr0, yr1 = v_right
+        # all four corners must meet within eps
+        return (
+            abs(xt0 - xl) <= eps
+            and abs(xt1 - xr) <= eps
+            and abs(xb0 - xl) <= eps
+            and abs(xb1 - xr) <= eps
+            and yl0 - eps <= yt <= yl1 + eps
+            and yl0 - eps <= yb <= yl1 + eps
+            and yr0 - eps <= yt <= yr1 + eps
+            and yr0 - eps <= yb <= yr1 + eps
+        )
+
+    rects: List[BBox] = []
+    for i, h_top in enumerate(horiz):
+        for h_bot in horiz[i + 1 :]:
+            if h_bot[0] - h_top[0] <= eps:
+                continue
+            for a, v_left in enumerate(vert):
+                for v_right in vert[a + 1 :]:
+                    if v_right[0] - v_left[0] <= eps:
+                        continue
+                    if _closed(h_top, h_bot, v_left, v_right):
+                        rects.append(
+                            BBox(
+                                v_left[0],
+                                h_top[0],
+                                v_right[0] - v_left[0],
+                                h_bot[0] - h_top[0],
+                            )
+                        )
+    best: Optional[BBox] = None
+    for r in rects:
+        if r.width * r.height / page_area <= MIN_FRAME_CONTENT_AREA:
+            continue
+        nested = any(
+            o is not r
+            and o.x_top_left <= r.x_top_left + eps
+            and o.y_top_left <= r.y_top_left + eps
+            and o.x_bottom_right >= r.x_bottom_right - eps
+            and o.y_bottom_right >= r.y_bottom_right - eps
+            and o.width * o.height > r.width * r.height
+            for o in rects
+        )
+        if nested and (best is None or r.width * r.height > best.width * best.height):
+            best = r
+    return best
+
+
+def segments_inside_box(
+    segments: Sequence[Segment], box: BBox, eps: float = 2.0
+) -> List[Segment]:
+    """Rule segments fully inside ``box`` shrunk by eps — the crop the
+    reference applies before table recognition on the gost path
+    (``BBox.crop_image_by_box``, pdf_base_reader.py:151-160): the frame's
+    own border rules sit ON the box boundary and must not reach the table
+    detector, exactly as they vanish at the crop edge."""
+    out: List[Segment] = []
+    x0 = box.x_top_left + eps
+    y0 = box.y_top_left + eps
+    x1 = box.x_bottom_right - eps
+    y1 = box.y_bottom_right - eps
+    for sx0, sy0, sx1, sy1 in segments:
+        if (
+            x0 <= min(sx0, sx1)
+            and max(sx0, sx1) <= x1
+            and y0 <= min(sy0, sy1)
+            and max(sy0, sy1) <= y1
+        ):
+            out.append((sx0, sy0, sx1, sy1))
+    return out
+
+
 def _intersection_area(a: BBox, b: BBox) -> float:
     w = min(a.x_bottom_right, b.x_bottom_right) - max(a.x_top_left, b.x_top_left)
     h = min(a.y_bottom_right, b.y_bottom_right) - max(a.y_top_left, b.y_top_left)

@@ -2866,6 +2866,83 @@ FROM ({Q64_SQL}) g
 """
 
 
+def q65_gost_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOST-frame gate on the txt-layer path (gost_frame_recognizer.py:20-44
+    + pdf_txtlayer_reader.py:63-70, content-stream port in
+    core/pdf_tables.detect_gost_frame): each doc is a PDF with a GOST
+    drawing frame (outer border, >65%-area content box, title block with a
+    stamp line) plus one body line and a ruled 2×2 table inside the frame.
+    With need_gost_frame_analysis + need_pdf_table_analysis the stamp must
+    leave the page (outside the readable block), the frame itself must NOT
+    come back as a table, and the q57 table contract must hold inside."""
+    import pandas as pd
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
+    def fn(it):
+        import json as jsonlib
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.document import extract_document
+        from dedoc_spark.sources.pdf_fixture import build_pdf, gost_frame_ops, table_ops
+
+        for pdf in it:
+            out = []
+            for doc_id, text, source, lang in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"], pdf["lang"]
+            ):
+                ops = gost_frame_ops(f"Sheet {int(doc_id)}") + "\n" + table_ops(
+                    72, 700, [100, 100], 20, [["id", str(int(doc_id))], [source, lang]]
+                )
+                payload = build_pdf([[(text, False)]], extra_content=[ops])
+                d = extract_document(
+                    f"{int(doc_id)}.pdf",
+                    payload,
+                    None,
+                    params={
+                        "need_gost_frame_analysis": True,
+                        "need_pdf_table_analysis": True,
+                        "with_layout": True,
+                    },
+                )
+                cells = jsonlib.loads(d["tables_json"])[0]["cells"]
+                texts = ["\n".join(ln["line"] for ln in c["lines"]) for row in cells for c in row]
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_lines": d["n_lines"],
+                        "n_tables": d["n_tables"],
+                        "text_extracted": d["text_extracted"],
+                        "c00": texts[0], "c01": texts[1], "c10": texts[2], "c11": texts[3],
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_lines", "n_tables", "text_extracted", "c00", "c01", "c10", "c11"],
+            )
+
+    return (
+        _parallel(
+            _docs(spark, sf_dir)
+            .select("doc_id", "text", "source", "lang")
+        )
+        .mapInPandas(
+            fn,
+            "doc_id long, n_lines long, n_tables long, text_extracted string, "
+            "c00 string, c01 string, c10 string, c11 string",
+        )
+    )
+
+
+# same closed form as Q57: the stamp line is excluded by the frame filter,
+# the table is captured, only the body line survives in the flow
+Q65_SQL = Q57_SQL
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2917,6 +2994,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_span_removal": q61_span_removal,
     "q62_fintoc_structure": q62_fintoc_structure,
     "q63_media_ops": q63_media_ops,
+    "q65_gost_frame": q65_gost_frame,
 }
 
 ORACLES: Dict[str, str] = {
@@ -2968,4 +3046,5 @@ ORACLES: Dict[str, str] = {
     "q61_span_removal": Q61_SQL,
     "q62_fintoc_structure": Q62_SQL,
     "q63_media_ops": Q63F_SQL,
+    "q65_gost_frame": Q65_SQL,
 }

@@ -59,6 +59,35 @@ def table_ops(
     return "\n".join(ops)
 
 
+def gost_frame_ops(title_text: str = "", font_size: float = 10.0) -> str:
+    """Content-stream ops drawing a GOST drawing frame on the 612×792
+    page: an outer border rectangle (10..602 × 10..782 device), an inner
+    content rectangle (40..597 × 120..777, ≈0.755 of the page area —
+    above the recognizer's 0.65 threshold), and a title block in the
+    strip between them (partition rules + optional stamp text at device
+    y≈40, which sits OUTSIDE the content box and must vanish under
+    need_gost_frame_analysis)."""
+    ops: List[str] = []
+
+    def rect(x0: float, y0: float, x1: float, y1: float) -> None:
+        ops.append(f"{x0:g} {y0:g} m {x1:g} {y0:g} l S")
+        ops.append(f"{x0:g} {y1:g} m {x1:g} {y1:g} l S")
+        ops.append(f"{x0:g} {y0:g} m {x0:g} {y1:g} l S")
+        ops.append(f"{x1:g} {y0:g} m {x1:g} {y1:g} l S")
+
+    rect(10, 10, 602, 782)  # outer border
+    rect(40, 120, 597, 777)  # content box (the readable block)
+    # title-block partitions: offset from the content box edges so no
+    # accidental rectangle closes with the frame rules
+    ops.append("45 65 m 590 65 l S")
+    ops.append("300 12 m 300 118 l S")
+    if title_text:
+        ops.append(
+            f"BT /F1 {font_size:g} Tf 1 0 0 1 320 40 Tm ({_escape(title_text)}) Tj ET"
+        )
+    return "\n".join(ops)
+
+
 def build_pdf(
     pages: Sequence[PageLines],
     images: Optional[Sequence[PageImages]] = None,

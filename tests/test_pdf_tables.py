@@ -155,3 +155,81 @@ def test_double_stroked_rectangle_rejected():
         (110, 10, 110, 50),
     ]
     assert detect_ruled_tables(rect) == []
+
+
+# ---------------------------------------------------------------------------
+# GOST frame analysis on the txt-layer path (gost_frame_recognizer.py:20-44
+# + pdf_txtlayer_reader.py:63-70 semantics, content-stream port)
+
+
+def _framed_payload(with_table=True, stamp="Sheet 9"):
+    from dedoc_spark.sources.pdf_fixture import gost_frame_ops
+
+    ops = gost_frame_ops(stamp)
+    if with_table:
+        ops += "\n" + table_ops(72, 700, [100, 100], 20, [["id", "9"], ["a", "b"]])
+    return build_pdf([[("Body line", False)]], extra_content=[ops])
+
+
+def test_gost_frame_detected_from_rules():
+    from dedoc_spark.core.pdf_tables import detect_gost_frame
+
+    # outer 10..602 × 10..782, content 40..597 × 15..672 (top-down)
+    segs = []
+    for x0, y0, x1, y1 in [(10, 10, 602, 10), (10, 782, 602, 782),
+                           (10, 10, 10, 782), (602, 10, 602, 782),
+                           (40, 15, 597, 15), (40, 672, 597, 672),
+                           (40, 15, 40, 672), (597, 15, 597, 672)]:
+        segs.append((float(x0), float(y0), float(x1), float(y1)))
+    box = detect_gost_frame(segs, 612, 792)
+    assert box is not None
+    assert abs(box.x_top_left - 40) < 1 and abs(box.y_top_left - 15) < 1
+    assert abs(box.x_bottom_right - 597) < 1 and abs(box.y_bottom_right - 672) < 1
+
+
+def test_gost_frame_requires_nesting_and_area():
+    from dedoc_spark.core.pdf_tables import detect_gost_frame
+
+    # single rectangle: no outer contour to be a child of → no frame
+    segs = [(40.0, 15.0, 597.0, 15.0), (40.0, 672.0, 597.0, 672.0),
+            (40.0, 15.0, 40.0, 672.0), (597.0, 15.0, 597.0, 672.0)]
+    assert detect_gost_frame(segs, 612, 792) is None
+    # nested but tiny content (< 0.65 of the page) → no frame
+    segs += [(200.0, 200.0, 590.0, 200.0), (200.0, 600.0, 590.0, 600.0),
+             (200.0, 200.0, 200.0, 600.0), (590.0, 200.0, 590.0, 600.0)]
+    assert detect_gost_frame(segs, 612, 792) is None
+
+
+def test_gost_param_drops_title_block_text():
+    payload = _framed_payload(with_table=False)
+    d_off = extract_document("a.pdf", payload, None)
+    d_on = extract_document(
+        "a.pdf", payload, None, params={"need_gost_frame_analysis": True}
+    )
+    assert "Sheet 9" in d_off["text_extracted"]
+    assert "Body line" in d_on["text_extracted"]
+    assert "Sheet 9" not in d_on["text_extracted"]
+
+
+def test_gost_with_tables_frame_is_not_a_table():
+    payload = _framed_payload()
+    d = extract_document(
+        "a.pdf", payload, None,
+        params={"need_gost_frame_analysis": True, **TABLE_PARAMS},
+    )
+    assert d["n_tables"] == 1
+    assert _cells(d) == [["id", "9"], ["a", "b"]]
+    # body stays in flow; stamp and captured cell text do not
+    assert "Body line" in d["text_extracted"]
+    assert "Sheet 9" not in d["text_extracted"]
+    assert "id" not in d["text_extracted"]
+
+
+def test_gost_default_bytes_unchanged():
+    # the param is opt-in: a frameless doc parses identically with it on
+    payload = build_pdf([[("Doc X", True), ("plain", False)]])
+    d_off = extract_document("a.pdf", payload, None)
+    d_on = extract_document(
+        "a.pdf", payload, None, params={"need_gost_frame_analysis": True}
+    )
+    assert d_on["text_extracted"] == d_off["text_extracted"]
