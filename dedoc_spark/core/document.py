@@ -239,7 +239,8 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
             need_gost_frame_analysis=need_gost,
         )
     if params.get("pdf_with_text_layer", "auto") in ("auto", "auto_tabby"):
-        is_correct, first_correct = detect_txt_layer(lines)
+        fast = str(params.get("fast_textual_layer_detection", "false")).lower() == "true"
+        is_correct, first_correct = detect_txt_layer(lines, fast=fast)
         if is_correct:
             warnings.append("Assume document has a correct textual layer")
             if not first_correct:

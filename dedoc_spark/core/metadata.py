@@ -319,24 +319,41 @@ def extract_ole2_metadata(payload: bytes) -> Dict[str, str]:
     return out
 
 
-def extract_document_metadata(url: str, payload: Optional[bytes]) -> Dict[str, str]:
+def extract_document_metadata(
+    url: str, payload: Optional[bytes], params: Optional[Dict] = None
+) -> Dict[str, str]:
     """Per-document metadata dispatch (the reference's metadata-extractor
     composition): docx core.xml, pdf /Info, OLE2 SummaryInformation, image
-    EXIF — one pure function for the Spark metadata stage."""
+    EXIF — one pure function for the Spark metadata stage.
+
+    ``return_base64`` (base_metadata_extractor.py:49-52): when the
+    document is an ATTACHMENT and the parameter is "true", the metadata
+    gains ``base64_encode`` = base64 of the raw payload bytes. The
+    reference keys attachment-ness on the handler-set ``is_attached``
+    parameter; the Spark attachment channel marks attachment rows with a
+    ``#member`` url suffix, so either signal qualifies here."""
     if not payload:
         return {}
     from dedoc_spark.core.formats import detect_format
 
+    params = params or {}
     fmt = detect_format(url, payload, None)
+    out: Dict[str, str] = {}
     try:
         if fmt == "docx":
-            return extract_docx_metadata(payload)
-        if fmt == "pdf":
-            return extract_pdf_metadata(payload)
-        if fmt in ("xls", "doc", "ppt") or fmt == "needs_conversion:ole2":
-            return extract_ole2_metadata(payload)
-        if fmt.startswith("media:image/"):
-            return extract_image_metadata(payload)
+            out = extract_docx_metadata(payload)
+        elif fmt == "pdf":
+            out = extract_pdf_metadata(payload)
+        elif fmt in ("xls", "doc", "ppt") or fmt == "needs_conversion:ole2":
+            out = extract_ole2_metadata(payload)
+        elif fmt.startswith("media:image/"):
+            out = extract_image_metadata(payload)
     except Exception:
         return {}
-    return {}
+    is_attached = bool(params.get("is_attached")) or "#" in url
+    if is_attached and str(params.get("return_base64", "false")).lower() == "true":
+        import base64 as _b64
+
+        out = dict(out)
+        out["base64_encode"] = _b64.b64encode(payload).decode("utf-8")
+    return out

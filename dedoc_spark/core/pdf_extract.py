@@ -928,20 +928,31 @@ def _extract_pdf_full(
 _TXT_LAYER_MODEL = None
 
 
-def detect_txt_layer(lines: List[Line]) -> Tuple[bool, bool]:
+def detect_txt_layer(lines: List[Line], fast: bool = False) -> Tuple[bool, bool]:
     """PdfAutoReader routing decision (txtlayer_detector.py:22-58): classify
     the first ≤8 pages' text with the broadcast-style quality model; the
     first page is re-classified separately only when the whole layer is
     judged correct. Returns (is_correct_text_layer, is_first_page_correct).
+
+    ``fast=True`` is fast_textual_layer_detection (txtlayer_detector.py:
+    32-36): skip the classifier entirely — the layer is correct when ANY
+    sampled line has a non-space character, and the first page is correct
+    when it has lines and any of them is non-space (computed independently
+    of is_correct, unlike the classifier path).
     """
     global _TXT_LAYER_MODEL
     import pandas as pd
 
     from dedoc_spark.operators.classifier import features_frame, train_default_model
 
+    sample = [ln for ln in lines if (ln.page_id or 0) < 8]  # pages "1:8"
+    if fast:
+        is_correct = any(ln.line.strip() for ln in sample)
+        first_page = [ln for ln in sample if (ln.page_id or 0) == 0]
+        first_correct = bool(first_page) and any(ln.line.strip() for ln in first_page)
+        return is_correct, first_correct
     if _TXT_LAYER_MODEL is None:
         _TXT_LAYER_MODEL = train_default_model()
-    sample = [ln for ln in lines if (ln.page_id or 0) < 8]  # pages "1:8"
     text = "\n".join(ln.line for ln in sample)
     if not text.strip():
         return False, False

