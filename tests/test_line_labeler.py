@@ -1,0 +1,82 @@
+"""Trained open stand-ins for the pickled line classifiers
+(operators/line_labeler.py; reference artifacts are internal, VERDICT r4
+"Next round" #8). Held-out accuracy must beat the regex stand-in on the
+noisy corpus and match it on the clean one; the model drops into the
+extractors through the existing ``labels`` argument."""
+
+import numpy as np
+
+from dedoc_spark.operators.line_labeler import (
+    FEATURE_NAMES,
+    line_features,
+    load_labeler,
+    predict_labels_with_model,
+    save_labeler,
+    train_line_labeler,
+)
+
+
+def test_features_shape_and_determinism():
+    texts = ["Статья 1. Общие положения", "1. Первый пункт.", "", "а) подпункт;"]
+    X1 = line_features(texts)
+    X2 = line_features(texts)
+    assert X1.shape == (4, len(FEATURE_NAMES))
+    assert np.array_equal(X1, X2)
+    named = FEATURE_NAMES.index("named_regexp")
+    assert X1[0, named] == 1.0 and X1[1, named] == 0.0
+
+
+def test_trained_beats_regex_on_noise_matches_on_clean():
+    for doctype in ("law", "tz", "diploma"):
+        _, clean = train_line_labeler(doctype, noisy=False)
+        assert clean["model_accuracy"] >= clean["regex_accuracy"] - 0.01, clean
+        assert clean["model_accuracy"] >= 0.97, clean
+        _, noisy = train_line_labeler(doctype, noisy=True)
+        assert noisy["model_accuracy"] > noisy["regex_accuracy"], noisy
+        assert noisy["model_accuracy"] >= 0.95, noisy
+
+
+def test_training_is_deterministic():
+    m1, r1 = train_line_labeler("law")
+    m2, r2 = train_line_labeler("law")
+    assert r1 == r2
+    assert np.array_equal(m1.weights, m2.weights)
+
+
+def test_save_load_roundtrip(tmp_path):
+    model, _ = train_line_labeler("tz")
+    path = str(tmp_path / "tz_labeler.json")
+    save_labeler(model, path)
+    loaded = load_labeler(path)
+    texts = ["1. Введение ...... 3", "Раздел 1. Общие положения", "просто текст"]
+    assert loaded.predict(texts) == model.predict(texts)
+
+
+def test_model_swaps_into_extractor_via_labels_arg():
+    """The ``labels`` argument contract: on a clean law fixture the trained
+    model's labels reproduce the regex stand-in's structure exactly."""
+    from dedoc_spark.core.law_structure import extract_law_structure
+    from dedoc_spark.core.model import Line
+
+    texts = [
+        "ФЕДЕРАЛЬНЫЙ ЗАКОН",
+        "О порядке",
+        "Статья 1. Общие положения",
+        "1. Первый пункт закона.",
+        "а) первый подпункт;",
+        "Статья 2. Прочее",
+        "Президент Российской Федерации",
+    ]
+    model, _ = train_line_labeler("law")
+    with_model = extract_law_structure(
+        [Line(line=t) for t in texts],
+        labels=predict_labels_with_model(model, [Line(line=t) for t in texts]),
+    )
+    with_regex = extract_law_structure([Line(line=t) for t in texts])
+    def shape(lines):
+        return [
+            (ln.line, (ln.hl.level_1, ln.hl.level_2, ln.hl.line_type) if ln.hl else None)
+            for ln in lines
+        ]
+
+    assert shape(with_model) == shape(with_regex)
