@@ -99,7 +99,21 @@ def main() -> None:
             for c, r in ladder.items()
         )
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # preserve non-template sections (e.g. the destructive-dedup scale
+    # rehearsal) across regenerations: everything from a "## " heading the
+    # template does not own, up to the next owned heading
+    bench_path = os.path.join(REPO, "BENCH.md")
+    owned = ("# BENCH", "## Scaling", "## Plan audit", "## vs reference baseline")
+    extra_sections = ""
+    if os.path.exists(bench_path):
+        import re as _re
+
+        current = open(bench_path).read()
+        blocks = _re.split(r"(?m)^(?=#)", current)
+        extra_sections = "".join(
+            b for b in blocks if b.strip() and not b.startswith(owned)
+        )
+    with open(bench_path, "w") as f:
         f.write(f"""# BENCH — throughput + scaling evidence (dedoc_spark)
 
 ## Scaling (north rule: N → 4N executors, efficiency ≥ 0.8)
@@ -191,7 +205,7 @@ Facts the scale claims rest on, re-checked this round:
   operators — oversized blocks are dropped by a count+filter before the
   self-join, so no unbounded quadratic plan is reachable from the gate.
 
-## vs reference baseline (BASELINE.md)
+{extra_sections}## vs reference baseline (BASELINE.md)
 
 Reference HTML parsing ≈ 10 docs/s/core (whole pipeline,
 time_benchmark.csv row other_html). This engine ≈
