@@ -338,6 +338,21 @@ def extract_document(
         params = params or {}
         handle_invisible_table = bool(params.get("handle_invisible_table", handle_invisible_table))
         fmt = detect_format(url, html, text)
+        if html:
+            # ArticleReader's TEI analysis half (article_reader.py:64-80):
+            # the GROBID HTTP call is an external service (de-scoped); a
+            # user-supplied GROBID response (*.tei.xml) routes here and
+            # yields the reference's article structure. document_type
+            # "article" then passes the tag levels through untouched.
+            from dedoc_spark.core.tei_extract import looks_like_tei
+
+            if looks_like_tei(url, html):
+                from dedoc_spark.core.tei_extract import extract_tei_lines_tables
+
+                lines, tei_tables, warnings = extract_tei_lines_tables(html, url_hash(url))
+                params = dict(params)
+                params.setdefault("document_type", "article")
+                return _finalize(url, lines, tei_tables, warnings, params)
         if fmt == "html" and html:
             return extract_html_document(url, html, handle_invisible_table, params)
         if fmt == "json" and html:

@@ -400,6 +400,33 @@ def extract_note_content(payload: bytes) -> str:
     return text
 
 
+def extract_note_metadata(payload: bytes) -> Dict[str, str]:
+    """NoteMetadataExtractor port (note_metadata_extarctor.py:33-60 —
+    the reference filename typo is theirs): the note dict's own
+    size/created_time/modified_time/author fields become the metadata
+    (access_time = modified_time, file_type = "note"), through the same
+    restricted unpickler as the reader. A broken note raises — the
+    reference maps it to BadFileFormatError; callers route it to the
+    typed error/empty-metadata channel."""
+    import pickle
+
+    class _SafeUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):  # noqa: ARG002
+            raise pickle.UnpicklingError(
+                f"note pickle requested global {module}.{name} — refused"
+            )
+
+    note_dict = _SafeUnpickler(io.BytesIO(payload)).load()
+    return {
+        "file_type": "note",
+        "size": str(note_dict["size"]),
+        "access_time": str(note_dict["modified_time"]),
+        "created_time": str(note_dict["created_time"]),
+        "modified_time": str(note_dict["modified_time"]),
+        "author": str(note_dict["author"]),
+    }
+
+
 # --- text encoding detection (utils.get_encoding semantics, §2.9) -----------
 
 

@@ -340,7 +340,11 @@ def extract_document_metadata(
     fmt = detect_format(url, payload, None)
     out: Dict[str, str] = {}
     try:
-        if fmt == "docx":
+        if url.lower().endswith(".note.pickle"):
+            from dedoc_spark.core.formats import extract_note_metadata
+
+            out = extract_note_metadata(payload)
+        elif fmt == "docx":
             out = extract_docx_metadata(payload)
         elif fmt == "pdf":
             out = extract_pdf_metadata(payload)

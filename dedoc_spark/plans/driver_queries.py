@@ -2943,6 +2943,77 @@ def q65_gost_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q65_SQL = Q57_SQL
 
 
+def q66_tei_article(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArticleReader TEI gate (article_reader.py:64-542 analysis half,
+    core/tei_extract.py): each doc is a GROBID-shaped TEI response with a
+    title, abstract, one numbered section (plain-text paragraph keeps the
+    reference's trailing newline), a 2×2 table figure, and one
+    bibliography item with a page biblScope. Closed-form line list:
+    root, Abstract, abstract text, "1. Sec {source}", "{text}\\n",
+    bibliography header, empty item line, "{id}-{id+7}" page scope."""
+    import pandas as pd
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
+    def fn(it):
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from xml.sax.saxutils import escape
+
+        from dedoc_spark.core.document import extract_document
+
+        for pdf in it:
+            out = []
+            for doc_id, text, source, lang in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"], pdf["lang"]
+            ):
+                did = int(doc_id)
+                tei = (
+                    '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><fileDesc>'
+                    f"<titleStmt><title>Doc {did}</title></titleStmt></fileDesc>"
+                    f"<profileDesc><abstract><p>{escape(text)}</p></abstract></profileDesc>"
+                    "</teiHeader><text><body>"
+                    f'<div><head n="1.">Sec {escape(source)}</head><p>{escape(text)}</p></div>'
+                    '<figure type="table" xml:id="tab_0"><head>T</head><figDesc>d</figDesc>'
+                    f"<table><row><cell>id</cell><cell>{did}</cell></row>"
+                    f"<row><cell>{escape(source)}</cell><cell>{escape(lang)}</cell></row></table></figure>"
+                    '</body><back><div type="references"><listBibl><biblStruct xml:id="b0">'
+                    f'<monogr><imprint><biblScope unit="page" from="{did}" to="{did + 7}"/>'
+                    "</imprint></monogr></biblStruct></listBibl></div></back></text></TEI>"
+                )
+                d = extract_document(f"{did}.tei.xml", tei.encode(), None)
+                out.append(
+                    {
+                        "doc_id": did,
+                        "n_lines": d["n_lines"],
+                        "n_tables": d["n_tables"],
+                        "text_linear": d["text_linear"],
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "n_lines", "n_tables", "text_linear"])
+
+    return (
+        _parallel(
+            _docs(spark, sf_dir)
+            .select("doc_id", "text", "source", "lang")
+        )
+        .mapInPandas(fn, "doc_id long, n_lines long, n_tables long, text_linear string")
+    )
+
+
+Q66_SQL = """
+SELECT doc_id, CAST(8 AS BIGINT) AS n_lines, CAST(1 AS BIGINT) AS n_tables,
+       'Doc ' || doc_id || chr(10) || 'Abstract' || chr(10) || text || chr(10) ||
+       '1. Sec ' || source || chr(10) || text || chr(10) || chr(10) ||
+       'bibliography' || chr(10) || chr(10) || doc_id || '-' || (doc_id + 7) AS text_linear
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2995,6 +3066,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_fintoc_structure": q62_fintoc_structure,
     "q63_media_ops": q63_media_ops,
     "q65_gost_frame": q65_gost_frame,
+    "q66_tei_article": q66_tei_article,
 }
 
 ORACLES: Dict[str, str] = {
@@ -3047,4 +3119,5 @@ ORACLES: Dict[str, str] = {
     "q62_fintoc_structure": Q62_SQL,
     "q63_media_ops": Q63F_SQL,
     "q65_gost_frame": Q65_SQL,
+    "q66_tei_article": Q66_SQL,
 }

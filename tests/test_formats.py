@@ -699,3 +699,38 @@ def test_note_pickle_reader_restricted():
 
     d = extract_document("n.note.pickle", pickle.dumps(Evil()), None)
     assert d["error"] is not None and "refused" in d["error"]
+
+
+def test_note_metadata_extractor():
+    """NoteMetadataExtractor port (note_metadata_extarctor.py:33-60): the
+    note dict's own size/time/author fields become the metadata through
+    the restricted unpickler; malicious or broken notes yield {} from the
+    dispatch (the reference raises BadFileFormatError)."""
+    import pickle
+
+    from dedoc_spark.core.metadata import extract_document_metadata
+
+    note = pickle.dumps(
+        {
+            "content": "body",
+            "size": 512,
+            "created_time": 1700000000,
+            "modified_time": 1700000100,
+            "author": "alice",
+        }
+    )
+    meta = extract_document_metadata("n.note.pickle", note)
+    assert meta["file_type"] == "note"
+    assert meta["size"] == "512"
+    assert meta["author"] == "alice"
+    assert meta["access_time"] == meta["modified_time"] == "1700000100"
+    assert meta["created_time"] == "1700000000"
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, ("echo pwned",))
+
+    assert extract_document_metadata("n.note.pickle", pickle.dumps(Evil())) == {}
+    assert extract_document_metadata("n.note.pickle", pickle.dumps({"content": "x"})) == {}
