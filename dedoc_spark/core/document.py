@@ -219,6 +219,7 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
             payload,
             url_hash(url),
             pages_range=pages_range,
+            table_type=str(params.get("table_type", "")),
             # paragraph classification needs layout bboxes — force them on
             # exactly like the non-table branch, or the flag silently no-ops
             with_layout=bool(params.get("with_layout")) or need_para,

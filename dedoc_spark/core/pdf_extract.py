@@ -726,6 +726,7 @@ def extract_pdf_lines_tables(
     need_header_footer_analysis: bool = True,
     one_column: bool = True,
     need_gost_frame_analysis: bool = False,
+    table_type: str = "",
 ):
     """Txt-layer read WITH ruled-table analysis — the
     ``need_pdf_table_analysis`` path of the reference
@@ -742,6 +743,7 @@ def extract_pdf_lines_tables(
         need_header_footer_analysis=need_header_footer_analysis,
         one_column=one_column,
         need_gost_frame_analysis=need_gost_frame_analysis,
+        table_type=table_type,
     )
 
 
@@ -755,6 +757,7 @@ def _extract_pdf_full(
     need_header_footer_analysis: bool = True,
     one_column: bool = True,
     need_gost_frame_analysis: bool = False,
+    table_type: str = "",
 ):
     from dedoc_spark.core.pdf_layout import (
         BBox,
@@ -846,7 +849,13 @@ def _extract_pdf_full(
                 inside_any_unreadable_block,
             )
 
-            grids = detect_ruled_tables(page_rules)
+            # table_type "one_cell_table" (table_type.py:4) waives the
+            # more-than-one-column heuristic; the other two options are
+            # image-morphology / OCR-text specific (wo_external_bounds,
+            # split_last_column) and stay with the de-scoped image path
+            grids = detect_ruled_tables(
+                page_rules, one_cell_table="one_cell_table" in table_type
+            )
             if grids:
                 # pdf_txtlayer_reader.py:70-73: table locations are the
                 # unreadable blocks; captured lines leave the page flow

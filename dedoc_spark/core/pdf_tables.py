@@ -73,7 +73,10 @@ MAX_SEGMENTS = 4000  # union-find is O(n²) in segments; vector-art pages
 
 
 def detect_ruled_tables(
-    segments: Sequence[Segment], eps: float = 2.0, min_cell: float = 3.0
+    segments: Sequence[Segment],
+    eps: float = 2.0,
+    min_cell: float = 3.0,
+    one_cell_table: bool = False,
 ) -> List[RuledGrid]:
     """Painted segments (top-down coords) → ruling grids.
 
@@ -82,10 +85,15 @@ def detect_ruled_tables(
     2. Union-find segments that touch (their bboxes intersect within
        ``eps``) — each component is a connected lattice of rules.
     3. A component is a table grid when it has ≥ 2 horizontal and ≥ 2
-       vertical rules AND at least one inner divider (≥ 3 rules in one
-       direction) — a plain rectangle (2+2) is a border, not a table,
-       which mirrors the reference recognizer's single-cell rejection
-       (table_recognizer drops one-cell "tables").
+       vertical rules, at least one inner divider (≥ 3 rules in one
+       direction — a plain rectangle is a border, not a table), AND at
+       least two COLUMNS (onepage_table_extractor.py:103-105 heuristic 2:
+       "таблица должна иметь больше одного столбца" — single-column
+       grids are rejected; single-ROW multi-column grids pass).
+    ``one_cell_table=True`` is the reference's ``table_type``
+    "one_cell_table" option (table_type.py:4, table_recognizer.py:56-59,
+    onepage_table_extractor.py:104): heuristic 2 is bypassed, so plain
+    rectangles come back as 1×1 tables and single-column grids as N×1.
     Cell boundaries are the snapped distinct rule positions.
     """
     if len(segments) > MAX_SEGMENTS:
@@ -138,16 +146,23 @@ def detect_ruled_tables(
     for members in comps.values():
         hs = [segs[i] for i in members if i < len(horiz)]
         vs = [segs[i] for i in members if i >= len(horiz)]
-        if len(hs) < 2 or len(vs) < 2 or (len(hs) < 3 and len(vs) < 3):
+        if len(hs) < 2 or len(vs) < 2:
+            continue
+        if not one_cell_table and len(hs) < 3 and len(vs) < 3:
             continue
         row_bounds = _snap([s[1] for s in hs], eps)
         col_bounds = _snap([s[0] for s in vs], eps)
         if len(row_bounds) < 2 or len(col_bounds) < 2:
             continue
-        # the inner-divider requirement must hold on the SNAPPED bounds:
-        # a double-stroked plain rectangle yields 3 raw segments that
-        # snap back to 2 positions — still a border, not a table
-        if (len(row_bounds) - 1) * (len(col_bounds) - 1) <= 1:
+        # the requirements must hold on the SNAPPED bounds: a
+        # double-stroked plain rectangle yields 3 raw segments that snap
+        # back to 2 positions — still a border, not a table. Heuristic 2
+        # (docstring): fewer than two columns is not a table either,
+        # unless one_cell_table waives both checks.
+        if not one_cell_table and (
+            (len(row_bounds) - 1) * (len(col_bounds) - 1) <= 1
+            or len(col_bounds) - 1 < 2
+        ):
             continue
         bbox = BBox(
             col_bounds[0],

@@ -45,12 +45,47 @@ def test_detect_grid_and_reject_plain_rectangle():
 
 def test_detect_snaps_jittered_rules_and_splits_far_components():
     # two grids far apart → two components; 0.5pt jitter snaps
-    segs = _grid_segments(72, 100, [100], 20, 2) + _grid_segments(300, 500, [50, 50], 15, 1)
+    segs = _grid_segments(72, 100, [60, 60], 20, 2) + _grid_segments(300, 500, [50, 50], 15, 1)
     segs = [(x0 + 0.4, y0, x1, y1) for x0, y0, x1, y1 in segs]
     grids = detect_ruled_tables(segs)
     assert len(grids) == 2
-    assert grids[0].n_rows == 2 and grids[0].n_cols == 1
+    assert grids[0].n_rows == 2 and grids[0].n_cols == 2
     assert grids[1].n_rows == 1 and grids[1].n_cols == 2
+
+
+def test_single_column_rejected_unless_one_cell_table():
+    """Heuristic 2 parity (onepage_table_extractor.py:103-105): a table
+    must have more than one column; table_type "one_cell_table" waives
+    it (and the plain-rectangle rejection) so 1×1 / N×1 grids return."""
+    single_col = _grid_segments(72, 100, [100], 20, 2)  # 2 rows x 1 col
+    assert detect_ruled_tables(single_col) == []
+    grids = detect_ruled_tables(single_col, one_cell_table=True)
+    assert len(grids) == 1 and grids[0].n_rows == 2 and grids[0].n_cols == 1
+    plain_rect = _grid_segments(72, 100, [100], 20, 1)  # 1x1 border
+    assert detect_ruled_tables(plain_rect) == []
+    grids = detect_ruled_tables(plain_rect, one_cell_table=True)
+    assert len(grids) == 1 and grids[0].n_rows == 1 and grids[0].n_cols == 1
+
+
+def test_table_type_param_one_cell_table():
+    """The table_type parameter reaches the detector through
+    extract_document: a lone ruled rectangle around a text line becomes
+    a 1x1 table (and the line leaves the flow) only with the option."""
+    from dedoc_spark.sources.pdf_fixture import build_pdf, table_ops
+
+    ops = table_ops(72, 700, [150], 20, [["only cell"]])
+    payload = build_pdf([[("Body line", False)]], extra_content=[ops])
+    d = extract_document("a.pdf", payload, None, params=TABLE_PARAMS)
+    assert d["n_tables"] == 0
+    assert "only cell" in d["text_extracted"]
+    d = extract_document(
+        "a.pdf", payload, None,
+        params={**TABLE_PARAMS, "table_type": "one_cell_table"},
+    )
+    assert d["n_tables"] == 1
+    assert _cells(d) == [["only cell"]]
+    assert "only cell" not in d["text_extracted"]
+    assert "Body line" in d["text_extracted"]
 
 
 def test_inside_unreadable_block_threshold():
