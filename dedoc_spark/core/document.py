@@ -86,7 +86,7 @@ def _finalize(url: str, lines: List[Line], tables, warnings, params: Optional[Di
     text_extracted = tree_to_text(tree)
     # UnstructuredDocument.get_text() semantics (unstructured_document.py:44-45)
     text_linear = "\n".join(line.line for line in lines)
-    return {
+    out = {
         "url": url,
         "text_extracted": text_extracted,
         "text_linear": text_linear,
@@ -99,6 +99,33 @@ def _finalize(url: str, lines: List[Line], tables, warnings, params: Optional[Di
         "warnings": list(warnings),
         "error": None,
     }
+    # return_format (dedoc_api.py:75-105): response REPRESENTATION, not a
+    # parse change — opt-in, so the extra "rendered" key appears only when
+    # the parameter is set (the Spark stage's fixed schema never sets it)
+    return_format = str(params.get("return_format", "json")).lower()
+    if return_format != "json":
+        if return_format == "html":
+            from dedoc_spark.core.json2html import json2html
+
+            out["rendered"] = json2html(tree, list(tables))
+        elif return_format == "plain_text":
+            out["rendered"] = text_extracted  # json2txt == tree_to_text
+        elif return_format == "tree":
+            from dedoc_spark.core.json2html import json2tree
+
+            out["rendered"] = json2tree(tree)
+        elif return_format == "collapsed_tree":
+            from dedoc_spark.core.json2html import json2collapsed_tree
+
+            out["rendered"] = json2collapsed_tree(tree)
+        elif return_format in ("ujson", "pretty_json"):
+            from dedoc_spark.core.api_schema import to_parsed_document
+
+            indent = 2 if return_format == "pretty_json" else None
+            out["rendered"] = json.dumps(
+                to_parsed_document(out), ensure_ascii=False, indent=indent
+            )
+    return out
 
 
 def extract_html_document(

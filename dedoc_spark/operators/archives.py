@@ -223,6 +223,11 @@ def extract_with_attachments(df: DataFrame, max_depth: int = 2, params: dict | N
     from dedoc_spark.operators import _persist
     from dedoc_spark.operators.pipeline import extract_stage
 
+    # recursion_deep_attachments (api_args.py:19, attachments_handler
+    # depth bound — reference default 10): the parameter overrides the
+    # operator's max_depth when present
+    if params and "recursion_deep_attachments" in params:
+        max_depth = int(params["recursion_deep_attachments"])
     out = extract_stage(df, params=params)
     pending = df.filter(F.col("html").isNotNull()).select("url", "html")
     persisted = []

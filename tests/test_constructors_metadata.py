@@ -191,3 +191,38 @@ def test_json2collapsed_tree_rendering():
     assert "raw_text&nbsp0.0.0" in out
     wrapped = [seg for seg in out.split("<p>") if "word word" in seg]
     assert len(wrapped) >= 2  # 150 chars of words wraps into ≥2 <p> blocks
+
+
+def test_return_format_param():
+    """return_format (dedoc_api.py:75-105) is a response-representation
+    switch: the opt-in "rendered" key carries the html/tree/plain_text/
+    pretty_json renderings; default json output is unchanged (no key)."""
+    import json as jsonlib
+
+    from dedoc_spark.core.document import extract_document
+
+    html = b"<html><body><h1>Title</h1><p>body text</p></body></html>"
+    base = extract_document("a.html", html, None)
+    assert "rendered" not in base
+
+    d = extract_document("a.html", html, None, params={"return_format": "html"})
+    assert "<strong>" in d["rendered"] and "body text" in d["rendered"]
+    # everything except the extra key matches the default output
+    assert {k: v for k, v in d.items() if k != "rendered"} == base
+
+    d = extract_document("a.html", html, None, params={"return_format": "plain_text"})
+    assert d["rendered"] == base["text_extracted"]
+
+    d = extract_document("a.html", html, None, params={"return_format": "tree"})
+    assert "|--- header" in d["rendered"] and "Title" in d["rendered"]
+
+    d = extract_document("a.html", html, None, params={"return_format": "collapsed_tree"})
+    assert "Title" in d["rendered"]
+
+    d = extract_document("a.html", html, None, params={"return_format": "pretty_json"})
+    parsed = jsonlib.loads(d["rendered"])
+    assert parsed["content"]["structure"]["subparagraphs"]
+    # pretty has indentation, ujson does not
+    assert "\n  " in d["rendered"]
+    d2 = extract_document("a.html", html, None, params={"return_format": "ujson"})
+    assert jsonlib.loads(d2["rendered"]) == parsed

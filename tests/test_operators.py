@@ -829,3 +829,26 @@ def test_persist_registry_session_keyed(spark):
     assert live.released == 1
     assert dead.released == 0
     assert all(not v for v in _persist._REGISTRY.values())
+
+def test_recursion_deep_attachments_param(spark):
+    """recursion_deep_attachments (api_args.py:19) overrides the
+    operator's max_depth: 0 disables attachment re-entry entirely."""
+    import zipfile
+    import io
+
+    from dedoc_spark.operators.archives import extract_with_attachments, unpersist_intermediates
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("inner.txt", "inner text")
+    df = spark.createDataFrame([("a.zip", bytearray(buf.getvalue()))], "url string, html binary")
+
+    out = extract_with_attachments(df, params={"recursion_deep_attachments": "0"})
+    urls = [r.url for r in out.collect()]
+    unpersist_intermediates(out)
+    assert urls == ["a.zip"]
+
+    out = extract_with_attachments(df, params={"recursion_deep_attachments": "1"})
+    urls = sorted(r.url for r in out.collect())
+    unpersist_intermediates(out)
+    assert urls == ["a.zip", "a.zip#inner.txt"]
