@@ -108,6 +108,9 @@ def main() -> None:
     timed("q44_winnow_fingerprints", lambda: dq.q44_winnow_fingerprints(spark, SF_DIR).count())
     timed("q57_pdf_ruled_tables", lambda: dq.q57_pdf_ruled_tables(spark, SF_DIR).agg(F.count("*")).collect())
     timed("q58_law_structure", lambda: dq.q58_law_structure(spark, SF_DIR).agg(F.count("*")).collect())
+    timed("q61_span_removal", lambda: dq.q61_span_removal(spark, SF_DIR).agg(F.count("*")).collect())
+    timed("q65_gost_frame", lambda: dq.q65_gost_frame(spark, SF_DIR).agg(F.count("*")).collect())
+    timed("q66_tei_article", lambda: dq.q66_tei_article(spark, SF_DIR).agg(F.count("*")).collect())
 
     # broadcast-model batch classifier over the extracted pages
     from dedoc_spark.operators.classifier import score_text_quality, train_default_model
