@@ -369,18 +369,24 @@ def extract_document(
         if html:
             # ArticleReader's TEI analysis half (article_reader.py:64-80):
             # the GROBID HTTP call is an external service (de-scoped); a
-            # user-supplied GROBID response (*.tei.xml) routes here and
-            # yields the reference's article structure. document_type
-            # "article" then passes the tag levels through untouched.
-            from dedoc_spark.core.tei_extract import looks_like_tei
+            # user-supplied GROBID response routes here and yields the
+            # reference's article structure. Routing is the DEDICATED
+            # extension (*.tei/*.tei.xml — a new reader, like .note.pickle)
+            # or the document_type="article" opt-in + a <TEI> root sniff;
+            # a <TEI> payload under another url/params keeps its previous
+            # reader (default bytes stay stable per CLAUDE.md).
+            low_url = url.lower()
+            is_tei_ext = low_url.endswith((".tei", ".tei.xml"))
+            if is_tei_ext or params.get("document_type") == "article":
+                from dedoc_spark.core.tei_extract import looks_like_tei
 
-            if looks_like_tei(url, html):
-                from dedoc_spark.core.tei_extract import extract_tei_lines_tables
+                if looks_like_tei(url, html):
+                    from dedoc_spark.core.tei_extract import extract_tei_lines_tables
 
-                lines, tei_tables, warnings = extract_tei_lines_tables(html, url_hash(url))
-                params = dict(params)
-                params.setdefault("document_type", "article")
-                return _finalize(url, lines, tei_tables, warnings, params)
+                    lines, tei_tables, warnings = extract_tei_lines_tables(html, url_hash(url))
+                    params = dict(params)
+                    params.setdefault("document_type", "article")
+                    return _finalize(url, lines, tei_tables, warnings, params)
         if fmt == "html" and html:
             return extract_html_document(url, html, handle_invisible_table, params)
         if fmt == "json" and html:

@@ -328,10 +328,11 @@ def extract_document_metadata(
 
     ``return_base64`` (base_metadata_extractor.py:49-52): when the
     document is an ATTACHMENT and the parameter is "true", the metadata
-    gains ``base64_encode`` = base64 of the raw payload bytes. The
-    reference keys attachment-ness on the handler-set ``is_attached``
-    parameter; the Spark attachment channel marks attachment rows with a
-    ``#member`` url suffix, so either signal qualifies here."""
+    gains ``base64_encode`` = base64 of the raw payload bytes.
+    Attachment-ness comes ONLY from the handler-set ``is_attached``
+    parameter, exactly like the reference — a bare "#" in the url is NOT
+    enough (crawled urls carry fragments; the attachment channel passes
+    is_attached explicitly, see operators/archives.py)."""
     if not payload:
         return {}
     from dedoc_spark.core.formats import detect_format
@@ -354,8 +355,7 @@ def extract_document_metadata(
             out = extract_image_metadata(payload)
     except Exception:
         return {}
-    is_attached = bool(params.get("is_attached")) or "#" in url
-    if is_attached and str(params.get("return_base64", "false")).lower() == "true":
+    if bool(params.get("is_attached")) and str(params.get("return_base64", "false")).lower() == "true":
         import base64 as _b64
 
         out = dict(out)

@@ -67,12 +67,33 @@ def _find(el: Optional[ET.Element], tag: str) -> Optional[ET.Element]:
     return None
 
 
+def _bs4_string(el: ET.Element) -> Optional[str]:
+    """bs4 ``.string``: the tag's text when it has exactly ONE child —
+    that child's string directly, or RECURSIVELY when the only child is
+    itself a tag (documented bs4 semantics; whitespace text nodes count
+    as children, so pretty-printed mixed content still yields None)."""
+    kids: List = []
+    if el.text:
+        kids.append(el.text)
+    for child in el:
+        kids.append(child)
+        if child.tail:
+            kids.append(child.tail)
+    if len(kids) != 1:
+        return None
+    kid = kids[0]
+    if isinstance(kid, str):
+        return kid
+    return _bs4_string(kid)
+
+
 def _tag2text(el: Optional[ET.Element]) -> str:
-    """bs4 ``.string`` semantics (article_reader.py:306-308): the text only
-    when the tag has exactly one string child (no element children)."""
-    if el is None or len(el) > 0 or el.text is None:
+    """__tag2text (article_reader.py:306-308): "" when ``.string`` is
+    None."""
+    if el is None:
         return ""
-    return el.text
+    s = _bs4_string(el)
+    return s if s is not None else ""
 
 
 def _get_text(el: ET.Element, separator: str = "") -> str:
@@ -194,8 +215,12 @@ def _parse_section(
     if head_text:
         lines.append(b.line(number + head_text, depth, "section"))
     for p in div.iter("p"):
-        if len(p) == 0 and p.text is not None:
-            lines.append(_line_with_refs(b, p.text + "\n", bib2uid, table2uid))
+        # article_reader.py:285-289: the ``.string`` branch (single child,
+        # possibly a lone tag — bs4 recurses) gets a trailing newline and
+        # NO ref annotations; only true mixed content walks the ref path
+        p_string = _bs4_string(p)
+        if p_string is not None:
+            lines.append(_line_with_refs(b, p_string + "\n", bib2uid, table2uid))
         else:
             items = _content_items(p)
             if items:
@@ -251,7 +276,9 @@ def _parse_tables(b: _Builder, root: ET.Element, url_hash: str) -> Tuple[List[Ta
     for idx, figure in enumerate(root.iter("figure")):
         if figure.get("type") != "table":
             continue
-        head = figure.text if figure.text and figure.text.strip() else _tag2text(_find(figure, "head"))
+        # contents[0]-if-str semantics (article_reader.py:324): ANY leading
+        # text node wins, including pretty-print whitespace — kept verbatim
+        head = figure.text if figure.text is not None else _tag2text(_find(figure, "head"))
         title = (head or "") + _tag2text(_find(figure, "figDesc"))
         grid = _find(figure, "table")
         if grid is None:

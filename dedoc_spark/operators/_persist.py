@@ -32,19 +32,26 @@ def _app_id(frame) -> str:
         return "<unknown>"
 
 
-def _live_app_ids() -> set:
-    """Application ids of sessions that still have a usable context."""
+def _live_app_ids():
+    """Application ids of sessions that still have a usable context, or
+    None when liveness CANNOT be determined — getActiveSession() is
+    thread-local, so a worker thread (ThreadPoolExecutor queries) sees
+    None even while the session is alive. Pruning must be conservative:
+    unknown liveness prunes nothing, or still-pinned frames of a live
+    session would be dropped from the registry without unpersist."""
     try:
         from pyspark.sql import SparkSession
 
         active = SparkSession.getActiveSession()
-        return {active.sparkContext.applicationId} if active is not None else set()
+        return {active.sparkContext.applicationId} if active is not None else None
     except Exception:
-        return set()
+        return None
 
 
 def _prune_dead() -> None:
     live = _live_app_ids()
+    if live is None:
+        return
     for key in [k for k in _REGISTRY if k not in live and k != "<unknown>"]:
         del _REGISTRY[key]
 

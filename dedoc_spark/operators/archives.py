@@ -238,7 +238,10 @@ def extract_with_attachments(df: DataFrame, max_depth: int = 2, params: dict | N
             _error_extract_rows(atts.filter(F.col("kind") == "error"), F.col("error"))
         )
         members = atts.filter(F.col("kind") == "member")
-        out = out.unionByName(extract_stage(members, params=params))
+        # the reference's attachments_handler marks re-entered files with
+        # is_attached=True (return_base64 and friends key on it)
+        member_params = {**(params or {}), "is_attached": True}
+        out = out.unionByName(extract_stage(members, params=member_params))
         pending = members.select("url", "html")
     _persist.register(persisted)
     out._dedoc_persisted = persisted  # release via unpersist_intermediates

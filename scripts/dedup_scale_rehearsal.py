@@ -14,8 +14,11 @@ never holds the corpus):
   - every 5th doc is prefixed with the SAME 120-token passage
     (40k duplicated occurrences of every 5-token span in it —
     remove_duplicated_spans must keep exactly one canonical copy)
-  - every 50th doc duplicates its predecessor's text exactly
-    (4k near-dup pairs for the minhash->LSH->jaccard->CC chain)
+  - every 50th doc regenerates its predecessor's 600-token BODY (the
+    predecessor, being a multiple of 5, also carries the shared passage
+    the copy lacks) — ~4k pairs at jaccard ≈ 598/722 ≈ 0.83, just above
+    the 0.8 threshold: a deliberately tight near-dup for the
+    minhash->LSH->jaccard->CC chain, not an exact duplicate
 
 Usage: python scripts/dedup_scale_rehearsal.py [n_docs] [out_json]
 Run EXCLUSIVELY (no concurrent Spark/CPU work) per CLAUDE.md.
@@ -106,7 +109,9 @@ def main() -> None:
                 "doc_id",
                 F.when(
                     F.col("doc_id") % 50 == 1,
-                    # exact copy of the predecessor's text (hash keyed on id-1)
+                    # predecessor's BODY only (hash keyed on id-1) — the
+                    # predecessor also has the passage prefix, so the pair
+                    # lands at jaccard ≈ 0.83 (docstring)
                     F.concat_ws(
                         " ",
                         F.transform(

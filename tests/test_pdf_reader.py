@@ -236,20 +236,20 @@ def test_return_base64_metadata():
     from dedoc_spark.sources.pdf_fixture import build_pdf
 
     payload = build_pdf([[("hello", False)]])
-    # attachment (url#name channel marker) + param → base64 present
-    meta = extract_document_metadata(
-        "https://x/a.zip#inner.pdf", payload, {"return_base64": "true"}
-    )
-    assert meta["base64_encode"] == base64.b64encode(payload).decode()
-    # reference-style explicit is_attached works too
+    # explicit is_attached (the handler-set reference contract) + param
     meta = extract_document_metadata(
         "inner.pdf", payload, {"return_base64": "true", "is_attached": True}
     )
     assert meta["base64_encode"] == base64.b64encode(payload).decode()
     # default off: no base64 key, metadata otherwise unchanged
-    meta_off = extract_document_metadata("https://x/a.zip#inner.pdf", payload, {})
+    meta_off = extract_document_metadata("inner.pdf", payload, {"is_attached": True})
     assert "base64_encode" not in meta_off
     # not an attachment: param alone is not enough (reference gates on
-    # is_attached first)
+    # is_attached first) — and a bare "#" in the url is NOT an attachment
+    # signal (crawled urls carry fragments)
     meta = extract_document_metadata("top.pdf", payload, {"return_base64": "true"})
+    assert "base64_encode" not in meta
+    meta = extract_document_metadata(
+        "https://x/page#section", payload, {"return_base64": "true"}
+    )
     assert "base64_encode" not in meta

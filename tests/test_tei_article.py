@@ -107,10 +107,13 @@ def test_tei_full_structure():
     assert ("date", "2015") in t
     assert warnings == ["use GROBID (version: 0.8.0)"]
 
-    # table: title = head+figDesc, colspan expands an invisible clone
+    # table: title = contents[0]-if-str + figDesc — for pretty-printed
+    # TEI the leading WHITESPACE text node wins over <head>, exactly the
+    # reference quirk (article_reader.py:324); colspan expands an
+    # invisible clone
     assert len(tables) == 1
     tab = tables[0]
-    assert tab.title == "Table 1 .Performance of AES implementations."
+    assert tab.title == "\n    Performance of AES implementations."
     assert [c.get_text() for c in tab.cells[0]] == ["impl", "cost", "cost"]
     assert [c.invisible for c in tab.cells[0]] == [False, False, True]
     assert [c.colspan for c in tab.cells[0]] == [1, 2, 1]
@@ -140,9 +143,16 @@ def test_tei_routes_through_extract_document():
     # postprocess), so the section line keeps line_type "section"
     nodes = json.loads(d["lines_json"])
     assert any((n.get("hl") or {}).get("line_type") == "section" for n in nodes)
-    # content sniff works without the .tei extension too
-    d2 = extract_document("response.xml", TEI.encode(), None)
+    # without the dedicated extension, routing needs the article opt-in
+    # (reference: ArticleReader only engages when document_type=article)
+    d2 = extract_document(
+        "response.xml", TEI.encode(), None, params={"document_type": "article"}
+    )
     assert d2["error"] is None and d2["n_tables"] == 1
+    # a <TEI> payload under another url WITHOUT the opt-in keeps its
+    # previous reader (default bytes stable)
+    d3 = extract_document("response.xml", TEI.encode(), None)
+    assert d3["n_tables"] != 1 or d3["text_linear"] != d2["text_linear"]
 
 
 def test_tei_missing_abstract_is_typed_error():
@@ -157,3 +167,37 @@ def test_html_mentioning_tei_not_rerouted():
     d = extract_document("page.html", html, None)
     assert d["error"] is None
     assert "About tei-c.org" in d["text_extracted"]
+
+
+def test_tei_compact_table_title_uses_head():
+    """Without a leading text node (compact XML) the title falls back to
+    <head> text + figDesc (article_reader.py:324 else-branch)."""
+    tei = (
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><profileDesc>'
+        "<abstract><p>a</p></abstract></profileDesc></teiHeader><text><body>"
+        '<figure type="table" xml:id="t0"><head>Table 9 .</head>'
+        "<figDesc>desc.</figDesc><table><row><cell>x</cell><cell>y</cell></row>"
+        "</table></figure></body></text></TEI>"
+    )
+    _, tables, _ = extract_tei_lines_tables(tei.encode(), "h")
+    assert tables[0].title == "Table 9 .desc."
+
+
+def test_tei_bs4_string_recurses_single_tag_child():
+    """bs4 .string recurses through a lone element child: <p><s>text</s></p>
+    emits 'text\n' through the plain branch (no annotations), matching
+    the reference — and a lone-ref paragraph loses its annotation the
+    same way the reference does (the .string branch passes a bare str)."""
+    tei = (
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><profileDesc>'
+        "<abstract><p>a</p></abstract></profileDesc></teiHeader><text><body>"
+        "<div><head>S</head><p><s>One sentence.</s></p>"
+        '<p><ref type="bibr" target="#b0">[1]</ref></p></div>'
+        '</body><back><div type="references"><listBibl>'
+        '<biblStruct xml:id="b0"/></listBibl></div></back></text></TEI>'
+    )
+    lines, _, _ = extract_tei_lines_tables(tei.encode(), "h")
+    texts = [ln.line for ln in lines]
+    assert "One sentence.\n" in texts
+    ref_line = next(ln for ln in lines if ln.line == "[1]\n")
+    assert ref_line.annotations == []  # reference quirk: .string branch
