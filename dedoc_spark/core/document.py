@@ -37,6 +37,18 @@ def _finalize(url: str, lines: List[Line], tables, warnings, params: Optional[Di
     params = params or {}
     patterns = params.get("patterns")
     document_type = params.get("document_type")
+    # use_trained_labelers (engine addition, documented in COVERAGE §2.10):
+    # swap the domain extractors' regex label stand-ins for the trained
+    # open models (operators/line_labeler) through the labeler hook; the
+    # default stays the regex stand-in so output bytes are unchanged
+    labeler = None
+    if str(params.get("use_trained_labelers", "false")).lower() == "true" and document_type in (
+        "law", "foiv_law", "tz", "diploma"
+    ):
+        from dedoc_spark.operators.line_labeler import get_labeler, predict_labels_with_model
+
+        model = get_labeler("law" if document_type == "foiv_law" else document_type)
+        labeler = lambda lns: predict_labels_with_model(model, lns)  # noqa: E731
     if document_type in ("law", "foiv_law"):
         # law-family structure extraction (classifying_law_structure_
         # extractor routing collapsed to the explicit parameter; "law"
@@ -46,15 +58,15 @@ def _finalize(url: str, lines: List[Line], tables, warnings, params: Optional[Di
         hl_type = "foiv" if document_type == "foiv_law" else route_law_extractor(
             [ln.line for ln in lines]
         )
-        lines = extract_law_structure(lines, hl_type=hl_type)
+        lines = extract_law_structure(lines, hl_type=hl_type, labeler=labeler)
     elif document_type == "tz":
         from dedoc_spark.core.tz_diploma import extract_tz_structure
 
-        lines = extract_tz_structure(lines)
+        lines = extract_tz_structure(lines, labeler=labeler)
     elif document_type == "diploma":
         from dedoc_spark.core.tz_diploma import extract_diploma_structure
 
-        lines = extract_diploma_structure(lines)
+        lines = extract_diploma_structure(lines, labeler=labeler)
     elif document_type == "fintoc":
         from dedoc_spark.core.fintoc import extract_fintoc_structure
 

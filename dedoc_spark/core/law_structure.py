@@ -380,16 +380,19 @@ def preprocess_spaced_words(lines: List[Line]) -> List[Line]:
 
 
 def extract_law_structure(
-    lines: List[Line], hl_type: str = "law", labels: Optional[List[str]] = None
+    lines: List[Line], hl_type: str = "law", labels: Optional[List[str]] = None,
+    labeler=None,
 ) -> List[Line]:
     """Zone split + builders + prefix-split postprocess
     (abstract_law_structure_extractor.py:56-82 + the concrete extractors'
-    _postprocess_lines). ``hl_type``: "law" | "foiv"."""
+    _postprocess_lines). ``hl_type``: "law" | "foiv". ``labeler`` swaps
+    the regex stand-in for a callable (e.g. operators/line_labeler's
+    trained model); explicit ``labels`` win over both."""
     from dedoc_spark.core.structure import prefix_split_postprocess
 
     lines = preprocess_spaced_words(lines)
     if labels is None:
-        labels = predict_law_labels(lines)
+        labels = (labeler or predict_law_labels)(lines)
     labels = fix_labels(labels)
 
     header_lines: List[Tuple[Line, str]] = []

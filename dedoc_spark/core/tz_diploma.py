@@ -125,14 +125,17 @@ def predict_tz_labels(lines: Sequence[Line]) -> List[str]:
     return labels
 
 
-def extract_tz_structure(lines: List[Line], labels: Optional[List[str]] = None) -> List[Line]:
+def extract_tz_structure(
+    lines: List[Line], labels: Optional[List[str]] = None, labeler=None
+) -> List[Line]:
     """tz_structure_extractor.py:50-77: header / toc / body zone split
     (verbatim control flow incl. the last_toc_line bound and the
-    содержание/оглавление trigger), builders, item prefix-split."""
+    содержание/оглавление trigger), builders, item prefix-split.
+    ``labeler`` swaps the regex stand-in for a callable."""
     from dedoc_spark.core.law_structure import _build_header
 
     if labels is None:
-        labels = predict_tz_labels(lines)
+        labels = (labeler or predict_tz_labels)(lines)
     header_lines: List[Tuple[Line, str]] = []
     toc_lines: List[Tuple[Line, str]] = []
     body_lines: List[Tuple[Line, str]] = []
@@ -382,7 +385,9 @@ def predict_diploma_labels(lines: Sequence[Line]) -> List[str]:
     return labels
 
 
-def extract_diploma_structure(lines: List[Line], labels: Optional[List[str]] = None) -> List[Line]:
+def extract_diploma_structure(
+    lines: List[Line], labels: Optional[List[str]] = None, labeler=None
+) -> List[Line]:
     """diploma_structure_extractor.py:38-71: toc replace → footnote merge
     → page-id typing → label → zone split → builders → page/line sort."""
     from dedoc_spark.core.law_structure import _build_header
@@ -397,7 +402,7 @@ def extract_diploma_structure(lines: List[Line], labels: Optional[List[str]] = N
         if not (ln.tag_hl is not None and ln.tag_hl.line_type in ("toc", "page_id", "footnote"))
     ]
     if labels is None:
-        predictions = predict_diploma_labels(lines_for_predict)
+        predictions = (labeler or predict_diploma_labels)(lines_for_predict)
     else:
         predictions = labels
     for line, prediction in zip(lines_for_predict, predictions):

@@ -451,6 +451,18 @@ def train_line_labeler(
     return model, report
 
 
+_TRAINED_CACHE: Dict[str, SoftmaxModel] = {}
+
+
+def get_labeler(doctype: str) -> SoftmaxModel:
+    """Process-cached trained model per doctype — the lazy singleton the
+    ``use_trained_labelers`` parameter resolves to (training is
+    deterministic, ~1-2 s once per python worker)."""
+    if doctype not in _TRAINED_CACHE:
+        _TRAINED_CACHE[doctype] = train_line_labeler(doctype)[0]
+    return _TRAINED_CACHE[doctype]
+
+
 def predict_labels_with_model(model: SoftmaxModel, lines) -> List[str]:
     """Adapter for the extractors' ``labels`` argument: core Line objects
     in, label strings out."""

@@ -80,3 +80,28 @@ def test_model_swaps_into_extractor_via_labels_arg():
         ]
 
     assert shape(with_model) == shape(with_regex)
+
+
+def test_use_trained_labelers_param():
+    """use_trained_labelers routes extract_document's law/tz/diploma label
+    predictions through the trained models; on clean fixtures the output
+    matches the regex stand-in byte-for-byte (clean accuracy 1.0), and
+    the default (param off) is the unchanged regex path."""
+    from dedoc_spark.core.document import extract_document
+
+    text = (
+        "ФЕДЕРАЛЬНЫЙ ЗАКОН\n"
+        "О порядке\n"
+        "Статья 1. Общие положения\n"
+        "1. Первый пункт закона.\n"
+        "а) первый подпункт;\n"
+        "Президент Российской Федерации\n"
+    )
+    base = extract_document("law.txt", text.encode(), None, params={"document_type": "law"})
+    trained = extract_document(
+        "law.txt", text.encode(), None,
+        params={"document_type": "law", "use_trained_labelers": "true"},
+    )
+    assert trained["error"] is None
+    assert trained["text_extracted"] == base["text_extracted"]
+    assert trained["tree_json"] == base["tree_json"]
