@@ -239,9 +239,20 @@ def extract_with_attachments(df: DataFrame, max_depth: int = 2, params: dict | N
         )
         members = atts.filter(F.col("kind") == "member")
         # the reference's attachments_handler marks re-entered files with
-        # is_attached=True (return_base64 and friends key on it)
+        # is_attached=True (return_base64 and friends key on it), and only
+        # PARSES their contents when need_content_analysis is true
+        # (attachments_handler.py:52-57; reference default false — this
+        # operator's default stays "parse", its reason to exist, and the
+        # explicit "false" yields placeholder rows so the attachment still
+        # appears once in the output with its url)
+        analyze = str((params or {}).get("need_content_analysis", "true")).lower() != "false"
         member_params = {**(params or {}), "is_attached": True}
-        out = out.unionByName(extract_stage(members, params=member_params))
+        if analyze:
+            out = out.unionByName(extract_stage(members, params=member_params))
+        else:
+            out = out.unionByName(
+                _error_extract_rows(members, F.lit(None).cast("string"))
+            )
         pending = members.select("url", "html")
     _persist.register(persisted)
     out._dedoc_persisted = persisted  # release via unpersist_intermediates

@@ -852,3 +852,30 @@ def test_recursion_deep_attachments_param(spark):
     urls = sorted(r.url for r in out.collect())
     unpersist_intermediates(out)
     assert urls == ["a.zip", "a.zip#inner.txt"]
+
+def test_need_content_analysis_false_lists_without_parsing(spark):
+    """need_content_analysis=false (attachments_handler.py:52-57): the
+    attachment row appears (url#member) but its contents are NOT parsed —
+    a placeholder row with empty extraction and no error."""
+    import io
+    import zipfile
+
+    from dedoc_spark.operators.archives import extract_with_attachments, unpersist_intermediates
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("inner.txt", "inner text")
+    df = spark.createDataFrame([("a.zip", bytearray(buf.getvalue()))], "url string, html binary")
+
+    out = extract_with_attachments(
+        df, max_depth=1, params={"need_content_analysis": "false"}
+    )
+    rows = {r.url: r for r in out.collect()}
+    unpersist_intermediates(out)
+    member = rows["a.zip#inner.txt"]
+    assert member.n_lines == 0 and member.text_extracted == "" and member.error is None
+    # default (or explicit true): contents parsed
+    out = extract_with_attachments(df, max_depth=1, params={})
+    rows = {r.url: r for r in out.collect()}
+    unpersist_intermediates(out)
+    assert "inner text" in rows["a.zip#inner.txt"].text_extracted
