@@ -106,15 +106,24 @@ FEATURE_NAMES: List[str] = [
     "ends_with_number",
     "dots_leader",
     "len_norm",
+    # ListFeaturesExtractor window features (core/list_features.py port of
+    # list_features_extractor.py:48-86 — the reference concatenates these
+    # onto the text features, law_text_features.py:52-53)
+    "same_indent_25",
+    "predecessor_num_same_indent_25",
+    "predecessor_num_25",
 ]
 
 
 def line_features(texts: Sequence[str]) -> np.ndarray:
     """Feature matrix for one DOCUMENT's lines, in order (context features
     need the sequence)."""
+    from dedoc_spark.core.list_features import list_features_one_document
+
     n = len(texts)
     X = np.zeros((n, len(FEATURE_NAMES)), dtype=np.float64)
     col = {name: i for i, name in enumerate(FEATURE_NAMES)}
+    window_feats = list_features_one_document(texts)
     lines_from_named = 0
     for i, raw in enumerate(texts):
         strip = raw.strip()
@@ -176,6 +185,8 @@ def line_features(texts: Sequence[str]) -> np.ndarray:
         row[col["ends_with_number"]] = float(bool(_ENDS_NUM_RE.search(strip)))
         row[col["dots_leader"]] = float(bool(_DOTS_LEADER_RE.search(strip)))
         row[col["len_norm"]] = min(len(strip), 200) / 200.0
+        for name, value in window_feats[i].items():
+            row[col[name]] = value
     return X
 
 
