@@ -205,14 +205,20 @@ def jaccard_for_pairs(
     max_shingles bounds the per-document shingle array (a single 10M-token
     document must not become one giant row on both join sides — the set-size
     analogue of minhash_lsh_pairs' max_bucket). Documents under the cap are
-    untouched (exact Jaccard); above it, the set is reduced to its bottom-k
-    sketch under a shared uniform hash order (k-minimum-values, Cohen &
-    Kaplan 2007). CAVEAT (documented bias): when only ONE side of a pair
-    is capped the estimator is asymmetric and biased LOW by up to
-    (|A|−k)/|A∪B| — treat capped-pair scores as a lower bound, and size
-    the cap well above the typical document so capping is the exception
-    (the default 50k ≈ a 50k-token document). Symmetric capped pairs have
-    the usual ≈1/√k sketch error. ``max_shingles=None`` disables the cap.
+    untouched; above it, the set is reduced to its bottom-k sketch under a
+    shared uniform hash order (k-minimum-values, Cohen & Kaplan 2007).
+
+    Estimator: a pair with NEITHER side capped gets exact |∩|/|∪|. A pair
+    with a capped side gets the symmetric KMV estimate — K = the k hash-
+    smallest elements of A∪B (computable from the sketches: the global
+    hash order makes every union-bottom-k element present in each side's
+    bottom-k that contains it), estimate = |K ∩ A ∩ B| / |K| — which is
+    unbiased with ≈1/√k error REGARDLESS of which sides were capped (the
+    earlier one-side-capped low bias is gone). The capped branch runs
+    interpreted higher-order functions over ≤2k elements, so size the cap
+    well above the typical document to keep capping the exception (the
+    default 50k ≈ a 50k-token document). ``max_shingles=None`` disables
+    the cap.
     """
     from dedoc_spark.functions import shingle_rows
 
@@ -237,7 +243,10 @@ def jaccard_for_pairs(
             F.when(F.size("sh") <= max_shingles, F.col("sh"))
             .otherwise(capped)
             .alias("sh"),
+            (F.size("sh") > max_shingles).alias("is_capped"),
         )
+    else:
+        sets = sets.withColumn("is_capped", F.lit(False))
     # both join sides read `sets` — persist it (the shingle collect_set
     # over the whole corpus is the expensive aggregation; Spark performs
     # no common-subplan elimination across the two joins). Registered for
@@ -249,11 +258,34 @@ def jaccard_for_pairs(
     sets = sets.persist(StorageLevel.DISK_ONLY)
     _persist.register([sets])
     joined = pairs.join(
-        sets.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a"
-    ).join(sets.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")
+        sets.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"),
+                    F.col("is_capped").alias("cap_a")), "a"
+    ).join(sets.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"),
+                       F.col("is_capped").alias("cap_b")), "b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    union_arr = F.array_union("sh_a", "sh_b")
+    union = F.size(union_arr)
+    exact = inter / union
+    if max_shingles is not None:
+        # symmetric KMV branch (docstring): K = bottom-k of the union by
+        # the shared hash order; hits = elements of A∩B with hash ≤ the
+        # k-th union hash. Interpreted HOFs, gated behind the lazy
+        # CaseWhen — only capped pairs pay.
+        union_hashes = F.array_sort(F.transform(union_arr, lambda s: hash32(s, 9191)))
+        k_size = F.least(F.lit(max_shingles), union)
+        kth_hash = F.get(union_hashes, k_size - 1)
+        hits = F.size(
+            F.filter(
+                F.array_intersect("sh_a", "sh_b"),
+                lambda s: hash32(s, 9191) <= kth_hash,
+            )
+        )
+        kmv = hits / k_size
+        jac = F.when(union == 0, F.lit(0.0)).when(
+            F.col("cap_a") | F.col("cap_b"), kmv
+        ).otherwise(exact)
+    else:
+        jac = F.when(union == 0, F.lit(0.0)).otherwise(exact)
     out = joined.select("a", "b", F.round(jac, 6).alias("jaccard"))
     out._dedoc_persisted = [sets]  # release via unpersist_intermediates
     return out

@@ -879,3 +879,31 @@ def test_need_content_analysis_false_lists_without_parsing(spark):
     rows = {r.url: r for r in out.collect()}
     unpersist_intermediates(out)
     assert "inner text" in rows["a.zip#inner.txt"].text_extracted
+
+def test_jaccard_kmv_symmetric_estimator_unbiased(spark):
+    """Symmetric KMV branch: when one side exceeds the cap, the estimate
+    uses the k hash-smallest of the UNION and is close to the true
+    jaccard (≈1/sqrt(k) error) — not the old asymmetric lower bound,
+    which for this fixture would read ~k/|A| ≈ 0.2 of the true value."""
+    import math
+
+    # doc 1: 1200 distinct tokens; doc 2: the same minus a small tail →
+    # true jaccard ≈ 1000/1200 with unigram-ish shingles via 3-grams of a
+    # long shared run. Build from numbered words so 3-shingles are unique.
+    words = [f"tok{i}" for i in range(1202)]
+    a = " ".join(words)              # shingles: 1200 windows
+    b = " ".join(words[:1002])       # shared prefix → 1000 windows
+    docs = spark.createDataFrame([(1, a), (2, b)], "doc_id bigint, text string")
+    pairs = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+
+    true_j = {(r.a, r.b): r.jaccard for r in
+              jaccard_for_pairs(pairs, docs, max_shingles=None).collect()}[(1, 2)]
+    est = {(r.a, r.b): r.jaccard for r in
+           jaccard_for_pairs(pairs, docs, max_shingles=200).collect()}[(1, 2)]
+    tol = 3 / math.sqrt(200)  # ≈0.21; the old asymmetric bias was ≈0.67 low
+    assert abs(est - true_j) <= tol, (est, true_j)
+    # identical docs still read exactly 1.0 under any cap
+    docs_eq = spark.createDataFrame([(1, a), (2, a)], "doc_id bigint, text string")
+    eq = {(r.a, r.b): r.jaccard for r in
+          jaccard_for_pairs(pairs, docs_eq, max_shingles=50).collect()}[(1, 2)]
+    assert eq == 1.0
