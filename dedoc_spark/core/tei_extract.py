@@ -96,11 +96,30 @@ def _tag2text(el: Optional[ET.Element]) -> str:
     return s if s is not None else ""
 
 
+def _strings_within(el: ET.Element) -> List[str]:
+    """All strings inside ``el`` in document order (el.text, then each
+    child's subtree strings followed by its tail) — bs4's NavigableString
+    iteration order."""
+    parts: List[str] = []
+    if el.text:
+        parts.append(el.text)
+    for child in el:
+        parts.extend(_strings_within(child))
+        if child.tail:
+            parts.append(child.tail)
+    return parts
+
+
 def _get_text(el: ET.Element, separator: str = "") -> str:
-    """bs4 get_text(separator=...) over ELEMENT children only — the
-    reference strips bare strings first (__remove_newlines extracts
-    non-Tag items before joining, article_reader.py:539-542)."""
-    parts = [t for sub in el.iter() if sub is not el for t in (sub.text,) if t]
+    """bs4 get_text(separator=...) AFTER __remove_newlines
+    (article_reader.py:539-542) extracted the DIRECT bare strings: el.text
+    and direct children's tails are dropped, but every string nested
+    deeper — including tails of non-direct descendants, e.g. the "tail"
+    in <persName>A<hi>b</hi>tail</persName> — is kept in document
+    order."""
+    parts = [t for child in el for t in _strings_within(child)]
+    # (a direct child's own tail is NOT in _strings_within(child), matching
+    # the reference's removal of direct NavigableStrings)
     return separator.join(parts)
 
 
@@ -338,9 +357,11 @@ def extract_tei_lines_tables(
     lines.append(b.line(_tag2text(_find(abstract, "p"))))
     body = _find(root, "body")
     if body is not None:
+        # soup.body.find_all("div") (article_reader.py:263) does NOT skip
+        # acknowledgement/annex divs — one placed inside <body> is parsed
+        # here AND again in the typed loop below, and we reproduce that
+        # duplication (real GROBID output puts them in <back>)
         for div in body.iter("div"):
-            if div.get("type") in ("acknowledgement", "annex"):
-                continue  # handled below, reference order
             lines += _parse_section(b, div, bib2uid, table2uid)
     for other in ("acknowledgement", "annex"):
         for outer in root.iter("div"):

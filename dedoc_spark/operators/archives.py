@@ -73,8 +73,17 @@ def explode_archives(df: DataFrame, max_members: int = 1000) -> DataFrame:
     return df.select("url", "html").mapInPandas(fn, MEMBER_SCHEMA)
 
 
-def _error_extract_rows(df: DataFrame, error_col) -> DataFrame:
-    """Shape (url, error) rows into the EXTRACT_SCHEMA error channel."""
+def _error_extract_rows(df: DataFrame, error_col, params=None) -> DataFrame:
+    """Shape (url, error) rows into the EXTRACT_SCHEMA error channel (plus
+    the opt-in null ``rendered`` column when return_format is set, so the
+    union with extract_stage output stays schema-aligned)."""
+    from dedoc_spark.operators.pipeline import _wants_rendered
+
+    extra = (
+        [F.lit(None).cast("string").alias("rendered")]
+        if _wants_rendered(params)
+        else []
+    )
     return df.select(
         F.col("url"),
         F.lit("").alias("text_extracted"),
@@ -87,6 +96,7 @@ def _error_extract_rows(df: DataFrame, error_col) -> DataFrame:
         F.lit("[]").alias("tables_json"),
         F.array().cast("array<string>").alias("warnings"),
         error_col.cast("string").alias("error"),
+        *extra,
     )
 
 
@@ -142,7 +152,7 @@ def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None
         classified = explode_archives(pending).persist(StorageLevel.DISK_ONLY)
         persisted.append(classified)
         out = out.unionByName(
-            _error_extract_rows(classified.filter(F.col("kind") == "error"), F.col("error"))
+            _error_extract_rows(classified.filter(F.col("kind") == "error"), F.col("error"), params)
         )
         ok = classified.filter(F.col("kind") != "error")
         is_zip_m = (
@@ -154,7 +164,7 @@ def extract_with_archives(df: DataFrame, max_depth: int = 2, params: dict | None
         pending = ok.filter(is_zip_m).select("url", "html")
     # archives still unexploded after max_depth: typed error rows, not silence
     out = out.unionByName(
-        _error_extract_rows(pending, F.lit(f"needs_explosion:zip beyond max_depth={max_depth}"))
+        _error_extract_rows(pending, F.lit(f"needs_explosion:zip beyond max_depth={max_depth}"), params)
     )
     _persist.register(persisted)
     out._dedoc_persisted = persisted  # release via unpersist_intermediates
@@ -235,7 +245,7 @@ def extract_with_attachments(df: DataFrame, max_depth: int = 2, params: dict | N
         atts = explode_attachments(pending, params=params).persist(StorageLevel.DISK_ONLY)
         persisted.append(atts)
         out = out.unionByName(
-            _error_extract_rows(atts.filter(F.col("kind") == "error"), F.col("error"))
+            _error_extract_rows(atts.filter(F.col("kind") == "error"), F.col("error"), params)
         )
         members = atts.filter(F.col("kind") == "member")
         # the reference's attachments_handler marks re-entered files with
@@ -251,8 +261,13 @@ def extract_with_attachments(df: DataFrame, max_depth: int = 2, params: dict | N
             out = out.unionByName(extract_stage(members, params=member_params))
         else:
             out = out.unionByName(
-                _error_extract_rows(members, F.lit(None).cast("string"))
+                _error_extract_rows(members, F.lit(None).cast("string"), params)
             )
+            # unparsed contents can't reveal nested attachments — the
+            # reference only discovers deeper levels by PARSING each member
+            # (attachments_handler.py:52-68), so stop here instead of
+            # exploding unparsed members another level down
+            break
         pending = members.select("url", "html")
     _persist.register(persisted)
     out._dedoc_persisted = persisted  # release via unpersist_intermediates

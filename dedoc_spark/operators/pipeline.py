@@ -141,21 +141,31 @@ NODE_SCHEMA = T.ArrayType(
 )
 
 
+def _wants_rendered(params: Optional[dict]) -> bool:
+    """return_format != json asks for an extra response rendering — the
+    stage schema grows a nullable ``rendered`` column ONLY then, so the
+    default output bytes (and schema) stay stable."""
+    return str((params or {}).get("return_format", "json")).lower() != "json"
+
+
 def _extract_batches(
     it: Iterator[pd.DataFrame], params: Optional[dict] = None
 ) -> Iterator[pd.DataFrame]:
     # import inside the worker so the function pickles cheaply
     from dedoc_spark.core.document import extract_document
 
+    columns = [f.name for f in EXTRACT_SCHEMA.fields]
+    if _wants_rendered(params):
+        columns.append("rendered")
     for pdf in it:
         urls = pdf["url"].tolist()
         htmls = pdf["html"].tolist() if "html" in pdf.columns else [None] * len(urls)
         texts = pdf["text"].tolist() if "text" in pdf.columns else [None] * len(urls)
         out = [extract_document(u, h, t, params=params) for u, h, t in zip(urls, htmls, texts)]
-        yield pd.DataFrame(
-            out,
-            columns=[f.name for f in EXTRACT_SCHEMA.fields],
-        )
+        if "rendered" in columns:
+            for d in out:  # error rows carry no rendering — explicit null
+                d.setdefault("rendered", None)
+        yield pd.DataFrame(out, columns=columns)
 
 
 def extract_stage(
@@ -174,7 +184,12 @@ def extract_stage(
         # explicit salting on url hash: uniform placement regardless of the
         # input file layout; keeps oversized-doc clusters apart
         src = src.repartition(salt_partitions, F.pmod(F.xxhash64("url"), F.lit(salt_partitions)))
-    return src.mapInPandas(bootstrapped("_extract_batches", params=params), schema=EXTRACT_SCHEMA)
+    schema = EXTRACT_SCHEMA
+    if _wants_rendered(params):
+        schema = T.StructType(
+            EXTRACT_SCHEMA.fields + [T.StructField("rendered", T.StringType())]
+        )
+    return src.mapInPandas(bootstrapped("_extract_batches", params=params), schema=schema)
 
 
 def split_oversized(df: DataFrame, big_doc_threshold: int = 1 << 20) -> Tuple[DataFrame, DataFrame]:

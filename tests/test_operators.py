@@ -907,3 +907,58 @@ def test_jaccard_kmv_symmetric_estimator_unbiased(spark):
     eq = {(r.a, r.b): r.jaccard for r in
           jaccard_for_pairs(pairs, docs_eq, max_shingles=50).collect()}[(1, 2)]
     assert eq == 1.0
+
+
+def test_need_content_analysis_false_stops_recursion(spark):
+    """With need_content_analysis=false the reference never DISCOVERS
+    nested attachments (attachments_handler.py:52-68 only finds deeper
+    levels by parsing each member) — so a zip inside a zip yields its
+    level-1 placeholder row and nothing deeper, even with depth budget
+    left."""
+    import io
+    import zipfile
+
+    from dedoc_spark.operators.archives import extract_with_attachments, unpersist_intermediates
+
+    inner = io.BytesIO()
+    with zipfile.ZipFile(inner, "w") as zf:
+        zf.writestr("deep.txt", "deep text")
+    outer = io.BytesIO()
+    with zipfile.ZipFile(outer, "w") as zf:
+        zf.writestr("inner.zip", inner.getvalue())
+    df = spark.createDataFrame([("a.zip", bytearray(outer.getvalue()))], "url string, html binary")
+
+    out = extract_with_attachments(
+        df, max_depth=3, params={"need_content_analysis": "false"}
+    )
+    urls = sorted(r.url for r in out.collect())
+    unpersist_intermediates(out)
+    assert urls == ["a.zip", "a.zip#inner.zip"]
+
+    # control: with parsing on, the deep member IS discovered
+    out = extract_with_attachments(df, max_depth=3, params={})
+    urls = sorted(r.url for r in out.collect())
+    unpersist_intermediates(out)
+    assert "a.zip#inner.zip#deep.txt" in urls
+
+
+def test_return_format_rendered_column_on_pipeline_path(spark):
+    """return_format on the Spark stage (ADVICE r5): the stage schema
+    grows a nullable `rendered` column ONLY when the param is set, and it
+    carries the rendering instead of silently dropping it."""
+    from dedoc_spark.operators.pipeline import extract_stage
+
+    df = spark.createDataFrame(
+        [("a.html", bytearray(b"<html><body><p>Hi</p></body></html>"), None)],
+        "url string, html binary, text string",
+    )
+    default = extract_stage(df)
+    assert "rendered" not in default.columns  # default bytes/schema stable
+
+    out = extract_stage(df, params={"return_format": "plain_text"})
+    assert "rendered" in out.columns
+    row = out.collect()[0]
+    assert row.rendered == row.text_extracted
+
+    html = extract_stage(df, params={"return_format": "html"}).collect()[0]
+    assert html.rendered and "<" in html.rendered

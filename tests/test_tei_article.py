@@ -201,3 +201,48 @@ def test_tei_bs4_string_recurses_single_tag_child():
     assert "One sentence.\n" in texts
     ref_line = next(ln for ln in lines if ln.line == "[1]\n")
     assert ref_line.annotations == []  # reference quirk: .string branch
+
+
+def test_tei_get_text_keeps_nested_tails():
+    """bs4 get_text after __remove_newlines (article_reader.py:538-542):
+    DIRECT bare strings under the tag are extracted, but strings nested
+    deeper — including tails of non-direct descendants like the 'tail' in
+    <persName>A<hi>b</hi>tail</persName> — survive, in document order."""
+    tei = (
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><profileDesc>'
+        "<abstract><p>a</p></abstract></profileDesc></teiHeader>"
+        '<text><body/><back><div type="references"><listBibl>'
+        '<biblStruct xml:id="b0"><analytic><author>\n'
+        "<persName>A<hi>b</hi>tail</persName>\n"
+        "</author></analytic></biblStruct>"
+        "</listBibl></div></back></text></TEI>"
+    )
+    lines, _, _ = extract_tei_lines_tables(tei.encode(), "h")
+    author = next(
+        ln for ln in lines if ln.tag_hl.line_type == "author" and ln.line
+    )
+    # separator " " joins the three NavigableStrings inside persName;
+    # the newlines directly under <author> were removed
+    assert author.line == "A b tail"
+
+
+def test_tei_acknowledgement_in_body_parsed_twice():
+    """soup.body.find_all('div') (article_reader.py:263) does NOT skip
+    acknowledgement divs: one placed inside <body> is parsed by the body
+    loop AND by the typed loop — the duplication is reproduced, with the
+    body-loop occurrences first."""
+    tei = (
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><profileDesc>'
+        "<abstract><p>a</p></abstract></profileDesc></teiHeader><text><body>"
+        "<div><head>S</head><p>Body text.</p></div>"
+        '<div type="acknowledgement"><div><head>Ack</head><p>Thanks.</p></div></div>'
+        "</body></text></TEI>"
+    )
+    lines, _, _ = extract_tei_lines_tables(tei.encode(), "h")
+    texts = [ln.line for ln in lines]
+    # THREE times, exactly like bs4: body.find_all("div") is recursive so
+    # it parses the outer acknowledgement div (whose .head/.find_all("p")
+    # reach the nested content) AND the inner div; the typed loop then
+    # parses the inner div once more
+    assert texts.count("Thanks.\n") == 3
+    assert texts.count("Body text.\n") == 1
