@@ -35,6 +35,7 @@ model runs in unit tests and inside mapInPandas via a broadcast.
 from __future__ import annotations
 
 import json
+import os
 import random
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -249,9 +250,44 @@ def save_labeler(model: SoftmaxModel, path: str) -> None:
         )
 
 
-def load_labeler(path: str) -> SoftmaxModel:
+class XGBLineLabeler:
+    """Adapter that makes an XGBoost-JSON artifact speak the labeler
+    protocol (``predict(texts) -> labels``) expected by the extractors'
+    ``labels`` argument.  ``feature_fn(texts) -> (n, f) matrix`` defaults
+    to this module's line_features; a user replaying the reference's
+    public artifacts (huggingface.co/dedoc/line_type_classifiers)
+    supplies the reference feature extractor's output instead — the
+    model's declared num_feature is checked either way."""
+
+    def __init__(self, model, feature_fn=None) -> None:
+        self.model = model
+        self.classes = model.classes
+        self._feature_fn = feature_fn or line_features
+
+    def predict(self, texts: Sequence[str]) -> List[str]:
+        if not texts:
+            return []
+        return self.model.predict(self._feature_fn(texts))
+
+
+def load_labeler(path: str, feature_fn=None):
+    """Load a serialized labeler: this module's softmax JSON, or any
+    public XGBoost artifact shape (save_model JSON / dump list / the
+    reference's classifier.json+parameters.json zip) via
+    operators.xgboost_json — both come back speaking ``predict(texts)``,
+    so either drops into the extractors' ``labels`` hook."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head == b"PK\x03\x04":
+        from dedoc_spark.operators.xgboost_json import load_xgboost_json
+
+        return XGBLineLabeler(load_xgboost_json(path)[0], feature_fn)
     with open(path) as f:
         d = json.load(f)
+    if isinstance(d, list) or (isinstance(d, dict) and "learner" in d):
+        from dedoc_spark.operators.xgboost_json import load_xgboost_json
+
+        return XGBLineLabeler(load_xgboost_json(d)[0], feature_fn)
     if d.get("features") != FEATURE_NAMES:
         raise ValueError("labeler trained on a different feature set")
     return SoftmaxModel(
@@ -464,13 +500,29 @@ def train_line_labeler(
 
 _TRAINED_CACHE: Dict[str, SoftmaxModel] = {}
 
+# packaged artifacts: trained ONCE at build time (scripts/train_labelers.py)
+# and shipped inside the package (spark-submit --py-files), so workers load
+# ~ms of JSON instead of re-running the deterministic training per python
+# process (up to ~64 s of redundant CPU on a cold 32-worker executor)
+MODEL_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "models")
+
+
+def packaged_model_path(doctype: str) -> str:
+    return os.path.abspath(os.path.join(MODEL_DIR, f"{doctype}_labeler.json"))
+
 
 def get_labeler(doctype: str) -> SoftmaxModel:
-    """Process-cached trained model per doctype — the lazy singleton the
-    ``use_trained_labelers`` parameter resolves to (training is
-    deterministic, ~1-2 s once per python worker)."""
+    """Process-cached model per doctype — the lazy singleton the
+    ``use_trained_labelers`` parameter resolves to.  Loads the packaged
+    build-time artifact; training happens here ONLY if the artifact is
+    missing (a source checkout that never ran scripts/train_labelers.py —
+    never on the shipped mapInPandas path)."""
     if doctype not in _TRAINED_CACHE:
-        _TRAINED_CACHE[doctype] = train_line_labeler(doctype)[0]
+        path = packaged_model_path(doctype)
+        if os.path.isfile(path):
+            _TRAINED_CACHE[doctype] = load_labeler(path)
+        else:
+            _TRAINED_CACHE[doctype] = train_line_labeler(doctype)[0]
     return _TRAINED_CACHE[doctype]
 
 

@@ -105,3 +105,61 @@ def test_use_trained_labelers_param():
     assert trained["error"] is None
     assert trained["text_extracted"] == base["text_extracted"]
     assert trained["tree_json"] == base["tree_json"]
+
+
+def test_packaged_artifacts_exist_and_match_training():
+    """Build-time artifacts (scripts/train_labelers.py → dedoc_spark/
+    models/) are what get_labeler loads — and training is deterministic,
+    so a fresh train reproduces the packaged weights exactly."""
+    import os
+
+    import numpy as np
+
+    from dedoc_spark.operators.line_labeler import (
+        get_labeler,
+        load_labeler,
+        packaged_model_path,
+        train_line_labeler,
+    )
+
+    for doctype in ("law", "tz", "diploma"):
+        path = packaged_model_path(doctype)
+        assert os.path.isfile(path), f"run scripts/train_labelers.py ({path})"
+        packaged = load_labeler(path)
+        fresh = train_line_labeler(doctype)[0]
+        np.testing.assert_allclose(packaged.weights, fresh.weights, atol=1e-12)
+        np.testing.assert_allclose(packaged.bias, fresh.bias, atol=1e-12)
+        assert packaged.classes == fresh.classes
+        assert get_labeler(doctype).classes == packaged.classes
+
+
+def test_workers_load_identical_weights_without_training(spark):
+    """Ship-once discipline (VERDICT r5 #2): every python worker resolves
+    get_labeler from the packaged artifact — identical weights on each,
+    and no train_line_labeler call on the worker path."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    def probe(it):
+        import pandas as pd
+
+        from dedoc_spark.operators import line_labeler as ll
+
+        # fail loudly if any worker falls back to training
+        def boom(*a, **k):
+            raise AssertionError("train_line_labeler reached on worker path")
+
+        ll.train_line_labeler = boom
+        ll._TRAINED_CACHE.clear()
+        for pdf in it:
+            model = ll.get_labeler("law")
+            digest = hashlib.md5(model.weights.tobytes() + model.bias.tobytes()).hexdigest()
+            yield pd.DataFrame({"part": [int(pdf["part"].iloc[0])], "digest": [digest]})
+
+    df = spark.range(8).withColumnRenamed("id", "part").repartition(8, "part")
+    rows = df.mapInPandas(probe, "part long, digest string").collect()
+    digests = {r.digest for r in rows}
+    # hash-partitioning may leave some of the 8 partitions empty — require
+    # several independent workers probed and ALL agreeing on the weights
+    assert len(rows) >= 2 and len(digests) == 1
