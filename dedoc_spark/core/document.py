@@ -247,9 +247,13 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
     need_para = bool(params.get("need_paragraph_classification"))
     hf_raw = params.get("need_header_footer_analysis")
     need_hf = True if hf_raw is None else str(hf_raw).lower() == "true"
-    # is_one_column_document (parameter_utils): "false" → two-column
-    # reading order; default/"true"/anything else keeps single-column
-    one_col = str(params.get("is_one_column_document", "true")).lower() != "false"
+    # is_one_column_document (parameter_utils; reference DEFAULT "auto",
+    # api_args.py:33): "false" → two-column reading order, "true" →
+    # single-column, "auto"/default → per-page x-histogram detection
+    # (pdf_extract._looks_two_column) that falls back to single-column on
+    # ambiguity, so one-column documents keep their previous bytes
+    raw_one_col = str(params.get("is_one_column_document", "auto")).lower()
+    one_col = None if raw_one_col in ("auto", "none") else raw_one_col != "false"
     need_gost = bool(params.get("need_gost_frame_analysis"))
     if params.get("need_pdf_table_analysis"):
         # pdf_txtlayer_reader.py:49-73 table path: ruled tables detected

@@ -557,8 +557,36 @@ def extract_pdf_pages(payload: bytes) -> List[List[Tuple[str, bool]]]:
     ]
 
 
+def _looks_two_column(
+    shows: List[Tuple[float, float, str, str, float, float]], width: float
+) -> bool:
+    """is_one_column_document="auto" (api_args.py:33 — the reference
+    DEFAULT): the reference decides with its image-based column
+    classifier (columns_orientation_classifier, de-scoped OCR family);
+    the txt-layer analogue is an x-origin histogram over the page's text
+    shows.  A two-column page has (a) a cluster of shows STARTING just
+    right of the midline (the right column's left edge), (b) comparable
+    mass in the left half, and (c) almost no show spanning the central
+    gutter.  Ambiguity defaults to one column (the previous behavior)."""
+    n = len(shows)
+    if n < 8 or width <= 0:
+        return False
+    mid = width / 2.0
+    eps = width * 0.03
+    left = right_start = crossing = 0
+    for _y, x, _t, _f, x2, _y2 in shows:
+        hi = max(x, x2)
+        if x < mid - eps:
+            left += 1
+            if hi > mid + eps:
+                crossing += 1
+        elif mid - eps <= x <= mid + width * 0.12:
+            right_start += 1
+    return right_start >= 0.25 * n and left >= 0.25 * n and crossing <= 0.08 * n
+
+
 def extract_pdf_pages_layout(
-    payload: bytes, collect_rules: bool = True, one_column: bool = True
+    payload: bytes, collect_rules: bool = True, one_column: Optional[bool] = True
 ) -> List[Dict]:
     """Payload → per-page layout dicts:
 
@@ -625,8 +653,13 @@ def extract_pdf_pages_layout(
         by_y: Dict[Tuple[int, float], List[Tuple[float, str, str, float, float]]] = {}
         shows_td: List[Tuple[str, Tuple[float, float, float, float]]] = []
         mid = width / 2
+        # one_column=None is "auto": per-page x-histogram decision (the
+        # reference resolves is_one_column_document per page too)
+        page_one_col = (
+            one_column if one_column is not None else not _looks_two_column(shows, width)
+        )
         for y, x, text, font, x2, y2 in shows:
-            column = 0 if (one_column or x < mid) else 1
+            column = 0 if (page_one_col or x < mid) else 1
             by_y.setdefault((column, round(y, 1)), []).append((x, text, font, x2, y2))
             if not collect_rules:
                 continue
@@ -692,7 +725,7 @@ def extract_pdf_lines(
     with_layout: bool = False,
     need_paragraph_classification: bool = False,
     need_header_footer_analysis: bool = True,
-    one_column: bool = True,
+    one_column: Optional[bool] = True,
     need_gost_frame_analysis: bool = False,
 ) -> Tuple[List[Line], List[str]]:
     """Full txt-layer read: per-page lines with page_id, bold annotations,
@@ -724,7 +757,7 @@ def extract_pdf_lines_tables(
     with_layout: bool = False,
     need_paragraph_classification: bool = False,
     need_header_footer_analysis: bool = True,
-    one_column: bool = True,
+    one_column: Optional[bool] = True,
     need_gost_frame_analysis: bool = False,
     table_type: str = "",
 ):
@@ -755,7 +788,7 @@ def _extract_pdf_full(
     detect_tables: bool,
     need_paragraph_classification: bool = False,
     need_header_footer_analysis: bool = True,
-    one_column: bool = True,
+    one_column: Optional[bool] = True,
     need_gost_frame_analysis: bool = False,
     table_type: str = "",
 ):

@@ -253,3 +253,49 @@ def test_return_base64_metadata():
         "https://x/page#section", payload, {"return_base64": "true"}
     )
     assert "base64_encode" not in meta
+
+
+def test_is_one_column_document_auto():
+    """is_one_column_document="auto" (the REFERENCE default,
+    api_args.py:33): the txt-layer x-histogram flips a clear two-column
+    page into column reading order with no parameter at all, while
+    one-column pages keep their previous bytes; explicit "true" still
+    forces single-column on the same fixture."""
+    from dedoc_spark.sources.pdf_fixture import build_pdf
+
+    def page_ops(coords):
+        return "\n".join(
+            f"BT /F1 12 Tf 1 0 0 1 {x:g} {y:g} Tm ({t}) Tj ET"
+            for x, y, t in coords
+        )
+
+    two_col = [
+        (x, 700 - 20 * i, f"{side} {i}")
+        for i in range(6)
+        for x, side in ((72, "left"), (330, "right"))
+    ]
+    pdf = build_pdf([[]], extra_content=[page_ops(two_col)])
+
+    auto = extract_document("c.pdf", pdf, None)  # no param → auto
+    lines = [ln.strip() for ln in auto["text_linear"].split("\n") if ln.strip()]
+    assert lines[:6] == [f"left {i}" for i in range(6)]
+    assert lines[6:] == [f"right {i}" for i in range(6)]
+    explicit_auto = extract_document(
+        "c.pdf", pdf, None, params={"is_one_column_document": "auto"}
+    )
+    assert explicit_auto["text_linear"] == auto["text_linear"]
+
+    forced = extract_document(
+        "c.pdf", pdf, None, params={"is_one_column_document": "true"}
+    )
+    flines = [ln.strip() for ln in forced["text_linear"].split("\n") if ln.strip()]
+    assert flines[0] == "left 0right 0"  # same-y concatenation preserved
+
+    # a one-column page (all starts at the left margin) stays one-column
+    # under auto — byte-identical to the forced-true reading
+    one_col = [(72, 700 - 20 * i, f"only column line {i}") for i in range(10)]
+    pdf1 = build_pdf([[]], extra_content=[page_ops(one_col)])
+    a = extract_document("c.pdf", pdf1, None)
+    t = extract_document("c.pdf", pdf1, None, params={"is_one_column_document": "true"})
+    assert a["text_linear"] == t["text_linear"]
+    assert [ln.strip() for ln in a["text_linear"].split("\n") if ln.strip()][0] == "only column line 0"
