@@ -399,7 +399,12 @@ def extract_document(
                 if looks_like_tei(url, html):
                     from dedoc_spark.core.tei_extract import extract_tei_lines_tables
 
-                    lines, tei_tables, warnings = extract_tei_lines_tables(html, url_hash(url))
+                    lines, tei_tables, warnings = extract_tei_lines_tables(
+                        html,
+                        url_hash(url),
+                        with_attachments=str(params.get("with_attachments", "false")).lower()
+                        == "true",
+                    )
                     params = dict(params)
                     params.setdefault("document_type", "article")
                     return _finalize(url, lines, tei_tables, warnings, params)

@@ -324,12 +324,19 @@ def _parse_tables(b: _Builder, root: ET.Element, url_hash: str) -> Tuple[List[Ta
 
 
 def extract_tei_lines_tables(
-    payload: bytes, url_hash: str = ""
+    payload: bytes, url_hash: str = "", with_attachments: bool = False
 ) -> Tuple[List[Line], List[Table], List[str]]:
     """The read() analysis sequence (article_reader.py:64-80): title →
     first-biblStruct authors → keywords → bibliography → tables →
     abstract+body text with cross-ref annotations → bibliography lines
-    appended last."""
+    appended last.
+
+    ``with_attachments`` mirrors __parse_images (article_reader.py:349-
+    399): the reference crops each untyped <figure> out of the source PDF
+    (cv2 rasterization — de-scoped here, no pixel source exists on the
+    TEI-response path), so instead of SILENTLY skipping, each such figure
+    emits a typed warning row naming its xml:id — the attachment channel
+    keeps a consistent, observable shape."""
     root = ET.fromstring(payload)
     _strip_ns(root)
     b = _Builder(url_hash)
@@ -370,7 +377,22 @@ def extract_tei_lines_tables(
                     if div is not outer:
                         lines += _parse_section(b, div, bib2uid, table2uid)
     lines.extend(bib_lines)
-    return lines, tables, ["use GROBID (version: 0.8.0)"]
+    warnings = ["use GROBID (version: 0.8.0)"]
+    if with_attachments:
+        # soup.find_all("figure", {"type": None}) — table figures carry
+        # type="table" and are handled by _parse_tables above
+        for fig in root.iter("figure"):
+            if fig.get("type") is None:
+                fig_id = (
+                    fig.get("{http://www.w3.org/XML/1998/namespace}id")
+                    or fig.get("id")
+                    or "?"
+                )
+                warnings.append(
+                    f"attachment skipped (figure {fig_id}): image cropping "
+                    "needs the source PDF pixels (rasterization de-scoped)"
+                )
+    return lines, tables, warnings
 
 
 # the ROOT element must be <TEI ...> (after an optional xml declaration /

@@ -10,6 +10,8 @@ Exactly-once comes from the sink checkpoint + deterministic extraction
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -143,6 +145,7 @@ def streaming_near_dedup(
     max_tokens: int = 512,
     timeout_ms: int = 0,
     max_bucket: int = 1000,
+    verify_threshold: Optional[float] = None,
 ) -> DataFrame:
     """Stateful streaming NEAR-duplicate detection: MinHash band keys per
     document, one state-store entry per band key holding the FIRST
@@ -160,7 +163,18 @@ def streaming_near_dedup(
     Emission semantics: a colliding document emits one event PER seen
     band (up to ``bands``) — at-least-once candidate events, deduplicate
     downstream on (id, dup_of) if exactly-once pairs are needed.
-    ``timeout_ms`` > 0 expires idle band entries (bounded state)."""
+    ``timeout_ms`` > 0 expires idle band entries (bounded state).
+
+    ``verify_threshold`` adds the batch path's verify stage to the
+    stream: the state also keeps the canonical document's FULL minhash
+    signature, and a band collision only emits when the signature-match
+    fraction (the standard MinHash Jaccard estimate over all
+    ``num_hashes`` rows, same estimator jaccard semantics as
+    minhash_lsh_pairs → jaccard_for_pairs) reaches the threshold —
+    colliding-but-dissimilar pairs are suppressed instead of emitted.
+    The output then carries an extra ``est_jaccard`` column; with the
+    default None, state schema, output schema, and bytes are unchanged."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -171,22 +185,33 @@ def streaming_near_dedup(
     rows_per_band = num_hashes // bands
     truncated = F.concat_ws(" ", F.slice(word_tokens(F.col(text_col)), 1, max_tokens))
     sig = minhash_signature(word_shingles(truncated), num_hashes)
-    banded = stream_df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",", *[sig[b * rows_per_band + r] for r in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
-    )
+    band_array = F.posexplode(
+        F.array(
+            *[
+                F.concat_ws(
+                    ",", *[sig[b * rows_per_band + r] for r in range(rows_per_band)]
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("band_idx", "band_key")
+    if verify_threshold is None:
+        banded = stream_df.select(F.col(id_col), band_array)
+    else:
+        # the full signature rides along (one short string per band row)
+        # so the state function can estimate Jaccard against the stored
+        # canonical signature without re-reading the document
+        banded = stream_df.select(
+            F.col(id_col),
+            F.concat_ws(",", *[sig[i] for i in range(num_hashes)]).alias("_sig"),
+            band_array,
+        )
 
     out_schema = f"{id_col} string, band_idx int, dup_of string"
     state_schema = "first_id string, emitted long"
+    if verify_threshold is not None:
+        out_schema += ", est_jaccard double"
+        state_schema += ", first_sig string"
 
     def collide_fn(key, pdf_iter, state: GroupState):
         # vectorized over each Arrow batch (VERDICT r4 note #4): the
@@ -197,38 +222,69 @@ def streaming_near_dedup(
         if timeout_ms > 0 and state.hasTimedOut:
             state.remove()
             return
-        first_id, emitted = state.get if state.exists else (None, 0)
+        verifying = verify_threshold is not None
+        if state.exists:
+            stored = state.get
+            first_id, emitted = stored[0], stored[1]
+            first_sig = stored[2] if verifying else None
+        else:
+            first_id, emitted, first_sig = None, 0, None
+        canon = None
+        if first_sig:
+            canon = np.array(first_sig.split(","), dtype=np.int64)
         frames = []
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
             if first_id is None:
                 first_id = pdf[id_col].iloc[0]
+                if verifying:
+                    first_sig = pdf["_sig"].iloc[0]
+                    canon = np.array(first_sig.split(","), dtype=np.int64)
             # max_bucket mirrors the batch LSH degenerate-bucket cap: an
             # all-empty-documents band key would otherwise grow a hot
             # state group emitting unbounded events
             if emitted >= max_bucket:
                 continue
-            hits = pdf.loc[pdf[id_col].values != first_id, [id_col, "band_idx"]]
+            cols = [id_col, "band_idx"] + (["_sig"] if verifying else [])
+            hits = pdf.loc[pdf[id_col].values != first_id, cols]
             if len(hits) == 0:
                 continue
-            hits = hits.iloc[: max_bucket - emitted]
-            frames.append(
-                pd.DataFrame(
-                    {
-                        id_col: hits[id_col].values,
-                        "band_idx": hits["band_idx"].astype(int).values,
-                        "dup_of": first_id,
-                    }
+            if verifying:
+                # MinHash estimate: fraction of agreeing signature rows
+                sigs = np.array(
+                    [np.array(x.split(","), dtype=np.int64) for x in hits["_sig"]]
                 )
-            )
+                est = (sigs == canon[None, :]).mean(axis=1)
+                keep = est >= verify_threshold
+                hits = hits.loc[keep]
+                est = est[keep]
+                if len(hits) == 0:
+                    continue
+                hits = hits.iloc[: max_bucket - emitted]
+                est = est[: max_bucket - emitted]
+            else:
+                hits = hits.iloc[: max_bucket - emitted]
+            frame = {
+                id_col: hits[id_col].values,
+                "band_idx": hits["band_idx"].astype(int).values,
+                "dup_of": first_id,
+            }
+            if verifying:
+                frame["est_jaccard"] = est
+            frames.append(pd.DataFrame(frame))
             emitted += len(hits)
         if first_id is not None:
-            state.update((first_id, emitted))
+            state.update(
+                (first_id, emitted, first_sig) if verifying else (first_id, emitted)
+            )
         if timeout_ms > 0 and state.exists:
             state.setTimeoutDuration(timeout_ms)
         if frames:
-            yield pd.concat(frames, ignore_index=True)[[id_col, "band_idx", "dup_of"]]
+            out_cols = [id_col, "band_idx", "dup_of"] + (
+                ["est_jaccard"] if verify_threshold is not None else []
+            )
+            yield pd.concat(frames, ignore_index=True)[out_cols]
 
     timeout_conf = (
         GroupStateTimeout.ProcessingTimeTimeout if timeout_ms > 0 else GroupStateTimeout.NoTimeout

@@ -258,3 +258,46 @@ def test_streaming_near_dedup_stateful(spark, tmp_path):
     rows = spark.sql("SELECT * FROM near_dedup_sink").collect()
     pairs = {(r.url, r.dup_of) for r in rows}
     assert pairs == {("u3", "u1")}  # exact near-dup across batches
+
+
+def test_streaming_near_dedup_verify_stage(spark, tmp_path):
+    """verify_threshold adds the batch path's verify stage to the stream:
+    a document that COLLIDES on band keys but is dissimilar (signature
+    match fraction below threshold) is suppressed instead of emitted,
+    while a true near-duplicate passes with its est_jaccard; state keys
+    are unchanged (per band key), only the canonical signature rides
+    along."""
+    from dedoc_spark.streaming import streaming_near_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    # shares the first few shingles with base → collides on some single-row
+    # bands, but only 3/16 signature rows agree (est 0.1875)
+    partial = "alpha beta gamma delta mu nu xi omicron pi rho"
+    src = tmp_path / "verify_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("A", base)], "url string, text string"
+    ).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    spark.createDataFrame(
+        [("B", near), ("C", partial)], "url string, text string"
+    ).coalesce(1).write.parquet(str(src / "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    q = (
+        streaming_near_dedup(stream, bands=16, verify_threshold=0.5)
+        .writeStream.format("memory")
+        .queryName("near_dedup_verify_sink")
+        .option("checkpointLocation", str(tmp_path / "verify_ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM near_dedup_verify_sink").collect()
+    assert {(r.url, r.dup_of) for r in rows} == {("B", "A")}  # C suppressed
+    assert all(abs(r.est_jaccard - 0.8125) < 1e-9 for r in rows)

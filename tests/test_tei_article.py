@@ -246,3 +246,34 @@ def test_tei_acknowledgement_in_body_parsed_twice():
     # parses the inner div once more
     assert texts.count("Thanks.\n") == 3
     assert texts.count("Body text.\n") == 1
+
+
+def test_tei_figure_attachment_warning_row():
+    """with_attachments (article_reader.py:349-399): the reference crops
+    untyped <figure>s out of the source PDF — no pixels exist on the
+    TEI-response path, so each such figure emits a TYPED warning naming
+    its xml:id instead of being silently skipped; table figures and the
+    default (param off) are unaffected."""
+    tei = (
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><profileDesc>'
+        "<abstract><p>a</p></abstract></profileDesc></teiHeader><text><body>"
+        '<figure xml:id="fig_0"><head>Fig. 1 .</head>'
+        '<graphic coords="3,1,1,2,2" type="bitmap"/></figure>'
+        '<figure type="table" xml:id="tab_0"><head>Table 1 .</head>'
+        "<table><row><cell>x</cell></row></table></figure>"
+        "</body></text></TEI>"
+    ).encode()
+    _, _, warnings = extract_tei_lines_tables(tei, "h", with_attachments=True)
+    fig_warnings = [w for w in warnings if w.startswith("attachment skipped")]
+    assert fig_warnings == [
+        "attachment skipped (figure fig_0): image cropping needs the "
+        "source PDF pixels (rasterization de-scoped)"
+    ]
+    # default: byte-identical warnings (just the GROBID banner)
+    _, _, default_w = extract_tei_lines_tables(tei, "h")
+    assert default_w == ["use GROBID (version: 0.8.0)"]
+    # end-to-end: the param flows through extract_document
+    d = extract_document(
+        "a.tei", tei, None, params={"with_attachments": "true"}
+    )
+    assert any(w.startswith("attachment skipped (figure fig_0)") for w in d["warnings"])
