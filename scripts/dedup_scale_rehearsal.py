@@ -20,7 +20,9 @@ never holds the corpus):
     the 0.8 threshold: a deliberately tight near-dup for the
     minhash->LSH->jaccard->CC chain, not an exact duplicate
 
-Usage: python scripts/dedup_scale_rehearsal.py [n_docs] [out_json]
+Usage: python scripts/dedup_scale_rehearsal.py [n_docs] [out_json] [stages]
+  stages: "all" (default) or "spans" (remove_duplicated_spans only — the
+  slope-measurement mode for the 1M+ runs, VERDICT r5 #5)
 Run EXCLUSIVELY (no concurrent Spark/CPU work) per CLAUDE.md.
 """
 
@@ -36,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
 OUT = sys.argv[2] if len(sys.argv) > 2 else ""
+STAGES = sys.argv[3] if len(sys.argv) > 3 else "all"
 WORK = "/tmp/dedoc_spark_rehearsal"
 
 
@@ -162,6 +165,16 @@ def main() -> None:
     report["tokens_removed"] = int(row["tokens_removed"])
 
     # --- near-dup chain ------------------------------------------------------
+    if STAGES == "spans":
+        report["peak_jvm_gb"] = round(after["peak_jvm_bytes"] / 2**30, 2)
+        release()
+        print(json.dumps(report, indent=2))
+        if OUT:
+            with open(OUT, "w") as f:
+                json.dump(report, f, indent=2)
+        spark.stop()
+        return
+
     before = ui_totals()
     # dedup_corpus computes eagerly inside (CC rounds checkpoint); the
     # timer must wrap the call, not just the final agg
