@@ -259,6 +259,10 @@ def list_archive_members(payload: bytes, max_members: int = 1000) -> List[Tuple[
         from dedoc_spark.core.sevenzip import list_members
 
         return list_members(payload, max_members)
+    if payload[:6] == b"Rar!\x1a\x07":
+        from dedoc_spark.core.rar_extract import list_members as rar_members
+
+        return rar_members(payload, max_members)
     if payload[:4] == b"PK\x03\x04":
         with zipfile.ZipFile(io.BytesIO(payload)) as zf:
             for info in zf.infolist()[:max_members]:
@@ -499,10 +503,12 @@ _EXT_FORMATS = {
     "odt": "odt", "ods": "ods", "odp": "odp",  # native (core/odf_extract.py)
     "xls": "xls",  # native BIFF8 reader (core/xls_extract.py)
     "ppt": "ppt",  # native record-scan reader (core/doc_extract.py)
-    # rar needs an external unpacker (the reference uses rarfile) → typed
-    # error; 7z is native (core/sevenzip.py: COPY/LZMA/LZMA2 folders), and
-    # tar/gz/bz2/xz are stdlib-native — all join the archive channel
-    "rar": "needs_unpacker:rar",
+    # rar container walk is native (core/rar_extract.py: RAR4+RAR5
+    # headers, STORED members extract; the proprietary compression methods
+    # raise the typed needs_unpacker error per member); 7z is native
+    # (core/sevenzip.py: COPY/LZMA/LZMA2 folders), and tar/gz/bz2/xz are
+    # stdlib-native — all join the archive channel
+    "rar": "zip",
     "7z": "zip",
     "gz": "zip", "tgz": "zip", "tar": "zip",
     "bz2": "zip", "tbz2": "zip", "xz": "zip", "txz": "zip",  # stdlib bz2/lzma
@@ -579,7 +585,7 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
         if payload[:5] == b"{\\rtf":
             return "rtf"
         if payload[:6] == b"Rar!\x1a\x07":
-            return "needs_unpacker:rar"
+            return "zip"  # native rar container walk (core/rar_extract.py)
         if payload[:6] == b"7z\xbc\xaf\x27\x1c":
             return "zip"  # native 7z reader (core/sevenzip.py)
         if payload[:2] == b"\x1f\x8b":

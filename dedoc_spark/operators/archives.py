@@ -102,11 +102,13 @@ def _error_extract_rows(df: DataFrame, error_col, params=None) -> DataFrame:
 
 def _archive_magic(col) -> "F.Column":
     """Archive-container magic sniff, matching core.formats.detect_format
-    exactly: zip local header, gzip, tar ustar, 7z signature, bzip2
+    exactly: zip local header, rar4/rar5 signature (native container
+    walk, stored members), gzip, tar ustar, 7z signature, bzip2
     ('BZh' PLUS an ASCII digit level byte — plain text that merely starts
     with 'BZh' must NOT be routed into the explosion channel), xz."""
     return (
         (F.substring(col, 1, 4) == F.lit(b"PK\x03\x04"))
+        | (F.substring(col, 1, 6) == F.lit(b"Rar!\x1a\x07"))
         | (F.substring(col, 1, 2) == F.lit(b"\x1f\x8b"))
         | (F.substring(col, 258, 5) == F.lit(b"ustar"))
         | (F.substring(col, 1, 6) == F.lit(b"7z\xbc\xaf\x27\x1c"))

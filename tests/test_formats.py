@@ -383,16 +383,18 @@ def test_extract_with_attachments_spark(spark):
 
 
 def test_rar_typed_7z_native_routing():
-    """rar keeps the typed needs_unpacker row (external codec); 7z is
-    native since r3 (core/sevenzip.py) and joins the archive channel."""
+    """rar and 7z both join the archive channel natively since r6/r3
+    (core/rar_extract.py walks the container; only the proprietary
+    COMPRESSION keeps a typed error, raised per member)."""
     rar = b"Rar!\x1a\x07\x01\x00" + b"\x00" * 20
     sevenz = b"7z\xbc\xaf\x27\x1c" + b"\x00" * 20
-    assert detect_format("https://x/a", rar, None) == "needs_unpacker:rar"
+    assert detect_format("https://x/a", rar, None) == "zip"
     assert detect_format("https://x/a", sevenz, None) == "zip"
-    assert detect_format("https://x/a.rar", b"??", None) == "needs_unpacker:rar"
+    assert detect_format("https://x/a.rar", b"??", None) == "zip"
     assert detect_format("https://x/a.7z", b"??", None) == "zip"
+    # a broken/empty rar container lands in the typed error channel
     d = extract_document("https://x/a.rar", rar, None)
-    assert d["error"] == "needs_unpacker:rar" and d["n_lines"] == 0
+    assert d["error"] is not None and d["n_lines"] == 0
 
 
 def test_tar_gz_archives_native(spark):
@@ -479,7 +481,8 @@ def test_docx_document2_xml_fallback():
 
 def test_bz2_and_xz_archives():
     """tar.bz2 / tar.xz / bare .bz2 / bare .xz are stdlib-native archive
-    channels (rar/7z keep typed needs_unpacker rows — external codecs)."""
+    channels (compressed rar keeps the typed needs_unpacker error; 7z and
+    stored-rar are native)."""
     import bz2
     import io
     import lzma
