@@ -49,6 +49,18 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .config("spark.sql.shuffle.partitions", str(cpus))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.driver.memory", "16g")
+         # pack the corpus's 200 small part files into ~3 tasks per slot
+         # instead of 200 one-file tasks: at 32-wide the per-task python
+         # setup + 6 ragged waves cost 11.9 vs 8.2 s on this exact job,
+         # while over-packing 8-wide to ONE wave removes load balancing
+         # (39 vs 22 s under noise) — the open-cost is sized per width
+         # for ~3x slots partitions.  The control's static
+         # 1-batch-per-worker split is the same tradeoff, maximally
+         # coarse.
+         .config(
+             "spark.sql.files.openCostInBytes",
+             str(int(128 * 1024 * 1024 * 3 * {cpus} / 200)),
+         )
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false")
          .getOrCreate())
@@ -63,11 +75,14 @@ def run_once():
     ).collect()[0]
 
 row = run_once()  # full warmup pass, untimed
-t0 = time.perf_counter()
-row = run_once()
-sec = time.perf_counter() - t0
+times = []
+for _ in range({passes}):
+    t0 = time.perf_counter()
+    row = run_once()
+    times.append(round(time.perf_counter() - t0, 2))
+sec = min(times)
 print("RESULT " + json.dumps({{"system": "spark", "cpus": cpus, "docs": row["docs"],
-                               "errors": row["errors"], "sec": round(sec, 2),
+                               "errors": row["errors"], "sec": sec, "times": times,
                                "docs_per_sec": round(row["docs"] / sec, 1)}}))
 spark.stop()
 """
@@ -105,24 +120,28 @@ def run_once(pool):
 
 with Pool(cpus) as pool:
     run_once(pool)  # full warmup pass, untimed (fork + page cache)
-    t0 = time.perf_counter()
-    docs, errors = run_once(pool)
-    sec = time.perf_counter() - t0
+    times = []
+    for _ in range({passes}):
+        t0 = time.perf_counter()
+        docs, errors = run_once(pool)
+        times.append(round(time.perf_counter() - t0, 2))
+sec = min(times)
 print("RESULT " + json.dumps({{"system": "control", "cpus": cpus, "docs": docs,
-                               "errors": errors, "sec": round(sec, 2),
+                               "errors": errors, "sec": sec, "times": times,
                                "docs_per_sec": round(docs / sec, 1)}}))
 """
 
 
-def run_trial(snippet: str, cpus: int, n: int) -> dict:
-    code = snippet.format(repo=REPO, cpus=cpus, n=n)
+def run_trial(snippet: str, cpus: int, n: int, passes: int = 3) -> dict:
+    code = snippet.format(repo=REPO, cpus=cpus, n=n, passes=passes)
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             r = json.loads(line[len("RESULT "):])
             print(
-                f"  {r['system']:>7}@{cpus}: {r['sec']}s = {r['docs_per_sec']} docs/s",
+                f"  {r['system']:>7}@{cpus}: {r['sec']}s (passes {r['times']}) "
+                f"= {r['docs_per_sec']} docs/s",
                 flush=True,
             )
             return r
@@ -142,8 +161,8 @@ def main() -> None:
         results[cpus] = {
             "spark": max(t["docs_per_sec"] for t in spark_trials),
             "control": max(t["docs_per_sec"] for t in control_trials),
-            "spark_trials": [t["sec"] for t in spark_trials],
-            "control_trials": [t["sec"] for t in control_trials],
+            "spark_trials": [x for t in spark_trials for x in t["times"]],
+            "control_trials": [x for t in control_trials for x in t["times"]],
         }
         results[cpus]["ratio"] = round(results[cpus]["spark"] / results[cpus]["control"], 3)
 
@@ -164,10 +183,13 @@ no-Spark multiprocessing control, {pairs} pairs per width — on the SAME
 (core.document.extract_document) over the identical parquet part files
 via multiprocessing.Pool: zero framework overhead, so it measures the
 box's ceiling for this workload, and interleaving puts both systems in
-the same noise window.  Per-trial = fresh pinned process tree, full
-untimed warmup pass, one timed pass; best-of-{pairs} reported.
+the same noise window.  Per-invocation = fresh pinned
+process tree, full untimed warmup pass, then 3 timed passes (a fresh
+JVM needs several full passes before C2 compilation stabilizes — the
+control's python workers are warm after one); best over all passes of
+all invocations reported.
 
-| width | Spark docs/s | control docs/s | Spark/control | Spark trials (s) | control trials (s) |
+| width | Spark docs/s | control docs/s | Spark/control | Spark passes (s) | control passes (s) |
 |---|---|---|---|---|---|
 | 8 | {results[8]['spark']} | {results[8]['control']} | {results[8]['ratio']} | {results[8]['spark_trials']} | {results[8]['control_trials']} |
 | 32 | {results[32]['spark']} | {results[32]['control']} | {results[32]['ratio']} | {results[32]['spark_trials']} | {results[32]['control_trials']} |

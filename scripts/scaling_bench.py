@@ -139,11 +139,9 @@ fleets operate in (every executor brings its own memory subsystem).
 Saturation curve on one box: 2 → 8 cores: {eff_2_8}; 8 → 32 cores:
 {eff_8_32}. The fall-off at 32-wide is the socket's memory bandwidth on
 string-heavy Python work, not plan structure: the extraction plan is
-scan-aligned with **zero shuffles**, and a no-Spark multiprocessing
-control on the identical per-document function and the same parquet
-input measures 6,706 → 24,500 docs/s from 8 → 32 pinned procs (0.91),
-with Spark reaching ~85-90% of that control at 32-wide (the remainder:
-Arrow transfer + JVM scan threads sharing the pinned cores).
+scan-aligned with **zero shuffles** — see the interleaved
+Spark-vs-control A/B section (scripts/scaling_ab.py) for the
+same-window control evidence.
 
 ## Plan audit (physical plans, `.explain("formatted")`, local[4])
 
