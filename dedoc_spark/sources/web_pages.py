@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import random
 from datetime import datetime, timedelta, timezone
-from typing import Dict, Iterator, List
+from typing import Dict, Iterator, List, Optional
 
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
@@ -180,13 +180,22 @@ def generate_rows(n: int, seed: int = 42, start: int = 0) -> Iterator[Dict]:
         yield make_row(i, seed)
 
 
-def write_parquet(path: str, n: int, seed: int = 42, rows_per_file: int = 1_000) -> str:
+def write_parquet(
+    path: str, n: int, seed: int = 42, rows_per_file: Optional[int] = None
+) -> str:
     """Write the synthetic table as a DIRECTORY of parquet part files.
 
     Many small files (not one big one) so a cold scan parallelizes: a
     single-file input makes the scan + shuffle-write a serial section that
     caps scaling (Amdahl) — exactly the pathology the north rule's
-    two-cluster-size criterion is meant to catch."""
+    two-cluster-size criterion is meant to catch.  The default file size
+    adapts to n (≥128 files once n allows it): a 20k-page corpus in
+    1000-row files is only 20 tasks — a 32-slot box would idle a third of
+    its cores on the scan-aligned extraction (measured on the bench
+    headline).  Row CONTENT is a deterministic function of (n, seed)
+    only; the chunking never changes the table."""
+    if rows_per_file is None:
+        rows_per_file = min(1_000, max(64, n // 128))
     import os
 
     import pyarrow as pa
@@ -221,7 +230,8 @@ def ensure_web_pages(n: int, seed: int = 42, cache_dir: str = "/tmp/dedoc_spark_
     import shutil
 
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"web_pages_n{n}_s{seed}")
+    # v2: adaptive rows_per_file layout (content identical, more files)
+    path = os.path.join(cache_dir, f"web_pages_n{n}_s{seed}_v2")
     if not os.path.isdir(path):
         tmp = path + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
