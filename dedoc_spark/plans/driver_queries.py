@@ -2178,10 +2178,13 @@ Q55_SQL = Q21_SQL
 def q56_archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native archive-explosion gate (archive_reader.py:18-55 semantics
     through operators/archives.extract_with_archives): each document
-    becomes a deterministic tar.gz of two txt members; the pipeline must
-    explode both into url#member rows and extract each through the txt
-    reader. The iterative explode itself (DISK_ONLY per-level persist,
-    typed error rows) is the unit under test."""
+    becomes a deterministic tar.gz of two txt members PLUS a RAR4
+    container with one stored member (r6 — core/rar_extract.py walks the
+    container natively; only proprietary rar DECOMPRESSION stays a typed
+    error); the pipeline must explode all of them into url#member rows
+    and extract each through the txt reader. The iterative explode
+    itself (DISK_ONLY per-level persist, typed error rows) is the unit
+    under test."""
     import pandas as pd
 
     from dedoc_spark.operators.archives import extract_with_archives
@@ -2198,6 +2201,8 @@ def q56_archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         if repo not in sys.path:
             sys.path.insert(0, repo)
 
+        from dedoc_spark.sources.archive_fixture import build_rar4_stored
+
         for pdf in it:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -2211,6 +2216,8 @@ def q56_archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # fixed mtime + no filename → byte-deterministic gzip
                 payload = gziplib.compress(raw.getvalue(), mtime=0)
                 out.append({"url": f"{int(doc_id)}.tgz", "html": payload, "text": ""})
+                rar = build_rar4_stored([("c.txt", f"Rar {int(doc_id)}".encode())])
+                out.append({"url": f"{int(doc_id)}.rar", "html": rar, "text": ""})
             yield pd.DataFrame(out, columns=["url", "html", "text"])
 
     src = (
@@ -2230,7 +2237,8 @@ def q56_archive_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# two member rows per document, each a single-line txt doc (q18 form)
+# three member rows per document (tar.gz a/b + rar4-stored c), each a
+# single-line txt doc (q18 form)
 Q56_SQL = """
 SELECT doc_id, 'a.txt' AS member, CAST(1 AS BIGINT) AS n_lines,
        chr(10) || text || chr(10) AS text_extracted, CAST(NULL AS VARCHAR) AS error
@@ -2238,6 +2246,10 @@ FROM documents
 UNION ALL
 SELECT doc_id, 'b.txt' AS member, CAST(1 AS BIGINT) AS n_lines,
        chr(10) || 'Doc ' || doc_id || chr(10) AS text_extracted, CAST(NULL AS VARCHAR) AS error
+FROM documents
+UNION ALL
+SELECT doc_id, 'c.txt' AS member, CAST(1 AS BIGINT) AS n_lines,
+       chr(10) || 'Rar ' || doc_id || chr(10) AS text_extracted, CAST(NULL AS VARCHAR) AS error
 FROM documents
 """
 
