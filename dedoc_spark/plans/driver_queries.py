@@ -909,13 +909,25 @@ FROM documents
 
 
 def q22_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rotates packaging per doc: classic 1.4, object-stream 1.5, and
+    """Rotates packaging per doc: classic 1.4, object-stream 1.5,
     Type0/Identity-H+ToUnicode — all must extract identical text (the
-    closed-form oracle doesn't change with packaging)."""
+    closed-form oracle doesn't change with packaging) — and (r6) a
+    two-column page with NO params: is_one_column_document defaults to
+    the reference's "auto" (api_args.py:33), so the per-page x-origin
+    histogram must flip it into column reading order (all left-column
+    lines, then all right-column lines — 12 lines, not 6 interleaved
+    same-y concatenations)."""
 
     def builder(doc_id: int, text: str):
         from dedoc_spark.sources.pdf_fixture import build_pdf, build_pdf_objstm, build_pdf_type0
 
+        if doc_id % 4 == 3:
+            ops = "\n".join(
+                f"BT /F1 12 Tf 1 0 0 1 {x:g} {700 - 20 * i:g} Tm ({t}) Tj ET"
+                for i in range(6)
+                for x, t in ((72, f"L{i}of{doc_id}"), (330, f"R{i}of{doc_id}"))
+            )
+            return build_pdf([[]], extra_content=[ops]), f"{doc_id}.pdf"
         build = (build_pdf, build_pdf_objstm, build_pdf_type0)[doc_id % 3]
         return build([[(f"Doc {doc_id}", True), (text, False)]]), f"{doc_id}.pdf"
 
@@ -923,10 +935,20 @@ def q22_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # both pdf lines are raw_text+multiline → they merge into ONE tree node with
-# no separator (tree add_text); json2txt → "\nDoc {id}{text}\n"
+# no separator (tree add_text); json2txt → "\nDoc {id}{text}\n". The
+# two-column auto variant reads left column top-to-bottom then right
+# column, 12 raw_text lines merged the same way.
 Q22_SQL = """
-SELECT doc_id, CAST(2 AS BIGINT) AS n_lines,
-       chr(10) || 'Doc ' || doc_id || text || chr(10) AS text_extracted
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 12 ELSE 2 END AS BIGINT) AS n_lines,
+       CASE WHEN doc_id % 4 = 3 THEN
+         chr(10)
+           || 'L0of' || doc_id || 'L1of' || doc_id || 'L2of' || doc_id
+           || 'L3of' || doc_id || 'L4of' || doc_id || 'L5of' || doc_id
+           || 'R0of' || doc_id || 'R1of' || doc_id || 'R2of' || doc_id
+           || 'R3of' || doc_id || 'R4of' || doc_id || 'R5of' || doc_id
+           || chr(10)
+       ELSE chr(10) || 'Doc ' || doc_id || text || chr(10) END AS text_extracted
 FROM documents
 """
 
