@@ -2803,22 +2803,113 @@ SELECT 'cosine' AS metric, a, b, cos AS value FROM ({Q26_SQL}) c
 """
 
 
+# Fixed 2-class depth-2 ensemble in the PUBLIC get_dump(dump_format=
+# "json") shape (r6): the unit under test is operators/xgboost_json.py's
+# pure-numpy loader + vectorized traversal — the same code path the
+# reference's huggingface artifacts run through — so the trees are
+# deliberately small enough to mirror exactly in SQL. The XOR-style leaf
+# layout needs BOTH features (f0 = whitespace word count, f1 = char
+# count) to classify; thresholds sit at the sf0.01 medians so all four
+# leaves are exercised (244/2/6/248 docs per quadrant).
+def _xgb_gate_dump() -> list:
+    def tree(sign: float) -> dict:
+        return {
+            "nodeid": 0, "split": "f0", "split_condition": 56.5,
+            "yes": 1, "no": 2, "missing": 1,
+            "children": [
+                {"nodeid": 1, "split": "f1", "split_condition": 306.5,
+                 "yes": 3, "no": 4, "missing": 3,
+                 "children": [{"nodeid": 3, "leaf": 1.2 * sign},
+                              {"nodeid": 4, "leaf": -0.7 * sign}]},
+                {"nodeid": 2, "split": "f1", "split_condition": 306.5,
+                 "yes": 5, "no": 6, "missing": 5,
+                 "children": [{"nodeid": 5, "leaf": -0.4 * sign},
+                              {"nodeid": 6, "leaf": 0.9 * sign}]},
+            ],
+        }
+
+    return [tree(1.0), tree(-1.0)]  # round-robin groups: class 0, class 1
+
+
+def q31_xgb_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc label from the numpy XGBoost-JSON predictor (r6,
+    operators/xgboost_json.py — the loader that consumes the reference's
+    public artifact shapes, abstract_pickled_classifier.py:29-52)."""
+    import pandas as pd
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+    dump = _xgb_gate_dump()
+
+    def fn(it):
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        import numpy as np
+
+        from dedoc_spark.operators.xgboost_json import load_xgboost_json
+
+        model, _ = load_xgboost_json(dump, classes=["drop", "keep"], num_class=2)
+        for pdf in it:
+            text = pdf["text"]
+            X = np.column_stack([
+                text.map(lambda t: len(t.split())).to_numpy(np.float64),
+                text.str.len().to_numpy(np.float64),
+            ])
+            margins = model.predict_margin(X)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "xgb_label": model.predict(X),
+                    "xgb_margin": margins[:, 0],
+                }
+            )
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(fn, "doc_id long, xgb_label string, xgb_margin double")
+    )
+
+
+# class-0 margin = base_margin(0.5, softprob) + leaf = 0.5 + leaf; the
+# mirrored class-1 tree makes argmax ⇔ sign(leaf), ties impossible
+Q31X_SQL = r"""
+SELECT doc_id,
+  CASE WHEN (nw <= 56) = (nc <= 306) THEN 'drop' ELSE 'keep' END AS xgb_label,
+  CAST(0.5 + CASE WHEN nw <= 56 THEN (CASE WHEN nc <= 306 THEN 1.2 ELSE -0.7 END)
+                  ELSE (CASE WHEN nc <= 306 THEN -0.4 ELSE 0.9 END) END
+       AS DOUBLE) AS xgb_margin
+FROM (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS nw,
+         length(text) AS nc
+  FROM documents
+)
+"""
+
+
 def q31_doc_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three one-row-per-doc scalar-function gates equi-joined on doc_id:
-    n-gram language ID (q31), BPE-pretokenizer token count (q36), and PII
-    redaction (q37)."""
+    """Four one-row-per-doc scalar-function gates equi-joined on doc_id:
+    n-gram language ID (q31), BPE-pretokenizer token count (q36), PII
+    redaction (q37), and (r6) the numpy XGBoost-JSON predictor over a
+    fixed public-shape dump."""
     return (
         q31_lang_multi(spark, sf_dir)
         .join(q36_bpe_tokens(spark, sf_dir), "doc_id")
         .join(q37_pii_redact(spark, sf_dir), "doc_id")
+        .join(q31_xgb_labels(spark, sf_dir), "doc_id")
     )
 
 
 Q31F_SQL = f"""
-SELECT l.doc_id, l.lang_multi, t.bpe_tokens, p.redacted
+SELECT l.doc_id, l.lang_multi, t.bpe_tokens, p.redacted,
+       x.xgb_label, x.xgb_margin
 FROM ({Q31_SQL}) l
 JOIN ({Q36_SQL}) t ON l.doc_id = t.doc_id
 JOIN ({Q37_SQL}) p ON l.doc_id = p.doc_id
+JOIN ({Q31X_SQL}) x ON l.doc_id = x.doc_id
 """
 
 
