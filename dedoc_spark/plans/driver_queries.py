@@ -3072,7 +3072,10 @@ def q66_tei_article(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ArticleReader TEI gate (article_reader.py:64-542 analysis half,
     core/tei_extract.py): each doc is a GROBID-shaped TEI response with a
     title, abstract, one numbered section (plain-text paragraph keeps the
-    reference's trailing newline), a 2×2 table figure, and one
+    reference's trailing newline), a 2×2 table figure, one UNTYPED figure
+    (r6 — under with_attachments the reference crops it from the source
+    PDF, article_reader.py:349-399; the TEI-response path has no pixels,
+    so the typed no-pixels warning row must name its xml:id), and one
     bibliography item with a page biblScope. Closed-form line list:
     root, Abstract, abstract text, "1. Sec {source}", "{text}\\n",
     bibliography header, empty item line, "{id}-{id+7}" page scope."""
@@ -3106,27 +3109,42 @@ def q66_tei_article(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '<figure type="table" xml:id="tab_0"><head>T</head><figDesc>d</figDesc>'
                     f"<table><row><cell>id</cell><cell>{did}</cell></row>"
                     f"<row><cell>{escape(source)}</cell><cell>{escape(lang)}</cell></row></table></figure>"
+                    f'<figure xml:id="fig_{did}"/>'
                     '</body><back><div type="references"><listBibl><biblStruct xml:id="b0">'
                     f'<monogr><imprint><biblScope unit="page" from="{did}" to="{did + 7}"/>'
                     "</imprint></monogr></biblStruct></listBibl></div></back></text></TEI>"
                 )
-                d = extract_document(f"{did}.tei.xml", tei.encode(), None)
+                d = extract_document(
+                    f"{did}.tei.xml", tei.encode(), None,
+                    params={"with_attachments": "true"},
+                )
                 out.append(
                     {
                         "doc_id": did,
                         "n_lines": d["n_lines"],
                         "n_tables": d["n_tables"],
                         "text_linear": d["text_linear"],
+                        "fig_warning": next(
+                            (w for w in d["warnings"]
+                             if w.startswith("attachment skipped")),
+                            None,
+                        ),
                     }
                 )
-            yield pd.DataFrame(out, columns=["doc_id", "n_lines", "n_tables", "text_linear"])
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_lines", "n_tables", "text_linear", "fig_warning"],
+            )
 
     return (
         _parallel(
             _docs(spark, sf_dir)
             .select("doc_id", "text", "source", "lang")
         )
-        .mapInPandas(fn, "doc_id long, n_lines long, n_tables long, text_linear string")
+        .mapInPandas(
+            fn,
+            "doc_id long, n_lines long, n_tables long, text_linear string, fig_warning string",
+        )
     )
 
 
@@ -3134,7 +3152,9 @@ Q66_SQL = """
 SELECT doc_id, CAST(8 AS BIGINT) AS n_lines, CAST(1 AS BIGINT) AS n_tables,
        'Doc ' || doc_id || chr(10) || 'Abstract' || chr(10) || text || chr(10) ||
        '1. Sec ' || source || chr(10) || text || chr(10) || chr(10) ||
-       'bibliography' || chr(10) || chr(10) || doc_id || '-' || (doc_id + 7) AS text_linear
+       'bibliography' || chr(10) || chr(10) || doc_id || '-' || (doc_id + 7) AS text_linear,
+       'attachment skipped (figure fig_' || doc_id || '): image cropping ' ||
+       'needs the source PDF pixels (rasterization de-scoped)' AS fig_warning
 FROM documents
 """
 
