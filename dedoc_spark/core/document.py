@@ -229,12 +229,83 @@ def extract_pptx_document(url: str, payload: bytes) -> Dict:
     return _finalize(url, lines, tables, warnings)
 
 
+def extract_scanned_image_document(url: str, payload: bytes, params: Optional[Dict] = None) -> Dict:
+    """PdfImageReader route for standalone images (pdf_image_reader.py:41-47
+    registers image_like_format): decode pixels (core/image_decode) and run
+    the scanned-page pipeline (core/ocr.process_scanned_page — orientation,
+    binarization, table recognition, OCR with a documented engine stand-in,
+    metadata annotations). Reached via pdf_with_text_layer="false" — the
+    reference value that forces the OCR reader (parameter_utils); documented
+    deviation: the reference ALWAYS OCRs standalone images, here the route
+    is opt-in so the default multimodal-channel bytes stay stable."""
+    from dedoc_spark.core.image_decode import decode_image
+    from dedoc_spark.core.ocr import process_scanned_page
+
+    _w, _h, rgb = decode_image(payload)
+    lines, located, angle = process_scanned_page(rgb, 0, url_hash(url), params or {})
+    warnings = [f"rotated page angles: [{angle:g}]"] if angle else []
+    return _finalize(url, lines, _merge_located_tables(located, lines), warnings, params)
+
+
+def _extract_scanned_pdf(url: str, payload: bytes, params: Dict) -> Dict:
+    """pdf_with_text_layer="false": the forced PdfImageReader branch for
+    PDFs (pdf_auto_reader routing table / parameter_utils). Embedded page
+    rasters are decoded directly (core/ocr.extract_pdf_page_images — the
+    pdf2image analogue for scanned pages) and each runs the scanned-page
+    pipeline; ``pages`` prunes like the text-layer path
+    (pdf_base_reader.py:108-128)."""
+    from dedoc_spark.core.ocr import extract_pdf_page_images, process_scanned_page
+
+    seed = url_hash(url)
+    page_images = extract_pdf_page_images(payload)
+    warnings: List[str] = []
+    pages_range = params.get("pages")
+    if pages_range:
+        left, _, right = str(pages_range).partition(":")
+        lo = int(left) if left else 1
+        hi = int(right) if right else len(page_images)
+        if lo > 1 or hi < len(page_images):
+            warnings.append("The document is partially parsed")
+        page_images = page_images[lo - 1 : hi]
+    lines: List[Line] = []
+    located = []
+    angles: List[float] = []
+    for page_id, images in enumerate(page_images):
+        for img in images:
+            pl, pt, angle = process_scanned_page(img, page_id, seed, params)
+            lines.extend(pl)
+            located.extend(pt)
+            angles.append(angle)
+    if any(angles):
+        joined = ", ".join(f"{a:g}" for a in angles)
+        warnings.append(f"rotated page angles: [{joined}]")
+    return _finalize(url, lines, _merge_located_tables(located, lines), warnings, params)
+
+
+def _merge_located_tables(located, lines):
+    """Scanned-route table finish: page-adjacent continuations merge
+    (multipage_table_extractor, like the txt-layer path in
+    pdf_extract.py:946-955) and LocatedTables become schema Tables."""
+    if not located:
+        return []
+    from dedoc_spark.core.model import Table
+    from dedoc_spark.core.multipage import extract_multipage_tables
+
+    merged = extract_multipage_tables(located, lines)
+    return [
+        Table(cells=t.cells, page_id=t.location.page_number, uid=t.uid)
+        for t in merged
+    ]
+
+
 def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None) -> Dict:
     """PdfAutoReader routing (pdf_auto_reader.py:49-70): in auto mode the
     txt-layer detector classifies the extracted layer and records the
-    reference's routing warnings. The OCR branch (pdf_image_reader) is
-    de-scoped — an incorrect layer keeps the extracted lines plus the
-    routing warning instead of re-reading through OCR."""
+    reference's routing warnings; pdf_with_text_layer="false" forces the
+    scanned (PdfImageReader) branch over the embedded page rasters. In
+    auto mode an incorrect layer keeps the extracted lines plus the
+    routing warning instead of re-reading through OCR (the auto->OCR
+    re-read needs a page rasterizer, still de-scoped)."""
     from dedoc_spark.core.pdf_extract import (
         detect_txt_layer,
         extract_pdf_lines,
@@ -242,6 +313,8 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
     )
 
     params = params or {}
+    if str(params.get("pdf_with_text_layer", "auto")).lower() == "false":
+        return _extract_scanned_pdf(url, payload, params)
     pages_range = params.get("pages")
     tables = []
     need_para = bool(params.get("need_paragraph_classification"))
@@ -526,6 +599,17 @@ def extract_document(
             # error row rather than html-fallback garbage lines
             return _error_row(url, fmt)
         if fmt.startswith("media:") and html:
+            # pdf_with_text_layer="false" forces the PdfImageReader branch
+            # for image formats too (it registers image_like_format,
+            # pdf_image_reader.py:41-47) — scanned-page OCR over the
+            # decoded pixels; decode failures keep the typed media row
+            if fmt.startswith("media:image/") and (
+                str(params.get("pdf_with_text_layer", "")).lower() == "false"
+            ):
+                try:
+                    return extract_scanned_image_document(url, html, params)
+                except Exception:
+                    pass
             # binary media route to the multimodal decode channel
             # (operators/multimodal.py); the per-row reader emits a typed row.
             # EXIF metadata is real (ImageMetadataExtractor field set) even

@@ -99,6 +99,12 @@ class Location:
     def __lt__(self, other: "Location") -> bool:
         return self._key() < other._key()
 
+    def __repr__(self) -> str:
+        # content-only repr: Line.to_dict str()s extras values, so the
+        # default object repr's memory address would leak into lines_json
+        # and break byte determinism
+        return f"Location({self.page_number},{self.bbox!r})"
+
 
 class PageObject:
     """A non-line page object (table or image attachment) for the linker."""

@@ -77,6 +77,7 @@ def detect_ruled_tables(
     eps: float = 2.0,
     min_cell: float = 3.0,
     one_cell_table: bool = False,
+    wo_external_bounds: bool = False,
 ) -> List[RuledGrid]:
     """Painted segments (top-down coords) → ruling grids.
 
@@ -95,6 +96,15 @@ def detect_ruled_tables(
     onepage_table_extractor.py:104): heuristic 2 is bypassed, so plain
     rectangles come back as 1×1 tables and single-column grids as N×1.
     Cell boundaries are the snapped distinct rule positions.
+
+    ``wo_external_bounds=True`` is the "wo_external_bounds" option
+    (table_type.py:3, img_processing.py:113-118): a table whose outer
+    border is not drawn — only inner dividers — gains virtual outer
+    bounds at the extent of the crossing rules (the inner horizontals
+    span the full width, so their x-extent bounds the columns; the inner
+    verticals bound the rows), and the grid criteria are applied to the
+    completed bounds. Fully-bordered grids are unchanged (their extremes
+    snap onto the existing bounds).
     """
     if len(segments) > MAX_SEGMENTS:
         return []
@@ -146,12 +156,22 @@ def detect_ruled_tables(
     for members in comps.values():
         hs = [segs[i] for i in members if i < len(horiz)]
         vs = [segs[i] for i in members if i >= len(horiz)]
-        if len(hs) < 2 or len(vs) < 2:
-            continue
-        if not one_cell_table and len(hs) < 3 and len(vs) < 3:
-            continue
-        row_bounds = _snap([s[1] for s in hs], eps)
-        col_bounds = _snap([s[0] for s in vs], eps)
+        if wo_external_bounds:
+            if len(hs) < 1 or len(vs) < 1:
+                continue
+        else:
+            if len(hs) < 2 or len(vs) < 2:
+                continue
+            if not one_cell_table and len(hs) < 3 and len(vs) < 3:
+                continue
+        row_vals = [s[1] for s in hs]
+        col_vals = [s[0] for s in vs]
+        if wo_external_bounds:
+            # virtual outer bounds from the crossing rules' extents
+            row_vals += [min(s[1] for s in vs), max(s[3] for s in vs)]
+            col_vals += [min(s[0] for s in hs), max(s[2] for s in hs)]
+        row_bounds = _snap(row_vals, eps)
+        col_bounds = _snap(col_vals, eps)
         if len(row_bounds) < 2 or len(col_bounds) < 2:
             continue
         # the requirements must hold on the SNAPPED bounds: a
@@ -354,3 +374,129 @@ def build_table_from_grid(
         cells.append(row)
     uid = hashlib.md5(f"{url_hash}_pdftable_{page_number}_{index}".encode()).hexdigest()
     return LocatedTable(cells, Location(page_number, grid.bbox), uid=uid)
+
+
+def _boundary_crossed(
+    boundary: float,
+    span_lo: float,
+    span_hi: float,
+    rules: Sequence[Tuple[float, float, float]],
+    eps: float,
+) -> bool:
+    """Is a grid boundary actually painted across [span_lo, span_hi]?
+    ``rules``: (cross_coord, along_lo, along_hi) of same-orientation rule
+    segments; the boundary counts as crossed when a rule within ``eps``
+    of it covers at least half of the span."""
+    need = (span_hi - span_lo) * 0.5
+    for coord, lo, hi in rules:
+        if abs(coord - boundary) <= eps:
+            covered = min(hi, span_hi) - max(lo, span_lo)
+            if covered >= need:
+                return True
+    return False
+
+
+def span_components(
+    grid: RuledGrid, segments: Sequence[Segment], eps: float = 2.0
+) -> List[List[Tuple[int, int]]]:
+    """Group the grid's slots into spanned-cell components: two adjacent
+    slots belong to one cell when the boundary between them is NOT
+    painted across their shared interval (the merged-cell geometry
+    CellSplitter consumes, cell_splitter.py:10-64). Returns row-major
+    slot lists, singletons included, ordered by top-left slot."""
+    n_rows, n_cols = grid.n_rows, grid.n_cols
+    h_rules: List[Tuple[float, float, float]] = []
+    v_rules: List[Tuple[float, float, float]] = []
+    for x0, y0, x1, y1 in segments:
+        if abs(y1 - y0) <= eps:
+            h_rules.append(((y0 + y1) / 2, min(x0, x1), max(x0, x1)))
+        elif abs(x1 - x0) <= eps:
+            v_rules.append(((x0 + x1) / 2, min(y0, y1), max(y0, y1)))
+
+    parent = list(range(n_rows * n_cols))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i: int, j: int) -> None:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[ri] = rj
+
+    rb, cb = grid.row_bounds, grid.col_bounds
+    for r in range(n_rows):
+        for c in range(n_cols):
+            idx = r * n_cols + c
+            if r + 1 < n_rows and not _boundary_crossed(
+                rb[r + 1], cb[c], cb[c + 1], h_rules, eps
+            ):
+                union(idx, idx + n_cols)
+            if c + 1 < n_cols and not _boundary_crossed(
+                cb[c + 1], rb[r], rb[r + 1], v_rules, eps
+            ):
+                union(idx, idx + 1)
+
+    comps: Dict[int, List[Tuple[int, int]]] = {}
+    for r in range(n_rows):
+        for c in range(n_cols):
+            comps.setdefault(find(r * n_cols + c), []).append((r, c))
+    return sorted(comps.values(), key=lambda slots: min(slots))
+
+
+def apply_cell_spans(
+    table: LocatedTable,
+    grid: RuledGrid,
+    segments: Sequence[Segment],
+    eps: float = 2.0,
+    split_last_column: bool = False,
+) -> LocatedTable:
+    """Merged-cell structure for grids whose inner boundaries are only
+    partially painted — the CellSplitter contract (cell_splitter.py:10-86):
+    grid slots not separated by a painted rule form ONE spanned cell; the
+    top-left master keeps rowspan/colspan and visibility, every other
+    covered slot becomes an invisible copy carrying the same content
+    (``Cell.copy_from`` + ``invisible = True``, cell_splitter.py:67-84 —
+    the same clone quirk as the html rowspan expansion).
+
+    ``split_last_column`` (table_type.py:5, split_last_hor_union_cells.py:
+    14-60): vertical unions in the LAST column are re-split per row. The
+    reference re-OCRs each row crop of the union; in the grid model each
+    row already keeps the lines whose bbox centers fall inside it, which
+    is the same per-row content split, so the mode simply keeps the
+    per-row cells instead of merging them.
+    """
+    cells = table.cells
+    n_rows = len(cells)
+    n_cols = len(cells[0]) if cells else 0
+    if n_rows == 0 or n_cols == 0:
+        return table
+    for slots in span_components(grid, segments, eps=eps):
+        if len(slots) == 1:
+            continue
+        rows = sorted({r for r, _ in slots})
+        cols = sorted({c for _, c in slots})
+        if split_last_column and cols == [n_cols - 1]:
+            continue  # keep the per-row split in the last column
+        # bounding rectangle of the component (non-rectangular unions
+        # collapse to their bounding rect, like a missing inner rule)
+        r0, r1 = rows[0], rows[-1]
+        c0, c1 = cols[0], cols[-1]
+        merged: List[Line] = []
+        for r in range(r0, r1 + 1):
+            for c in range(c0, c1 + 1):
+                merged.extend(cells[r][c].lines)
+        for r in range(r0, r1 + 1):
+            for c in range(c0, c1 + 1):
+                cell = cells[r][c]
+                cell.lines = list(merged)
+                cell.invisible = True
+                cell.rowspan = 1
+                cell.colspan = 1
+        master = cells[r0][c0]
+        master.invisible = False
+        master.rowspan = r1 - r0 + 1
+        master.colspan = c1 - c0 + 1
+    return table

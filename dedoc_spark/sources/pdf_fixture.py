@@ -383,3 +383,76 @@ def example_pdf(n_pages: int = 3, with_header_footer: bool = True) -> bytes:
             lines.append((f"- {p + 1} -", False))
         pages.append(lines)
     return build_pdf(pages)
+
+
+def build_scanned_pdf(page_rasters) -> bytes:
+    """A scanned PDF: each page is ONE full-page /Image XObject carrying a
+    real grayscale raster (FlateDecode, 8 bpc /DeviceGray) and NO text
+    layer — the input shape PdfImageReader exists for. ``page_rasters``:
+    list of HxW uint8 numpy arrays (e.g. scanfont.render_scan_page)."""
+    import numpy as np
+
+    objects: List[bytes] = []
+
+    def add(obj: bytes) -> int:
+        objects.append(obj)
+        return len(objects)
+
+    image_ids = []
+    for raster in page_rasters:
+        arr = np.ascontiguousarray(np.asarray(raster, dtype=np.uint8))
+        if arr.ndim == 3:
+            arr = arr[..., :3].mean(axis=2).astype(np.uint8)
+        h, w = arr.shape
+        data = zlib.compress(arr.tobytes())
+        head = (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            f"/Filter /FlateDecode /Length {len(data)} >>"
+        ).encode("latin-1")
+        image_ids.append(add(head + b"\nstream\n" + data + b"\nendstream"))
+
+    page_obj_ids: List[int] = []
+    content_ids: List[int] = []
+    for raster in page_rasters:
+        arr = np.asarray(raster)
+        h, w = arr.shape[:2]
+        stream = f"q {w:d} 0 0 {h:d} 0 {792 - h:d} cm /Im1 Do Q"
+        content_ids.append(
+            add(f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream".encode("latin-1"))
+        )
+
+    pages_id_placeholder = len(objects) + len(page_rasters) + 1
+    for img_id, content_id in zip(image_ids, content_ids):
+        page_obj_ids.append(
+            add(
+                (
+                    f"<< /Type /Page /Parent {pages_id_placeholder} 0 R "
+                    f"/MediaBox [0 0 612 792] "
+                    f"/Resources << /XObject << /Im1 {img_id} 0 R >> >> "
+                    f"/Contents {content_id} 0 R >>"
+                ).encode("latin-1")
+            )
+        )
+    kids = " ".join(f"{pid} 0 R" for pid in page_obj_ids)
+    pages_id = add(
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_obj_ids)} >>".encode("latin-1")
+    )
+    assert pages_id == pages_id_placeholder
+    catalog_id = add(f"<< /Type /Catalog /Pages {pages_id} 0 R >>".encode("latin-1"))
+
+    out: List[bytes] = [b"%PDF-1.4\n"]
+    offsets = [0]
+    for i, obj in enumerate(objects, start=1):
+        offsets.append(sum(len(b) for b in out))
+        out.append(f"{i} 0 obj\n".encode() + obj + b"\nendobj\n")
+    xref_pos = sum(len(b) for b in out)
+    xref = [f"xref\n0 {len(objects) + 1}\n0000000000 65535 f \n"]
+    for off in offsets[1:]:
+        xref.append(f"{off:010d} 00000 n \n")
+    out.append("".join(xref).encode())
+    out.append(
+        f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_id} 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    )
+    return b"".join(out)
