@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import json
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 from dedoc_spark.core.html_extract import HtmlExtractor
 from dedoc_spark.core.model import Line
@@ -247,17 +247,27 @@ def extract_scanned_image_document(url: str, payload: bytes, params: Optional[Di
     return _finalize(url, lines, _merge_located_tables(located, lines), warnings, params)
 
 
-def _extract_scanned_pdf(url: str, payload: bytes, params: Dict) -> Dict:
-    """pdf_with_text_layer="false": the forced PdfImageReader branch for
-    PDFs (pdf_auto_reader routing table / parameter_utils). Embedded page
-    rasters are decoded directly (core/ocr.extract_pdf_page_images — the
-    pdf2image analogue for scanned pages) and each runs the scanned-page
-    pipeline; ``pages`` prunes like the text-layer path
-    (pdf_base_reader.py:108-128)."""
+def _extract_scanned_pdf(
+    url: str,
+    payload: bytes,
+    params: Dict,
+    page_images: Optional[List] = None,
+    trailing_warnings: Sequence[str] = (),
+) -> Dict:
+    """PdfImageReader branch for PDFs: forced by pdf_with_text_layer=
+    "false", or reached from auto mode when the textual layer is
+    incorrect (pdf_auto_reader routing table / parameter_utils).
+    Embedded page rasters are decoded directly (core/ocr.
+    extract_pdf_page_images — the pdf2image analogue for scanned pages)
+    and each runs the scanned-page pipeline; ``pages`` prunes like the
+    text-layer path (pdf_base_reader.py:108-128). ``trailing_warnings``
+    mirror pdf_auto_reader.py:67-68 ``result.warnings.extend(warnings)``
+    — the routing warning lands AFTER the reader's own."""
     from dedoc_spark.core.ocr import extract_pdf_page_images, process_scanned_page
 
     seed = url_hash(url)
-    page_images = extract_pdf_page_images(payload)
+    if page_images is None:
+        page_images = extract_pdf_page_images(payload)
     warnings: List[str] = []
     pages_range = params.get("pages")
     if pages_range:
@@ -279,6 +289,7 @@ def _extract_scanned_pdf(url: str, payload: bytes, params: Dict) -> Dict:
     if any(angles):
         joined = ", ".join(f"{a:g}" for a in angles)
         warnings.append(f"rotated page angles: [{joined}]")
+    warnings.extend(trailing_warnings)
     return _finalize(url, lines, _merge_located_tables(located, lines), warnings, params)
 
 
@@ -363,6 +374,24 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
             if not first_correct:
                 warnings.append("Assume the first page hasn't a textual layer")
         else:
+            # __handle_incorrect_text_layer (pdf_auto_reader.py:70-76):
+            # the document re-reads through pdf_image_reader. Rasterizing
+            # a VECTOR page needs a renderer (de-scoped), so the re-read
+            # happens exactly when the pages carry embedded rasters — the
+            # scanned-PDF shape the OCR branch exists for; garbage
+            # text-layer PDFs without rasters keep their extracted lines
+            # (documented deviation, test_auto_reader_routing_warnings)
+            from dedoc_spark.core.ocr import extract_pdf_page_images
+
+            page_images = extract_pdf_page_images(payload)
+            if any(page_images):
+                return _extract_scanned_pdf(
+                    url,
+                    payload,
+                    params,
+                    page_images=page_images,
+                    trailing_warnings=["Assume document has incorrect textual layer"],
+                )
             warnings.append("Assume document has incorrect textual layer")
     return _finalize(url, lines, tables, warnings, params)
 

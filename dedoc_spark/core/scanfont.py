@@ -224,3 +224,38 @@ def _render_block(lines: List[RenderLine], scale: int) -> np.ndarray:
                 x += CHAR_ADV
         y += LINE_ADV
     return mask
+
+
+def render_table_page(
+    cell_texts: Sequence[Sequence[Optional[str]]],
+    scale: int = 2,
+    body_lines: Sequence[RenderLine] = ("page body line",),
+    margin_cells: int = 5,
+) -> np.ndarray:
+    """Body lines + an N x M ruled grid below them — the scanned-table
+    fixture paired with ocr.recognize_tables_from_image (the pixel-rule
+    analogue of the reference's table_recognizer input). Cells are
+    90 x 24 font cells; a ``None`` cell stays empty."""
+    n_rows, n_cols = len(cell_texts), len(cell_texts[0])
+    cell_w, cell_h = 90 * scale, 24 * scale
+    x0, y0 = 10, 80 * scale
+    body = render_scan_page(list(body_lines), scale=scale, margin_cells=margin_cells)
+    h = max(body.shape[0], y0 + n_rows * cell_h + 20)
+    w = max(body.shape[1], x0 + n_cols * cell_w + 20)
+    canvas = np.full((h, w), 255, dtype=np.uint8)
+    canvas[: body.shape[0], : body.shape[1]] = body
+    for r in range(n_rows + 1):
+        canvas[y0 + r * cell_h, x0 : x0 + n_cols * cell_w + 1] = 0
+    for c in range(n_cols + 1):
+        canvas[y0 : y0 + n_rows * cell_h + 1, x0 + c * cell_w] = 0
+    for r, row in enumerate(cell_texts):
+        for c, text in enumerate(row):
+            if text is None:
+                continue
+            block = render_scan_page([text], scale=scale, margin_cells=0)
+            y = y0 + r * cell_h + 6
+            x = x0 + c * cell_w + 8
+            canvas[y : y + block.shape[0], x : x + block.shape[1]] = np.minimum(
+                canvas[y : y + block.shape[0], x : x + block.shape[1]], block
+            )
+    return canvas

@@ -3159,6 +3159,97 @@ FROM documents
 """
 
 
+def q67_scanned_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanned-document (PdfImageReader) gate — the OCR path end-to-end
+    (pdf_image_reader.py:60-97 pipeline, core/ocr with the documented
+    template-matcher engine stand-in): each doc is a 3-page scanned PDF
+    whose pages are raster images with NO text layer. Page 1 is upright
+    text, page 2 is rotated 180° (the orientation classifier must undo it
+    and the reader must report the reference's rotated-angles warning),
+    page 3 carries a body line plus a ruled 2×2 table recognized from
+    PIXELS (table_recognizer.py:34-63) whose region leaves the text flow
+    (__clean_image_from_table). pdf_with_text_layer="false" forces the
+    scanned branch (parameter_utils)."""
+    import pandas as pd
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
+    def fn(it):
+        import json as jsonlib
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.document import extract_document
+        from dedoc_spark.core.scanfont import render_scan_page, render_table_page
+        from dedoc_spark.sources.pdf_fixture import build_scanned_pdf
+
+        for pdf in it:
+            out = []
+            for doc_id, source, lang in zip(pdf["doc_id"], pdf["source"], pdf["lang"]):
+                did = int(doc_id)
+                pages = [
+                    render_scan_page([f"Doc {did} scan"], scale=2),
+                    render_scan_page([f"{source} {lang}"], scale=2, rotate=180),
+                    render_table_page(
+                        [["id", str(did)], [source, lang]],
+                        scale=2,
+                        body_lines=["page three body"],
+                    ),
+                ]
+                d = extract_document(
+                    f"{did}.pdf",
+                    build_scanned_pdf(pages),
+                    None,
+                    params={
+                        "pdf_with_text_layer": "false",
+                        "need_pdf_table_analysis": True,
+                    },
+                )
+                cells = jsonlib.loads(d["tables_json"])[0]["cells"]
+                texts = ["\n".join(ln["line"] for ln in c["lines"]) for row in cells for c in row]
+                out.append(
+                    {
+                        "doc_id": did,
+                        "n_lines": d["n_lines"],
+                        "n_tables": d["n_tables"],
+                        "text_extracted": d["text_extracted"],
+                        "rot_warning": next(
+                            (w for w in d["warnings"] if w.startswith("rotated")), None
+                        ),
+                        "c00": texts[0], "c01": texts[1], "c10": texts[2], "c11": texts[3],
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_lines", "n_tables", "text_extracted",
+                    "rot_warning", "c00", "c01", "c10", "c11",
+                ],
+            )
+
+    return (
+        _parallel(_docs(spark, sf_dir).select("doc_id", "source", "lang"))
+        .mapInPandas(
+            fn,
+            "doc_id long, n_lines long, n_tables long, text_extracted string, "
+            "rot_warning string, c00 string, c01 string, c10 string, c11 string",
+        )
+    )
+
+
+Q67_SQL = """
+SELECT doc_id, CAST(3 AS BIGINT) AS n_lines, CAST(1 AS BIGINT) AS n_tables,
+       chr(10) || 'Doc ' || doc_id || ' scan' || chr(10) || source || ' ' || lang ||
+       chr(10) || 'page three body' || chr(10) || chr(10) AS text_extracted,
+       'rotated page angles: [0, 180, 0]' AS rot_warning,
+       'id' AS c00, CAST(doc_id AS VARCHAR) AS c01, source AS c10, lang AS c11
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3212,6 +3303,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_media_ops": q63_media_ops,
     "q65_gost_frame": q65_gost_frame,
     "q66_tei_article": q66_tei_article,
+    "q67_scanned_ocr": q67_scanned_ocr,
 }
 
 ORACLES: Dict[str, str] = {
@@ -3265,4 +3357,5 @@ ORACLES: Dict[str, str] = {
     "q63_media_ops": Q63F_SQL,
     "q65_gost_frame": Q65_SQL,
     "q66_tei_article": Q66_SQL,
+    "q67_scanned_ocr": Q67_SQL,
 }

@@ -380,6 +380,20 @@ def test_scanned_pdf_table_analysis():
     assert "k1" not in d["text_extracted"]
 
 
+def test_auto_mode_ocr_reread_for_scanned_pdf():
+    """PdfAutoReader incorrect-layer branch (pdf_auto_reader.py:70-76):
+    in DEFAULT auto mode a PDF whose pages are embedded rasters with no
+    text layer re-reads through the OCR pipeline; the routing warning
+    lands after the reader's own warnings."""
+    from dedoc_spark.sources.pdf_fixture import build_scanned_pdf
+
+    raster = scanfont.render_scan_page(["Auto routed scan"], scale=2)
+    pdf = build_scanned_pdf([raster])
+    d = extract_document("auto.pdf", pdf, None, params={})
+    assert "Auto routed scan" in d["text_extracted"]
+    assert d["warnings"][-1] == "Assume document has incorrect textual layer"
+
+
 def test_need_binarization_param():
     page = scanfont.render_scan_page(["Binarize this scan"], scale=2).astype(np.int32)
     grad = np.linspace(0, 60, page.shape[1], dtype=np.int32)[None, :]

@@ -148,7 +148,8 @@ def test_tounicode_bfrange_forms():
 def test_auto_reader_routing_warnings():
     """PdfAutoReader decision (txtlayer_detector.py:22-58): a real text
     layer gets the correct-layer warning; a mojibake layer gets the
-    incorrect-layer warning (OCR branch de-scoped, lines kept)."""
+    incorrect-layer warning (no embedded rasters to OCR-reread, so the
+    extracted lines are kept — test_ocr.py covers the raster reread)."""
     from dedoc_spark.sources.pdf_fixture import build_pdf
 
     good = build_pdf([[("A perfectly normal document heading", True),
@@ -159,7 +160,7 @@ def test_auto_reader_routing_warnings():
     garbage = build_pdf([[("".join(chr(33 + (j * 7) % 14) for j in range(60)), False)]])
     d = extract_document("https://x/bad.pdf", garbage, None)
     assert "Assume document has incorrect textual layer" in d["warnings"]
-    assert d["error"] is None  # lines kept; no OCR rerouting available
+    assert d["error"] is None  # lines kept; vector pages have no rasters to OCR
 
     # explicit non-auto mode skips detection entirely
     d = extract_document("https://x/good.pdf", good, None, params={"pdf_with_text_layer": "tabby"})
