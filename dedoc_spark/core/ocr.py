@@ -212,6 +212,13 @@ def _cell_means(crop: np.ndarray) -> np.ndarray:
     """Block-mean a crop down to the GLYPH x GLYPH grid (exact inverse of
     the renderer's np.kron upscale for integer scales)."""
     h, w = crop.shape
+    if h % GLYPH == 0 and w % GLYPH == 0:
+        # exact integer scale (the common case for clean scans): a
+        # reshape-mean is ~3x cheaper than the double reduceat below
+        return (
+            crop.reshape(GLYPH, h // GLYPH, GLYPH, w // GLYPH)
+            .mean(axis=(1, 3))
+        )
     rb = (np.arange(GLYPH) * h) // GLYPH
     cb = (np.arange(GLYPH) * w) // GLYPH
     summed = np.add.reduceat(np.add.reduceat(crop.astype(np.float64), rb, axis=0), cb, axis=1)
@@ -332,14 +339,20 @@ def detect_columns(mask: np.ndarray) -> int:
     return 1
 
 
-def detect_orientation(image: np.ndarray, language: str = "rus+eng") -> int:
+def detect_orientation(
+    image: np.ndarray, language: str = "rus+eng", mask: Optional[np.ndarray] = None
+) -> int:
     """Page rotation in degrees CCW needed to make the text upright —
     stand-in for the EfficientNet orientation head
     (columns_orientation_classifier). Each 90° candidate is scored by the
     mean template-match confidence over the first bands (a rotated or
     flipped glyph matches nothing, so the upright candidate wins by a
-    wide margin); ties and blank pages keep 0."""
-    mask = ink_mask(image)
+    wide margin); ties and blank pages keep 0. A near-perfect upright
+    match short-circuits the other three candidates (the common case —
+    a flipped glyph cannot also match near-perfectly: the glyph set is
+    distinctness-checked at import)."""
+    if mask is None:
+        mask = ink_mask(image)
     best_k, best_score = 0, -1.0
     for k in range(4):
         m = np.rot90(mask, k)
@@ -349,6 +362,8 @@ def detect_orientation(image: np.ndarray, language: str = "rus+eng") -> int:
             score = -0.5
         else:
             score = float(np.mean([c for _, _, c in lines]))
+        if k == 0 and glyphs >= 5 and score > 0.95:
+            return 0
         if score > best_score + 1e-9:
             best_k, best_score = k, score
     return best_k * 90
@@ -359,13 +374,15 @@ def recognize_page(
     language: str = "rus+eng",
     is_one_column: Optional[bool] = None,
     ocr_conf_threshold: float = -1.0,
+    mask: Optional[np.ndarray] = None,
 ) -> List[OcrLineOut]:
     """Full-page recognition: the split_image2lines contract
     (ocr_line_extractor.py:16-23). One-column pages read top-down (psm 4);
     two-column pages read left block then right block (psm 3 block
     order). Words below ``ocr_conf_threshold`` are dropped
     (ocr_page/ocr_line.py:56 filter)."""
-    mask = ink_mask(image)
+    if mask is None:
+        mask = ink_mask(image)
     columns = detect_columns(mask) if is_one_column is None else (1 if is_one_column else 2)
     raw: List[Tuple[Tuple[int, int, int, int], List[OcrWordOut], float]] = []
     if columns == 1:
@@ -705,15 +722,25 @@ def detect_image_rules(mask: np.ndarray, min_len: int = 20, min_aspect: int = 10
     glyph's widest stroke is 8 font cells long by ≥1 cell thick (aspect
     ≤ 8), while a drawn rule is tens of times longer than thick. Thick
     rules collapse to their center line. Output is the (x0, y0, x1, y1)
-    top-down Segment convention of core/pdf_tables."""
+    top-down Segment convention of core/pdf_tables.
+
+    All rows segment in ONE vectorized 2-D diff (a per-row Python loop
+    was ~30% of the whole scanned-page pipeline); only the few
+    qualifying long runs reach Python-level grouping."""
     segs: List[Tuple[float, float, float, float]] = []
     for transpose in (False, True):
         m = mask.T if transpose else mask
+        # run boundaries for every row at once: +1 at starts, -1 at ends
+        h, w = m.shape
+        padded = np.zeros((h, w + 2), dtype=np.int8)
+        padded[:, 1:-1] = m
+        d = np.diff(padded, axis=1)
+        rows_s, starts = np.nonzero(d == 1)
+        _, ends = np.nonzero(d == -1)  # row-major: aligned with starts
+        long = (ends - starts) >= min_len
         groups: Dict[Tuple[int, int], List[int]] = {}
-        for y in range(m.shape[0]):
-            for x0, x1 in _runs(m[y]):
-                if x1 - x0 >= min_len:
-                    groups.setdefault((x0, x1), []).append(y)
+        for y, x0, x1 in zip(rows_s[long].tolist(), starts[long].tolist(), ends[long].tolist()):
+            groups.setdefault((x0, x1), []).append(y)
         for (x0, x1), ys in groups.items():
             ys.sort()
             start = ys[0]
@@ -760,6 +787,7 @@ def recognize_tables_from_image(
     page_seed: str,
     language: str = "rus+eng",
     table_type: str = "",
+    mask: Optional[np.ndarray] = None,
 ):
     """Table recognition on the scanned page (table_recognizer.py:34-63):
     ruled grids are detected from the pixel rules, every spanned-cell
@@ -776,7 +804,8 @@ def recognize_tables_from_image(
     from dedoc_spark.core.multipage import LocatedTable
     from dedoc_spark.core.pdf_tables import detect_ruled_tables, span_components
 
-    mask = ink_mask(image)
+    if mask is None:
+        mask = ink_mask(image)
     segs = detect_image_rules(mask)
     grids = detect_ruled_tables(
         segs,
@@ -832,6 +861,10 @@ def recognize_tables_from_image(
         y0, y1 = int(grid.bbox.y_top_left), int(grid.bbox.y_top_left + grid.bbox.height) + 1
         x0, x1 = int(grid.bbox.x_top_left), int(grid.bbox.x_top_left + grid.bbox.width) + 1
         cleaned[y0:y1, x0:x1] = 255
+        if mask is not None:
+            # keep a caller-shared ink mask in sync with the cleaned image
+            # (tables are disjoint, and this grid's cells were OCR'd above)
+            mask[y0:y1, x0:x1] = False
     return tables, cleaned
 
 
@@ -857,17 +890,23 @@ def process_scanned_page(
     one_col: Optional[bool] = None if raw_one_col in ("auto", "none") else raw_one_col != "false"
     orientation_param = str(params.get("document_orientation", "auto")).lower()
 
+    # one ink mask shared across orientation / tables / flow OCR (each
+    # step would otherwise re-run the grayscale + Otsu pass per page)
+    mask = ink_mask(image)
+
     # Step 1: orientation + column count (classifier runs unless both
     # overrides are present — _detect_column_count_and_orientation:113-118)
     angle = 0
     if orientation_param != "no_change":
-        angle = detect_orientation(image, language)
+        angle = detect_orientation(image, language, mask=mask)
     if angle:
         image = np.ascontiguousarray(np.rot90(image, angle // 90))
+        mask = np.ascontiguousarray(np.rot90(mask, angle // 90))
 
     # Step 2: binarization (need_binarization, pdf_image_reader.py:76-81)
     if str(params.get("need_binarization", "false")).lower() == "true":
         image = adaptive_binarize(image)
+        mask = ink_mask(image)
 
     # Step 3: tables first, flow OCR on the cleaned image
     # (pdf_image_reader.py:83-91 ordering)
@@ -876,6 +915,7 @@ def process_scanned_page(
         tables, image = recognize_tables_from_image(
             image, page_num, page_seed, language=language,
             table_type=str(params.get("table_type", "")),
+            mask=mask,
         )
     # Step 4: plain text recognition + metadata annotations
     ocr_lines = recognize_page(
@@ -883,6 +923,7 @@ def process_scanned_page(
         language=language,
         is_one_column=one_col,
         ocr_conf_threshold=float(params.get("ocr_conf_threshold", -1.0)),
+        mask=mask,
     )
     ocr_lines = filter_lines_by_bbox(ocr_lines)
     lines = build_scan_lines(ocr_lines, image, page_num, page_seed=page_seed)
