@@ -941,10 +941,11 @@ def extract_pdf_page_images(payload: bytes) -> List[List[np.ndarray]]:
     re-rendering runtime needed for the scanned-page case).
 
     Supported encodings: DCTDecode (JPEG, via core/image_decode),
-    FlateDecode and uncompressed rasters with /DeviceGray or /DeviceRGB
-    at 8 bits per component, and 1-bit /DeviceGray bilevel scans.
-    Unsupported filters are skipped (the caller sees fewer images, never
-    an exception)."""
+    CCITTFaxDecode K<0 (Group 4 — core/ccitt, the canonical scan codec),
+    FlateDecode / LZWDecode / RunLengthDecode (core/pdf_filters) and
+    uncompressed rasters with /DeviceGray or /DeviceRGB at 8 bits per
+    component, and 1-bit /DeviceGray bilevel scans. Unsupported filters
+    are skipped (the caller sees fewer images, never an exception)."""
     from dedoc_spark.core.pdf_extract import (
         _dict_value,
         _expand_object_streams,
@@ -1032,10 +1033,40 @@ def _decode_image_object(obj: bytes) -> Optional[np.ndarray]:
             return rgb
         except Exception:
             return None
+    if b"/CCITTFaxDecode" in head:
+        # the canonical scanned-page codec (K < 0 = pure G4/T.6); K >= 0
+        # (G3) streams are skipped like any other unsupported filter
+        from dedoc_spark.core.ccitt import CcittError, decode_g4
+
+        km = _re.search(rb"/K\s+(-?\d+)", head)
+        if km is None or int(km.group(1)) >= 0:
+            return None
+        cm = _re.search(rb"/Columns\s+(\d+)", head)
+        columns = int(cm.group(1)) if cm else 1728
+        try:
+            img = decode_g4(raw, columns, rows=height)
+        except CcittError:
+            return None
+        return img if img.size else None
     if b"/FlateDecode" in head:
         try:
             raw = zlib.decompress(raw)
         except Exception:
+            return None
+    elif b"/LZWDecode" in head:
+        from dedoc_spark.core.pdf_filters import PdfFilterError, lzw_decode
+
+        em = _re.search(rb"/EarlyChange\s+(\d+)", head)
+        try:
+            raw = lzw_decode(raw, early_change=int(em.group(1)) if em else 1)
+        except PdfFilterError:
+            return None
+    elif b"/RunLengthDecode" in head:
+        from dedoc_spark.core.pdf_filters import PdfFilterError, runlength_decode
+
+        try:
+            raw = runlength_decode(raw)
+        except PdfFilterError:
             return None
     bpc = num(b"/BitsPerComponent") or 8
     if b"/DeviceRGB" in head and bpc == 8 and len(raw) >= width * height * 3:

@@ -385,11 +385,17 @@ def example_pdf(n_pages: int = 3, with_header_footer: bool = True) -> bytes:
     return build_pdf(pages)
 
 
-def build_scanned_pdf(page_rasters) -> bytes:
+def build_scanned_pdf(page_rasters, image_filter: str = "flate") -> bytes:
     """A scanned PDF: each page is ONE full-page /Image XObject carrying a
-    real grayscale raster (FlateDecode, 8 bpc /DeviceGray) and NO text
-    layer — the input shape PdfImageReader exists for. ``page_rasters``:
-    list of HxW uint8 numpy arrays (e.g. scanfont.render_scan_page)."""
+    real grayscale raster and NO text layer — the input shape
+    PdfImageReader exists for. ``page_rasters``: list of HxW uint8 numpy
+    arrays (e.g. scanfont.render_scan_page).
+
+    ``image_filter`` picks the stream encoding (all decoded by
+    core/ocr._decode_image_object): "flate" (8 bpc /DeviceGray, the
+    default), "ccitt" (1-bit /CCITTFaxDecode K=-1 Group 4 — the codec
+    real-world scanned PDFs use; the raster is binarized at 128), "lzw"
+    (/LZWDecode 8 bpc) or "runlength" (/RunLengthDecode 8 bpc)."""
     import numpy as np
 
     objects: List[bytes] = []
@@ -404,12 +410,47 @@ def build_scanned_pdf(page_rasters) -> bytes:
         if arr.ndim == 3:
             arr = arr[..., :3].mean(axis=2).astype(np.uint8)
         h, w = arr.shape
-        data = zlib.compress(arr.tobytes())
-        head = (
-            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
-            f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
-            f"/Filter /FlateDecode /Length {len(data)} >>"
-        ).encode("latin-1")
+        if image_filter == "ccitt":
+            from dedoc_spark.core.ccitt import encode_g4
+
+            data = encode_g4(arr)
+            head = (
+                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                f"/Filter /CCITTFaxDecode "
+                f"/DecodeParms << /K -1 /Columns {w} /Rows {h} >> "
+                f"/Length {len(data)} >>"
+            ).encode("latin-1")
+        else:
+            if image_filter == "flate":
+                data = zlib.compress(arr.tobytes())
+                fname = "FlateDecode"
+            elif image_filter == "lzw":
+                from dedoc_spark.core.pdf_filters import lzw_encode
+
+                data = lzw_encode(arr.tobytes())
+                fname = "LZWDecode"
+            elif image_filter == "runlength":
+                from dedoc_spark.core.pdf_filters import runlength_encode
+
+                data = runlength_encode(arr.tobytes())
+                fname = "RunLengthDecode"
+            else:
+                raise ValueError(f"unknown image_filter {image_filter!r}")
+            head = (
+                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                f"/Filter /{fname} /Length {len(data)} >>"
+            ).encode("latin-1")
+        if image_filter != "flate" and data.endswith((b"\r", b"\n")):
+            # the stream reader strips one trailing EOL before `endstream`;
+            # a pad byte after the codec's own EOD marker keeps the real
+            # payload intact (all three codecs ignore post-EOD bytes)
+            data += b"\x00"
+            head = head.replace(
+                f"/Length {len(data) - 1}".encode("latin-1"),
+                f"/Length {len(data)}".encode("latin-1"),
+            )
         image_ids.append(add(head + b"\nstream\n" + data + b"\nendstream"))
 
     page_obj_ids: List[int] = []

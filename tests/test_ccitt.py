@@ -1,0 +1,186 @@
+"""CCITT Group 4 codec + legacy PDF stream filters (LZW / RunLength).
+
+The decoder side is the product (core/ocr.extract_pdf_page_images feeds
+the PdfImageReader path — pdf_base_reader.py:227-256 in the reference
+rasterizes via poppler); the encoders exist only to build deterministic
+fixtures for these round-trips.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from dedoc_spark.core.ccitt import CcittError, decode_g4, encode_g4
+from dedoc_spark.core.pdf_filters import (
+    PdfFilterError,
+    lzw_decode,
+    lzw_encode,
+    runlength_decode,
+    runlength_encode,
+)
+
+REF_DATA = pathlib.Path("/root/reference/tests/data")
+
+
+# ---------------------------------------------------------------------------
+# G4 round-trips
+
+
+@pytest.mark.parametrize("width", [1, 7, 8, 63, 64, 65, 200])
+def test_g4_roundtrip_random(width):
+    rng = np.random.default_rng(width)
+    img = np.where(rng.random((17, width)) < 0.3, np.uint8(0), np.uint8(255))
+    out = decode_g4(encode_g4(img), width, rows=17)
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_g4_roundtrip_structured():
+    """Patterns that force each 2-D mode: vertical (edges drifting ±1),
+    pass (short black islands vanishing), horizontal (runs jumping > 3)."""
+    img = np.full((12, 90), 255, dtype=np.uint8)
+    for y in range(12):
+        img[y, 10 + y : 30 + y] = 0  # drifting edge -> V codes
+        if y % 3 == 0:
+            img[y, 50:54] = 0  # appearing/vanishing island -> pass
+        img[y, (y * 17) % 60 + 20 : (y * 17) % 60 + 25] = 0  # jumps -> H
+    out = decode_g4(encode_g4(img), 90, rows=12)
+    assert np.array_equal(out, img)
+
+
+def test_g4_roundtrip_extremes():
+    all_white = np.full((5, 40), 255, dtype=np.uint8)
+    all_black = np.zeros((5, 40), dtype=np.uint8)
+    for img in (all_white, all_black):
+        assert np.array_equal(decode_g4(encode_g4(img), 40, rows=5), img)
+    # long runs exercise make-up codes incl. the extended >1728 table
+    wide = np.full((3, 3000), 255, dtype=np.uint8)
+    wide[1, 100:2900] = 0
+    assert np.array_equal(decode_g4(encode_g4(wide), 3000, rows=3), wide)
+
+
+def test_g4_roundtrip_rendered_page():
+    from dedoc_spark.core import scanfont
+
+    page = scanfont.render_scan_page(["Group four codec line"], scale=2)
+    img = np.where(page < 128, np.uint8(0), np.uint8(255))
+    out = decode_g4(encode_g4(img), img.shape[1], rows=img.shape[0])
+    assert np.array_equal(out, img)
+
+
+def test_g4_eofb_terminates_without_rows():
+    img = np.where(np.indices((9, 50)).sum(axis=0) % 7 < 2, np.uint8(0), np.uint8(255))
+    out = decode_g4(encode_g4(img), 50)  # rows=None -> stop at EOFB
+    assert np.array_equal(out, img)
+
+
+def test_g4_corrupt_stream_raises():
+    with pytest.raises(CcittError):
+        # 0000000 prefix is no valid mode code and no EOL
+        decode_g4(b"\x00\x00\x00\x00", 100, rows=4)
+
+
+@pytest.mark.skipif(not REF_DATA.is_dir(), reason="reference corpus not available")
+def test_g4_reference_scan_decodes():
+    """The reference corpus's laws/with_applications.pdf stores its pages
+    as /CCITTFaxDecode K=-1 images (2475x3555 and up) — the canonical
+    real-world scanned-PDF shape. All 4 pages must decode at full size
+    with a document-like ink fraction."""
+    from dedoc_spark.core.ocr import extract_pdf_page_images
+
+    payload = (REF_DATA / "laws" / "with_applications.pdf").read_bytes()
+    pages = extract_pdf_page_images(payload)
+    assert [len(p) for p in pages] == [1, 1, 1, 1]
+    for imgs in pages:
+        img = imgs[0]
+        assert img.shape[1] >= 2475 and img.shape[0] >= 3555
+        ink = float((img < 128).mean())
+        assert 0.01 < ink < 0.5
+
+
+# ---------------------------------------------------------------------------
+# LZW / RunLength
+
+
+def test_lzw_spec_vector():
+    """PDF 32000-1:2008 §7.4.2.2's worked example (decimal bytes)."""
+    plain = bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+    coded = bytes([0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01])
+    assert lzw_decode(coded) == plain
+    assert lzw_encode(plain) == coded
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_lzw_roundtrip(seed):
+    rng = np.random.default_rng(seed)
+    # low-entropy bytes force table growth through width bumps (9->12)
+    data = rng.integers(0, 4, size=20000, dtype=np.uint8).tobytes()
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+def test_lzw_invalid_code_raises():
+    with pytest.raises(PdfFilterError):
+        # first real code references a table entry that cannot exist yet
+        lzw_decode(bytes([0x80, 0x60, 0x00]))  # Clear, then code 384
+
+
+def test_runlength_roundtrip():
+    rng = np.random.default_rng(7)
+    runs = []
+    for _ in range(200):
+        runs.append(bytes([int(rng.integers(0, 256))]) * int(rng.integers(1, 200)))
+    data = b"".join(runs)
+    coded = runlength_encode(data)
+    assert runlength_decode(coded) == data
+    assert coded.endswith(b"\x80")  # EOD
+    # bytes after EOD are ignored
+    assert runlength_decode(coded + b"\xff\xff") == data
+
+
+def test_runlength_truncated_raises():
+    with pytest.raises(PdfFilterError):
+        runlength_decode(bytes([200]))  # repeat marker with no byte
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: scanned PDFs carrying each encoding through the OCR route
+
+
+@pytest.mark.parametrize("image_filter", ["ccitt", "lzw", "runlength"])
+def test_scanned_pdf_filter_variants(image_filter):
+    from dedoc_spark.core.document import extract_document
+    from dedoc_spark.sources.pdf_fixture import build_scanned_pdf
+
+    from dedoc_spark.core import scanfont
+
+    raster = scanfont.render_scan_page(["Filter variant scan line"], scale=2)
+    pdf = build_scanned_pdf([raster], image_filter=image_filter)
+    d = extract_document(
+        "scan.pdf", pdf, None, params={"pdf_with_text_layer": "false"}
+    )
+    assert d.get("error") is None
+    assert "Filter variant scan line" in d["text_extracted"]
+
+
+def test_scanned_pdf_g3_skipped():
+    """K >= 0 (Group 3) streams are skipped like any unsupported filter:
+    fewer images, never an exception (ocr._decode_image_object)."""
+    from dedoc_spark.core.ocr import extract_pdf_page_images
+    from dedoc_spark.core import scanfont
+    from dedoc_spark.sources.pdf_fixture import build_scanned_pdf
+
+    raster = scanfont.render_scan_page(["G three page"], scale=2)
+    pdf = build_scanned_pdf([raster], image_filter="ccitt")
+    pdf_g3 = pdf.replace(b"/K -1", b"/K 0", 1)
+    assert extract_pdf_page_images(pdf_g3) == [[]]
+
+
+def test_ccitt_pdf_bytes_deterministic():
+    from dedoc_spark.core import scanfont
+    from dedoc_spark.sources.pdf_fixture import build_scanned_pdf
+
+    raster = scanfont.render_scan_page(["stable bytes"], scale=2)
+    assert build_scanned_pdf([raster], image_filter="ccitt") == build_scanned_pdf(
+        [raster], image_filter="ccitt"
+    )
