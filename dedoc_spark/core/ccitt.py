@@ -1,11 +1,15 @@
-"""CCITT Group 4 (ITU-T T.6) bilevel codec, pure Python + numpy.
+"""CCITT Group 4 (ITU-T T.6) and Group 3 (T.4) bilevel codecs, pure
+Python + numpy.
 
 Scanned PDFs overwhelmingly store their page rasters as 1-bit
 /CCITTFaxDecode images (K < 0 = pure two-dimensional MMR coding) — the
 reference reads them through pdf2image/poppler (pdf_base_reader.py:
 227-256); here the decoder feeds core/ocr.extract_pdf_page_images
 directly so the PdfImageReader path covers the canonical scan codec
-without a native runtime.
+without a native runtime. Legacy fax PDFs use Group 3 instead: K = 0
+pure one-dimensional MH rows (no row sync unless EndOfLine) and K > 0
+mixed rows, each EOL+tag-prefixed (T.4 §2.2.2) — decode_g3 covers
+both, with /EncodedByteAlign.
 
 The run-length code tables are the published ITU-T T.4 §2 tables
 (white/black terminating codes 0-63, make-up codes 64-1728, and the
@@ -204,6 +208,78 @@ def _read_mode(r: _BitReader) -> Tuple[str, int]:
     raise CcittError(f"invalid 2-D mode code at bit {r.pos}")
 
 
+def _decode_2d_row(
+    r: _BitReader, ref: List[int], columns: int
+) -> Tuple[Optional[List[int]], bool]:
+    """One 2-D coded row against reference transitions ``ref`` (which
+    must carry two ``columns`` sentinels). Returns (changing elements,
+    hit_eol); on EOL the partial row is discarded (None, True)."""
+    cur: List[int] = []
+    a0 = -1
+    color_white = True
+    i0 = 0  # a0 is monotonic, so the ref scan pointer only moves right
+    nref = len(ref)
+    while a0 < columns:
+        # b1: first ref transition > a0 with the same color parity as
+        # the current color (transitions at even index flip white->
+        # black, odd flip black->white; row starts white)
+        while i0 < nref and ref[i0] <= a0:
+            i0 += 1
+        idx = i0 if (i0 & 1) == (0 if color_white else 1) else i0 + 1
+        b1 = ref[idx] if idx < nref else columns
+        b2 = ref[idx + 1] if idx + 1 < nref else columns
+        mode, dv = _read_mode(r)
+        if mode == "eol":
+            return None, True
+        if mode == "p":
+            a0 = b2
+            continue
+        if mode == "v":
+            a1 = b1 + dv
+            cur.append(min(max(a1, 0), columns))
+            a0 = a1
+            color_white = not color_white
+            continue
+        # horizontal: two complete runs from a0 (a0 = 0 for the
+        # imaginary first element)
+        base = a0 if a0 > 0 else 0
+        r1 = _read_run(r, color_white)
+        r2 = _read_run(r, not color_white)
+        a1 = base + r1
+        a2 = a1 + r2
+        cur.append(min(a1, columns))
+        cur.append(min(a2, columns))
+        a0 = a2
+    return cur, False
+
+
+def _decode_1d_row(r: _BitReader, columns: int) -> List[int]:
+    """One 1-D (MH) coded row: alternating complete runs, white first,
+    summing exactly to ``columns`` (T.4 §2.1). Returns the changing
+    elements (cumulative run boundaries)."""
+    cur: List[int] = []
+    total = 0
+    white = True
+    while total < columns:
+        run = _read_run(r, white)
+        total += run
+        if total > columns:
+            raise CcittError(f"1-D runs overflow row width at bit {r.pos}")
+        cur.append(total)
+        white = not white
+    return cur
+
+
+def _paint_row(cur: List[int], columns: int) -> np.ndarray:
+    row = np.full(columns, 255, dtype=np.uint8)
+    # paint black between alternate transitions (white starts)
+    for i in range(0, len(cur) - 1, 2):
+        row[cur[i] : cur[i + 1]] = 0
+    if len(cur) % 2 == 1:
+        row[cur[-1] :] = 0
+    return row
+
+
 def decode_g4(data: bytes, columns: int, rows: Optional[int] = None) -> np.ndarray:
     """Pure two-dimensional (K < 0) CCITT decode -> uint8 grayscale
     (ink 0, paper 255), the /CCITTFaxDecode K=-1 case every scanned PDF
@@ -216,52 +292,92 @@ def decode_g4(data: bytes, columns: int, rows: Optional[int] = None) -> np.ndarr
     while rows is None or len(out) < rows:
         if r.pos >= r.nbits:
             break
-        cur: List[int] = []  # this row's changing elements
-        a0 = -1
-        color_white = True
-        i0 = 0  # a0 is monotonic, so the ref scan pointer only moves right
-        nref = len(ref)
-        while a0 < columns:
-            # b1: first ref transition > a0 with the same color parity as
-            # the current color (transitions at even index flip white->
-            # black, odd flip black->white; row starts white)
-            while i0 < nref and ref[i0] <= a0:
-                i0 += 1
-            idx = i0 if (i0 & 1) == (0 if color_white else 1) else i0 + 1
-            b1 = ref[idx] if idx < nref else columns
-            b2 = ref[idx + 1] if idx + 1 < nref else columns
-            mode, dv = _read_mode(r)
-            if mode == "eol":
-                # T.6 EOFB: EOL + EOL terminates the image
-                if r.pos + 12 <= r.nbits and r.peek(12) == 0b000000000001:
-                    r.skip(12)
-                return _rows_to_image(out, columns)
-            if mode == "p":
-                a0 = b2
-                continue
-            if mode == "v":
-                a1 = b1 + dv
-                cur.append(min(max(a1, 0), columns))
-                a0 = a1
-                color_white = not color_white
-                continue
-            # horizontal: two complete runs from a0 (a0 = 0 for the
-            # imaginary first element)
-            base = a0 if a0 > 0 else 0
-            r1 = _read_run(r, color_white)
-            r2 = _read_run(r, not color_white)
-            a1 = base + r1
-            a2 = a1 + r2
-            cur.append(min(a1, columns))
-            cur.append(min(a2, columns))
-            a0 = a2
-        row = np.full(columns, 255, dtype=np.uint8)
-        # paint black between alternate transitions (white starts)
-        for i in range(0, len(cur) - 1, 2):
-            row[cur[i] : cur[i + 1]] = 0
-        if len(cur) % 2 == 1:
-            row[cur[-1] :] = 0
-        out.append(row)
+        cur, hit_eol = _decode_2d_row(r, ref, columns)
+        if hit_eol:
+            # T.6 EOFB: EOL + EOL terminates the image
+            if r.pos + 12 <= r.nbits and r.peek(12) == 0b000000000001:
+                r.skip(12)
+            break
+        out.append(_paint_row(cur, columns))
+        ref = cur + [columns, columns]
+    return _rows_to_image(out, columns)
+
+
+def _sync_eol(r: _BitReader) -> bool:
+    """Consume fill bits (zeros) through the next EOL terminator bit.
+    False when the stream ends first; CcittError when a 1 arrives with
+    fewer than 11 preceding zeros (not an EOL)."""
+    zeros = 0
+    while r.pos < r.nbits:
+        bit = r.peek(1)
+        r.skip(1)
+        if bit == 0:
+            zeros += 1
+            continue
+        if zeros >= 11:
+            return True
+        raise CcittError(f"expected EOL at bit {r.pos}")
+    return False
+
+
+def decode_g3(
+    data: bytes,
+    columns: int,
+    rows: Optional[int] = None,
+    k: int = 0,
+    byte_align: bool = False,
+) -> np.ndarray:
+    """Group 3 decode (/CCITTFaxDecode K >= 0) -> uint8 grayscale
+    (ink 0, paper 255). K = 0 is pure one-dimensional MH coding with
+    optional EOLs between rows (the PDF EndOfLine=false default writes
+    none); K > 0 is the mixed mode where every row is prefixed by
+    EOL + a 1-bit tag (1 = 1-D, 0 = 2-D against the previous row —
+    T.4 §2.2.2). ``byte_align`` is /EncodedByteAlign. Ends at ``rows``,
+    RTC (consecutive EOLs), or stream end."""
+    r = _BitReader(data)
+    out: List[np.ndarray] = []
+    ref: List[int] = [columns, columns]
+    while rows is None or len(out) < rows:
+        if byte_align:
+            r.pos = (r.pos + 7) & ~7
+        if k > 0:
+            # mandatory row sync: fill + EOL, then the coding-mode tag
+            try:
+                if not _sync_eol(r):
+                    break
+            except CcittError:
+                if rows is None:
+                    break  # trailing pad bits
+                raise
+            if r.pos >= r.nbits:
+                break
+            if r.pos + 12 <= r.nbits and r.peek(12) == 0b000000000001:
+                break  # RTC: another EOL immediately (no code starts with 11 zeros)
+            tag = r.peek(1)
+            r.skip(1)
+            if tag == 1:
+                cur = _decode_1d_row(r, columns)
+            else:
+                cur, hit_eol = _decode_2d_row(r, ref, columns)
+                if hit_eol:
+                    break
+        else:
+            # optional EOLs between 1-D rows (EndOfLine=true streams)
+            while r.pos + 12 <= r.nbits and r.peek(12) == 0b000000000001:
+                r.skip(12)
+            if r.pos >= r.nbits:
+                break
+            if rows is None and r.nbits - r.pos < 4:
+                break  # byte padding, not another row
+            try:
+                cur = _decode_1d_row(r, columns)
+            except CcittError:
+                if rows is None and not out:
+                    raise
+                if rows is None:
+                    break  # trailing pad bits read as a partial row
+                raise
+        out.append(_paint_row(cur, columns))
         ref = cur + [columns, columns]
     return _rows_to_image(out, columns)
 
@@ -328,53 +444,106 @@ def _transitions(row: np.ndarray) -> List[int]:
     return out
 
 
+def _encode_2d_row(w: _BitWriter, cur: List[int], ref: List[int], columns: int) -> None:
+    """2-D code one row's changing elements against ``ref``: standard
+    mode choice — vertical when |a1-b1| <= 3, else pass when b2 < a1,
+    else horizontal."""
+    coding = cur + [columns, columns]
+    a0 = -1
+    color_white = True
+    ci = 0  # next transition index in the coding line
+    i0 = 0
+    nref = len(ref)
+    while a0 < columns:
+        a1 = coding[ci] if ci < len(coding) else columns
+        while i0 < nref and ref[i0] <= a0:
+            i0 += 1
+        idx = i0 if (i0 & 1) == (0 if color_white else 1) else i0 + 1
+        b1 = ref[idx] if idx < nref else columns
+        b2 = ref[idx + 1] if idx + 1 < nref else columns
+        if b2 < a1:
+            w.write(*_M_PASS)
+            a0 = b2
+            continue
+        if abs(a1 - b1) <= 3:
+            d = a1 - b1
+            if d == 0:
+                w.write(*_M_V0)
+            elif d > 0:
+                w.write(*_M_VR[d])
+            else:
+                w.write(*_M_VL[-d])
+            a0 = a1
+            ci += 1
+            color_white = not color_white
+            continue
+        a2 = coding[ci + 1] if ci + 1 < len(coding) else columns
+        base = a0 if a0 > 0 else 0
+        w.write(*_M_H)
+        _write_run(w, a1 - base, color_white)
+        _write_run(w, a2 - a1, not color_white)
+        a0 = a2
+        ci += 2
+
+
+def _encode_1d_row(w: _BitWriter, cur: List[int], columns: int) -> None:
+    """1-D (MH) code one row: alternating complete runs, white first
+    (a row starting black opens with a zero-length white run)."""
+    prev = 0
+    white = True
+    for t in cur + [columns]:
+        if t > columns:
+            break
+        _write_run(w, t - prev, white)
+        prev = t
+        white = not white
+        if prev == columns:
+            break
+    if prev < columns:
+        _write_run(w, columns - prev, white)
+
+
 def encode_g4(image: np.ndarray) -> bytes:
-    """T.6 encoder over a uint8 image (ink <128 = black): standard mode
-    choice — vertical when |a1-b1| <= 3, else pass when b2 < a1, else
-    horizontal — terminated by EOFB."""
+    """T.6 encoder over a uint8 image (ink <128 = black), terminated by
+    EOFB."""
     img = np.where(np.asarray(image) < 128, np.uint8(0), np.uint8(255))
     h, columns = img.shape
     w = _BitWriter()
     ref: List[int] = [columns, columns]
     for y in range(h):
         cur = _transitions(img[y])
-        coding = cur + [columns, columns]
-        a0 = -1
-        color_white = True
-        ci = 0  # next transition index in the coding line
-        i0 = 0
-        nref = len(ref)
-        while a0 < columns:
-            a1 = coding[ci] if ci < len(coding) else columns
-            while i0 < nref and ref[i0] <= a0:
-                i0 += 1
-            idx = i0 if (i0 & 1) == (0 if color_white else 1) else i0 + 1
-            b1 = ref[idx] if idx < nref else columns
-            b2 = ref[idx + 1] if idx + 1 < nref else columns
-            if b2 < a1:
-                w.write(*_M_PASS)
-                a0 = b2
-                continue
-            if abs(a1 - b1) <= 3:
-                d = a1 - b1
-                if d == 0:
-                    w.write(*_M_V0)
-                elif d > 0:
-                    w.write(*_M_VR[d])
-                else:
-                    w.write(*_M_VL[-d])
-                a0 = a1
-                ci += 1
-                color_white = not color_white
-                continue
-            a2 = coding[ci + 1] if ci + 1 < len(coding) else columns
-            base = a0 if a0 > 0 else 0
-            w.write(*_M_H)
-            _write_run(w, a1 - base, color_white)
-            _write_run(w, a2 - a1, not color_white)
-            a0 = a2
-            ci += 2
+        _encode_2d_row(w, cur, ref, columns)
         ref = cur + [columns, columns]
     w.write(0b000000000001, 12)
     w.write(0b000000000001, 12)
+    return w.bytes()
+
+
+def encode_g3(image: np.ndarray, k: int = 0, byte_align: bool = False) -> bytes:
+    """Group 3 encoder (fixture-side): K = 0 writes pure 1-D rows with
+    no EOLs (the PDF EndOfLine=false shape); K > 0 prefixes every row
+    with EOL + tag and codes one 1-D row per K rows, the rest 2-D."""
+    img = np.where(np.asarray(image) < 128, np.uint8(0), np.uint8(255))
+    h, columns = img.shape
+    w = _BitWriter()
+    ref: List[int] = [columns, columns]
+    for y in range(h):
+        if byte_align and w.nacc:
+            w.write(0, 8 - w.nacc)
+        cur = _transitions(img[y])
+        if k <= 0:
+            _encode_1d_row(w, cur, columns)
+        else:
+            w.write(0b000000000001, 12)
+            if y % k == 0:
+                w.write(1, 1)
+                _encode_1d_row(w, cur, columns)
+            else:
+                w.write(0, 1)
+                _encode_2d_row(w, cur, ref, columns)
+        ref = cur + [columns, columns]
+    if k > 0:
+        # RTC-ish terminator so rows=None decoding stops cleanly
+        w.write(0b000000000001, 12)
+        w.write(0b000000000001, 12)
     return w.bytes()

@@ -941,7 +941,8 @@ def extract_pdf_page_images(payload: bytes) -> List[List[np.ndarray]]:
     re-rendering runtime needed for the scanned-page case).
 
     Supported encodings: DCTDecode (JPEG, via core/image_decode),
-    CCITTFaxDecode K<0 (Group 4 — core/ccitt, the canonical scan codec),
+    CCITTFaxDecode for every K (K<0 Group 4 — the canonical scan codec —
+    plus K=0 / K>0 Group 3 incl. /EncodedByteAlign, all via core/ccitt),
     FlateDecode / LZWDecode / RunLengthDecode (core/pdf_filters) and
     uncompressed rasters with /DeviceGray or /DeviceRGB at 8 bits per
     component, and 1-bit /DeviceGray bilevel scans. Unsupported filters
@@ -1034,17 +1035,20 @@ def _decode_image_object(obj: bytes) -> Optional[np.ndarray]:
         except Exception:
             return None
     if b"/CCITTFaxDecode" in head:
-        # the canonical scanned-page codec (K < 0 = pure G4/T.6); K >= 0
-        # (G3) streams are skipped like any other unsupported filter
-        from dedoc_spark.core.ccitt import CcittError, decode_g4
+        # the canonical scanned-page codecs: K < 0 = pure G4/T.6 (what
+        # real scanned PDFs use), K = 0 = G3 1-D MH, K > 0 = G3 mixed
+        from dedoc_spark.core.ccitt import CcittError, decode_g3, decode_g4
 
         km = _re.search(rb"/K\s+(-?\d+)", head)
-        if km is None or int(km.group(1)) >= 0:
-            return None
+        k = int(km.group(1)) if km else 0
         cm = _re.search(rb"/Columns\s+(\d+)", head)
         columns = int(cm.group(1)) if cm else 1728
+        byte_align = bool(_re.search(rb"/EncodedByteAlign\s+true", head))
         try:
-            img = decode_g4(raw, columns, rows=height)
+            if k < 0:
+                img = decode_g4(raw, columns, rows=height)
+            else:
+                img = decode_g3(raw, columns, rows=height, k=k, byte_align=byte_align)
         except CcittError:
             return None
         return img if img.size else None

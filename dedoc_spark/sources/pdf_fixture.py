@@ -394,8 +394,10 @@ def build_scanned_pdf(page_rasters, image_filter: str = "flate") -> bytes:
     ``image_filter`` picks the stream encoding (all decoded by
     core/ocr._decode_image_object): "flate" (8 bpc /DeviceGray, the
     default), "ccitt" (1-bit /CCITTFaxDecode K=-1 Group 4 — the codec
-    real-world scanned PDFs use; the raster is binarized at 128), "lzw"
-    (/LZWDecode 8 bpc) or "runlength" (/RunLengthDecode 8 bpc)."""
+    real-world scanned PDFs use; the raster is binarized at 128),
+    "ccitt_g3" (K=0 pure 1-D MH), "ccitt_g3_2d" (K=4 mixed with
+    /EncodedByteAlign), "lzw" (/LZWDecode 8 bpc) or "runlength"
+    (/RunLengthDecode 8 bpc)."""
     import numpy as np
 
     objects: List[bytes] = []
@@ -410,15 +412,21 @@ def build_scanned_pdf(page_rasters, image_filter: str = "flate") -> bytes:
         if arr.ndim == 3:
             arr = arr[..., :3].mean(axis=2).astype(np.uint8)
         h, w = arr.shape
-        if image_filter == "ccitt":
-            from dedoc_spark.core.ccitt import encode_g4
+        if image_filter in ("ccitt", "ccitt_g3", "ccitt_g3_2d"):
+            from dedoc_spark.core.ccitt import encode_g3, encode_g4
 
-            data = encode_g4(arr)
+            if image_filter == "ccitt":
+                data, parms = encode_g4(arr), f"/K -1 /Columns {w} /Rows {h}"
+            elif image_filter == "ccitt_g3":
+                data, parms = encode_g3(arr), f"/K 0 /Columns {w} /Rows {h}"
+            else:
+                data = encode_g3(arr, k=4, byte_align=True)
+                parms = f"/K 4 /Columns {w} /Rows {h} /EncodedByteAlign true"
             head = (
                 f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
                 f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
                 f"/Filter /CCITTFaxDecode "
-                f"/DecodeParms << /K -1 /Columns {w} /Rows {h} >> "
+                f"/DecodeParms << {parms} >> "
                 f"/Length {len(data)} >>"
             ).encode("latin-1")
         else:

@@ -11,7 +11,13 @@ import pathlib
 import numpy as np
 import pytest
 
-from dedoc_spark.core.ccitt import CcittError, decode_g4, encode_g4
+from dedoc_spark.core.ccitt import (
+    CcittError,
+    decode_g3,
+    decode_g4,
+    encode_g3,
+    encode_g4,
+)
 from dedoc_spark.core.pdf_filters import (
     PdfFilterError,
     lzw_decode,
@@ -72,6 +78,41 @@ def test_g4_roundtrip_rendered_page():
 def test_g4_eofb_terminates_without_rows():
     img = np.where(np.indices((9, 50)).sum(axis=0) % 7 < 2, np.uint8(0), np.uint8(255))
     out = decode_g4(encode_g4(img), 50)  # rows=None -> stop at EOFB
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("k,byte_align", [(0, False), (0, True), (4, False), (4, True), (1, False)])
+def test_g3_roundtrip(k, byte_align):
+    rng = np.random.default_rng(100 + k + 10 * byte_align)
+    img = np.where(rng.random((15, 73)) < 0.3, np.uint8(0), np.uint8(255))
+    coded = encode_g3(img, k=k, byte_align=byte_align)
+    out = decode_g3(coded, 73, rows=15, k=k, byte_align=byte_align)
+    assert np.array_equal(out, img)
+    if k > 0:
+        # rows=None must stop at the RTC terminator, not read padding
+        out2 = decode_g3(coded, 73, k=k, byte_align=byte_align)
+        assert np.array_equal(out2, img)
+
+
+def test_g3_1d_rows_none_stops_at_padding():
+    img = np.where(np.indices((8, 40)).sum(axis=0) % 5 < 2, np.uint8(0), np.uint8(255))
+    out = decode_g3(encode_g3(img), 40)
+    assert np.array_equal(out, img)
+
+
+def test_g3_optional_eols_tolerated():
+    """K=0 streams written with EndOfLine=true carry EOLs between rows —
+    the decoder consumes them transparently."""
+    from dedoc_spark.core.ccitt import _BitWriter, _encode_1d_row, _transitions
+
+    img = np.full((4, 30), 255, dtype=np.uint8)
+    img[1, 5:20] = 0
+    img[3, 0:30] = 0
+    w = _BitWriter()
+    for y in range(4):
+        w.write(0b000000000001, 12)  # EOL before every row
+        _encode_1d_row(w, _transitions(img[y]), 30)
+    out = decode_g3(w.bytes(), 30, rows=4)
     assert np.array_equal(out, img)
 
 
@@ -147,7 +188,9 @@ def test_runlength_truncated_raises():
 # end-to-end: scanned PDFs carrying each encoding through the OCR route
 
 
-@pytest.mark.parametrize("image_filter", ["ccitt", "lzw", "runlength"])
+@pytest.mark.parametrize(
+    "image_filter", ["ccitt", "ccitt_g3", "ccitt_g3_2d", "lzw", "runlength"]
+)
 def test_scanned_pdf_filter_variants(image_filter):
     from dedoc_spark.core.document import extract_document
     from dedoc_spark.sources.pdf_fixture import build_scanned_pdf
@@ -163,17 +206,17 @@ def test_scanned_pdf_filter_variants(image_filter):
     assert "Filter variant scan line" in d["text_extracted"]
 
 
-def test_scanned_pdf_g3_skipped():
-    """K >= 0 (Group 3) streams are skipped like any unsupported filter:
-    fewer images, never an exception (ocr._decode_image_object)."""
+def test_scanned_pdf_unsupported_filter_skipped():
+    """A filter with no decoder (JBIG2) is skipped: fewer images, never
+    an exception (ocr._decode_image_object)."""
     from dedoc_spark.core.ocr import extract_pdf_page_images
     from dedoc_spark.core import scanfont
     from dedoc_spark.sources.pdf_fixture import build_scanned_pdf
 
-    raster = scanfont.render_scan_page(["G three page"], scale=2)
+    raster = scanfont.render_scan_page(["Unsupported filter"], scale=2)
     pdf = build_scanned_pdf([raster], image_filter="ccitt")
-    pdf_g3 = pdf.replace(b"/K -1", b"/K 0", 1)
-    assert extract_pdf_page_images(pdf_g3) == [[]]
+    pdf_bad = pdf.replace(b"/CCITTFaxDecode", b"/JBIG2Decode   ", 1)  # same length
+    assert extract_pdf_page_images(pdf_bad) == [[]]
 
 
 def test_ccitt_pdf_bytes_deterministic():
