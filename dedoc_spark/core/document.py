@@ -324,6 +324,15 @@ def extract_pdf_document(url: str, payload: bytes, params: Optional[Dict] = None
     )
 
     params = params or {}
+    if b"/Encrypt" in payload:
+        # standard-security-handler documents with the EMPTY user password
+        # decrypt transparently inside _parse_objects (core/pdf_crypt);
+        # a real password is the reference's pdfminer exception path
+        # (PDFPasswordIncorrect -> task error), so surface the typed row
+        from dedoc_spark.core.pdf_crypt import encryption_locked
+
+        if encryption_locked(payload):
+            return _error_row(url, "needs_password:pdf")
     if str(params.get("pdf_with_text_layer", "auto")).lower() == "false":
         return _extract_scanned_pdf(url, payload, params)
     pages_range = params.get("pages")

@@ -45,25 +45,57 @@ def convert_pdf_date(date_str: str) -> Optional[int]:
     return int(dt.timestamp())
 
 
+def _pdf_text(raw: bytes) -> str:
+    """PDF text-string bytes -> str (UTF-16BE when BOM'd, else latin-1
+    to match the literal-string path's byte semantics)."""
+    if raw[:2] == b"\xfe\xff":
+        try:
+            return raw[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            pass
+    return raw.decode("latin-1")
+
+
 def extract_pdf_metadata(payload: bytes) -> Dict[str, str]:
-    """The /Info dictionary fields; dates converted to unixtime strings."""
+    """The /Info dictionary fields; dates converted to unixtime strings.
+
+    Encrypted documents route through _parse_objects (which decrypts
+    with the empty user password and re-encodes strings as hex), so the
+    fields here come out as ``<hex>`` tokens instead of literals."""
     out: Dict[str, str] = {}
     info = re.search(rb"/Info\s+(\d+)\s+\d+\s+R", payload)
-    obj = None
-    if info:
-        oid = info.group(1)
-        m = re.search(oid + rb"\s+0\s+obj(.*?)endobj", payload, re.S)
-        obj = m.group(1) if m else None
-    if obj is None:  # inline Info dict or none
+    if info is None:  # inline Info dict or none
         return out
-    for key in (b"Title", b"Author", b"Subject", b"Producer", b"Creator"):
+    obj = None
+    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", payload):
+        from dedoc_spark.core.pdf_extract import _expand_object_streams, _parse_objects
+
+        objects = _parse_objects(payload)
+        _expand_object_streams(objects)
+        obj = objects.get(int(info.group(1)))
+    else:
+        m = re.search(info.group(1) + rb"\s+0\s+obj(.*?)endobj", payload, re.S)
+        obj = m.group(1) if m else None
+    if obj is None:
+        return out
+
+    def field(key: bytes) -> Optional[str]:
         m = re.search(rb"/" + key + rb"\s*\(((?:\\.|[^\\)])*)\)", obj)
         if m:
-            out[key.decode().lower()] = m.group(1).decode("latin-1")
+            return m.group(1).decode("latin-1")
+        m = re.search(rb"/" + key + rb"\s*<([0-9A-Fa-f]*)>", obj)
+        if m and len(m.group(1)) % 2 == 0:
+            return _pdf_text(bytes.fromhex(m.group(1).decode("ascii")))
+        return None
+
+    for key in (b"Title", b"Author", b"Subject", b"Producer", b"Creator"):
+        val = field(key)
+        if val is not None:
+            out[key.decode().lower()] = val
     for key in (b"CreationDate", b"ModDate"):
-        m = re.search(rb"/" + key + rb"\s*\(([^)]*)\)", obj)
-        if m:
-            ts = convert_pdf_date(m.group(1).decode("latin-1"))
+        val = field(key)
+        if val is not None:
+            ts = convert_pdf_date(val)
             if ts is not None:
                 out[key.decode().lower()] = str(ts)
     return out

@@ -42,8 +42,16 @@ _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 def _parse_objects(data: bytes) -> Dict[int, bytes]:
     """Full-scan object parser: every ``N G obj … endobj`` span, with stream
     payloads skipped via /Length (or an endstream scan) so binary stream
-    bytes can't truncate an object or fabricate a fake one."""
+    bytes can't truncate an object or fabricate a fake one.
+
+    Encrypted documents (trailer /Encrypt + standard security handler +
+    EMPTY user password — the common "protected" shape) are decrypted in
+    place here, so every downstream consumer (layout, images, detector,
+    ObjStm expansion) sees plaintext objects. Documents needing a real
+    password are left as parsed (their streams stay opaque and extraction
+    degrades to the unsupported-input path, never an exception)."""
     objects: Dict[int, bytes] = {}
+    gens: Dict[int, int] = {}
     pos = 0
     for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", data):
         if m.start() < pos:  # match is inside a previous object's stream
@@ -61,9 +69,130 @@ def _parse_objects(data: bytes) -> Dict[int, bytes]:
                 endobj = data.find(b"endobj", es)
                 if endobj == -1:
                     continue
-        objects[int(m.group(1))] = data[start:endobj]
+        oid = int(m.group(1))
+        objects[oid] = data[start:endobj]
+        gens[oid] = int(m.group(2))
         pos = endobj
+    if b"/Encrypt" in data:
+        _decrypt_objects(data, objects, gens)
     return objects
+
+
+def _raw_stream_bytes(obj: bytes, head_end: int, start: int) -> Optional[bytes]:
+    """Undecoded stream payload framed by /Length or an endstream scan."""
+    lm = re.search(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)", obj[:head_end])
+    if lm:
+        return obj[start : start + int(lm.group(1))]
+    end = obj.find(b"endstream", start)
+    if end == -1:
+        return None
+    data = obj[start:end]
+    if data.endswith(b"\r\n"):
+        return data[:-2]
+    if data.endswith((b"\n", b"\r")):
+        return data[:-1]
+    return data
+
+
+def _decrypt_objects(data: bytes, objects: Dict[int, bytes], gens: Dict[int, int]) -> None:
+    """In-place stream + string decryption (core/pdf_crypt). Streams are
+    re-framed with an exact direct /Length; strings re-encode as hex."""
+    from dedoc_spark.core.pdf_crypt import PdfCryptError, get_decryptor
+
+    try:
+        dec = get_decryptor(data, objects)
+    except PdfCryptError:
+        return  # needs a real password / unsupported handler: leave opaque
+    if dec is None:
+        return
+    enc_oid = int(re.findall(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data)[-1])
+    for oid, obj in list(objects.items()):
+        if oid == enc_oid:
+            continue
+        gen = gens.get(oid, 0)
+        sm = _STREAM_START_RE.search(obj)
+        if sm is None:
+            objects[oid] = _decrypt_strings(obj, dec, oid, gen)
+            continue
+        head = obj[: sm.start()]
+        if b"/XRef" in head:
+            continue  # cross-reference streams are never encrypted
+        if b"/Metadata" in head and not dec.encrypt_metadata:
+            continue  # /EncryptMetadata false: already plaintext
+        raw = _raw_stream_bytes(obj, sm.start(), sm.end())
+        if raw is None:
+            continue
+        try:
+            pt = dec.decrypt(oid, gen, raw)
+        except PdfCryptError:
+            continue
+        new_len = b"/Length " + str(len(pt)).encode("ascii")
+        head2, n = re.subn(rb"/Length\s+\d+\s+\d+\s+R", new_len, head, count=1)
+        if not n:
+            head2, n = re.subn(rb"/Length\s+\d+", new_len, head, count=1)
+        if not n:
+            head2 = head
+        # trailing \r\n before endstream: exact strip whatever pt ends with
+        objects[oid] = head2 + b"stream\r\n" + pt + b"\r\nendstream"
+
+
+def _decrypt_strings(obj: bytes, dec, oid: int, gen: int) -> bytes:
+    """Replace every literal/hex string in a (non-stream) object body
+    with the hex form of its decrypted bytes."""
+    from dedoc_spark.core.pdf_crypt import PdfCryptError, _pdf_string
+
+    out = bytearray()
+    i = 0
+    n = len(obj)
+    while i < n:
+        c = obj[i]
+        if c == 0x3C and obj[i + 1 : i + 2] != b"<":  # "<" hex string
+            j = obj.find(b">", i)
+            if j == -1:
+                out += obj[i:]
+                break
+            hexstr = re.sub(rb"\s", b"", obj[i + 1 : j])
+            if len(hexstr) % 2:
+                hexstr += b"0"
+            try:
+                pt = dec.decrypt_string(oid, gen, bytes.fromhex(hexstr.decode("ascii")))
+                out += b"<" + pt.hex().encode("ascii") + b">"
+            except (PdfCryptError, ValueError):
+                out += obj[i : j + 1]
+            i = j + 1
+            continue
+        if c == 0x3C:  # "<<" dict open
+            out += b"<<"
+            i += 2
+            continue
+        if c != 0x28:  # "("
+            out.append(c)
+            i += 1
+            continue
+        # literal string: find the matching ")" honoring escapes/nesting
+        depth = 1
+        j = i + 1
+        while j < n and depth:
+            cj = obj[j]
+            if cj == 0x5C:
+                j += 2
+                continue
+            if cj == 0x28:
+                depth += 1
+            elif cj == 0x29:
+                depth -= 1
+            j += 1
+        raw = _pdf_string(b"\x00" + obj[i:j], b"\x00")
+        if raw is None:
+            out += obj[i:j]
+        else:
+            try:
+                pt = dec.decrypt_string(oid, gen, raw)
+                out += b"<" + pt.hex().encode("ascii") + b">"
+            except PdfCryptError:
+                out += obj[i:j]
+        i = j
+    return bytes(out)
 
 
 def _stream_data(obj: bytes) -> Optional[bytes]:

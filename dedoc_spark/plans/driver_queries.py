@@ -916,10 +916,18 @@ def q22_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's "auto" (api_args.py:33), so the per-page x-origin
     histogram must flip it into column reading order (all left-column
     lines, then all right-column lines — 12 lines, not 6 interleaved
-    same-y concatenations)."""
+    same-y concatenations). (r6) every 5th doc additionally wraps in the
+    standard security handler (RC4 / AES-128 alternating, empty user
+    password, core/pdf_crypt): decryption is lossless so the closed-form
+    oracle is IDENTICAL — the gate attests the decrypt path end-to-end."""
 
     def builder(doc_id: int, text: str):
-        from dedoc_spark.sources.pdf_fixture import build_pdf, build_pdf_objstm, build_pdf_type0
+        from dedoc_spark.sources.pdf_fixture import (
+            build_pdf,
+            build_pdf_objstm,
+            build_pdf_type0,
+            encrypt_pdf,
+        )
 
         if doc_id % 4 == 3:
             ops = "\n".join(
@@ -927,9 +935,13 @@ def q22_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(6)
                 for x, t in ((72, f"L{i}of{doc_id}"), (330, f"R{i}of{doc_id}"))
             )
-            return build_pdf([[]], extra_content=[ops]), f"{doc_id}.pdf"
-        build = (build_pdf, build_pdf_objstm, build_pdf_type0)[doc_id % 3]
-        return build([[(f"Doc {doc_id}", True), (text, False)]]), f"{doc_id}.pdf"
+            payload = build_pdf([[]], extra_content=[ops])
+        else:
+            build = (build_pdf, build_pdf_objstm, build_pdf_type0)[doc_id % 3]
+            payload = build([[(f"Doc {doc_id}", True), (text, False)]])
+        if doc_id % 5 == 1:
+            payload = encrypt_pdf(payload, method="aesv2" if doc_id % 2 else "rc4")
+        return payload, f"{doc_id}.pdf"
 
     return _binary_roundtrip(spark, sf_dir, builder)
 

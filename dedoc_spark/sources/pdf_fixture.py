@@ -505,3 +505,178 @@ def build_scanned_pdf(page_rasters, image_filter: str = "flate") -> bytes:
         f"startxref\n{xref_pos}\n%%EOF\n".encode()
     )
     return b"".join(out)
+
+
+def encrypt_pdf(
+    payload: bytes,
+    method: str = "aesv2",
+    user_password: bytes = b"",
+    owner_password: bytes = b"fixture-owner",
+    info: Optional[Dict[str, str]] = None,
+) -> bytes:
+    """Encrypt a classic-xref fixture PDF (build_pdf output) with the
+    standard security handler — the fixture-side counterpart of
+    core/pdf_crypt so the decryptor round-trips without external
+    encrypted samples. ``method``: "rc4" (V2/R3 128-bit), "aesv2"
+    (V4/R4 AES-128) or "aesv3" (V5/R6 AES-256). ``info`` adds an /Info
+    dictionary whose strings get encrypted (string-decryption
+    coverage). Deterministic: IVs and the file /ID derive from content
+    hashes, the AES-256 file key from the owner password bytes."""
+    import hashlib
+    import re as _re
+    import struct
+
+    from dedoc_spark.core.pdf_crypt import (
+        _PAD,
+        _compute_key_r234,
+        _hash_r6,
+        aes_cbc_encrypt,
+        rc4,
+    )
+
+    p = -1324
+    id0 = hashlib.md5(payload).digest()
+
+    # split the incoming fixture into objects (classic layout only)
+    body = []
+    for m in _re.finditer(rb"(\d+)\s+0\s+obj\b(.*?)endobj", payload, _re.S):
+        body.append((int(m.group(1)), m.group(2)))
+    next_oid = max(o for o, _ in body) + 1
+    root = _re.search(rb"/Root\s+(\d+)\s+0\s+R", payload).group(1).decode()
+
+    if info:
+        fields = " ".join(f"/{k} ({v})" for k, v in info.items())
+        body.append((next_oid, f"\n<< {fields} >>\n".encode("latin-1")))
+        info_oid = next_oid
+        next_oid += 1
+
+    if method == "rc4":
+        v, r, length, cfm_extra = 2, 3, 128, b""
+    elif method == "aesv2":
+        v, r, length = 4, 4, 128
+        cfm_extra = (
+            b"/CF << /StdCF << /AuthEvent /DocOpen /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+        )
+    elif method == "aesv3":
+        v, r, length = 5, 6, 256
+        cfm_extra = (
+            b"/CF << /StdCF << /AuthEvent /DocOpen /CFM /AESV3 /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    if method in ("rc4", "aesv2"):
+        # Algorithm 3: O from the owner password
+        ok = hashlib.md5((owner_password + _PAD)[:32]).digest()
+        for _ in range(50):
+            ok = hashlib.md5(ok[: length // 8]).digest()
+        ok = ok[: length // 8]
+        o_entry = rc4(ok, (user_password + _PAD)[:32])
+        for i in range(1, 20):
+            o_entry = rc4(bytes(b ^ i for b in ok), o_entry)
+        key = _compute_key_r234(user_password, o_entry, p, id0, r, length // 8, True)
+        # Algorithm 5: U
+        u_entry = rc4(key, hashlib.md5(_PAD + id0).digest())
+        for i in range(1, 20):
+            u_entry = rc4(bytes(b ^ i for b in key), u_entry)
+        u_entry += b"\x00" * 16
+        extra_entries = b""
+    else:
+        key = hashlib.sha256(b"filekey" + owner_password).digest()
+        vsalt = hashlib.md5(b"vs" + id0).digest()[:8]
+        ksalt = hashlib.md5(b"ks" + id0).digest()[:8]
+        u_entry = _hash_r6(user_password, vsalt, b"") + vsalt + ksalt
+        ikey = _hash_r6(user_password, ksalt, b"")
+        ue = aes_cbc_encrypt(ikey, b"\x00" * 16, key)
+        # owner entries are dummies: empty-user-password opening reads /U + /UE
+        extra_entries = (
+            b"/UE (" + _esc_bytes(ue) + b") /OE (" + _esc_bytes(b"\x00" * 32) + b") "
+        )
+        o_entry = b"\x00" * 48
+
+    def obj_key(oid: int) -> bytes:
+        if v >= 5:
+            return key
+        ext = struct.pack("<i", oid)[:3] + b"\x00\x00"
+        salt = b"sAlT" if method == "aesv2" else b""
+        k = hashlib.md5(key + ext + salt).digest()
+        return k[: min(len(key) + 5, 16)]
+
+    def enc_bytes(oid: int, pt: bytes) -> bytes:
+        if method == "rc4":
+            return rc4(obj_key(oid), pt)
+        pad = 16 - len(pt) % 16
+        iv = hashlib.md5(b"iv" + str(oid).encode() + pt[:8]).digest()
+        return iv + aes_cbc_encrypt(obj_key(oid), iv, pt + bytes([pad]) * pad)
+
+    out_objs: List[Tuple[int, bytes]] = []
+    for oid, ob in body:
+        sm = _re.search(rb"stream\r?\n", ob)
+        if sm and b"/XRef" in ob[: sm.start()]:
+            out_objs.append((oid, ob))  # xref streams are never encrypted
+            continue
+        if sm:
+            head = ob[: sm.start()]
+            end = ob.rfind(b"endstream")
+            raw = ob[sm.end() : end]
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith((b"\n", b"\r")):
+                raw = raw[:-1]
+            ct = enc_bytes(oid, raw)
+            head = _re.sub(
+                rb"/Length\s+\d+", b"/Length " + str(len(ct)).encode(), head, count=1
+            )
+            out_objs.append((oid, head + b"stream\r\n" + ct + b"\r\nendstream"))
+            continue
+        # encrypt literal strings -> hex form
+        def enc_str(m: "_re.Match[bytes]") -> bytes:
+            pt = m.group(1)
+            return b"<" + enc_bytes(oid, pt).hex().encode("ascii") + b">"
+
+        out_objs.append((oid, _re.sub(rb"\(((?:\\.|[^\\)])*)\)", enc_str, ob)))
+
+    enc_oid = next_oid
+    enc_dict = (
+        b"\n<< /Filter /Standard " + cfm_extra
+        + f"/V {v} /R {r} /Length {length} /P {p} ".encode()
+        + b"/O (" + _esc_bytes(o_entry) + b") /U (" + _esc_bytes(u_entry) + b") "
+        + extra_entries + b">>\n"
+    )
+    out_objs.append((enc_oid, enc_dict))
+
+    out: List[bytes] = [b"%PDF-1.6\n"]
+    offsets: Dict[int, int] = {}
+    for oid, ob in out_objs:
+        offsets[oid] = sum(len(b) for b in out)
+        out.append(f"{oid} 0 obj".encode() + ob + b"\nendobj\n")
+    xref_pos = sum(len(b) for b in out)
+    nobj = max(offsets) + 1
+    xref = [f"xref\n0 {nobj}\n0000000000 65535 f \n"]
+    for oid in range(1, nobj):
+        xref.append(f"{offsets.get(oid, 0):010d} 00000 n \n")
+    out.append("".join(xref).encode())
+    idhex = id0.hex().upper().encode()
+    info_entry = f"/Info {info_oid} 0 R ".encode() if info else b""
+    out.append(
+        f"trailer\n<< /Size {nobj} /Root {root} 0 R /Encrypt {enc_oid} 0 R ".encode()
+        + info_entry
+        + b"/ID [<" + idhex + b"> <" + idhex + b">] >>\n"
+        + f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    )
+    return b"".join(out)
+
+
+def _esc_bytes(raw: bytes) -> bytes:
+    """Escape arbitrary bytes for a PDF literal string."""
+    out = bytearray()
+    for b in raw:
+        if b in (0x28, 0x29, 0x5C):  # ( ) backslash
+            out += bytes([0x5C, b])
+        elif b == 0x0D:
+            out += b"\\r"
+        else:
+            out.append(b)
+    return bytes(out)
