@@ -625,7 +625,13 @@ def extract_document(
             # reports the members instead of parsing zip bytes as markup
             from dedoc_spark.core.formats import list_archive_members
 
-            names = [n for n, _ in list_archive_members(html, max_members=100)]
+            try:
+                names = [n for n, _ in list_archive_members(html, max_members=100)]
+            except ValueError as e:
+                # rar compressed members raise the typed needs_unpacker
+                # message (core/rar_extract.py) — surface it as the row's
+                # error, never as an exception out of extract_document
+                return _error_row(url, str(e))
             return _error_row(
                 url,
                 "needs_explosion:zip (use operators.archives.extract_with_archives)",

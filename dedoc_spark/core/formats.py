@@ -486,6 +486,9 @@ def decode_text_payload(payload: bytes, encoding: Optional[str] = None) -> str:
 _EXT_FORMATS = {
     "html": "html", "htm": "html", "shtml": "html",
     "txt": "txt",
+    # .xml is txt_like in the reference (extensions.py:35 — TxtConverter
+    # feeds RawTextReader), NOT a markup reader
+    "xml": "txt",
     "json": "json",
     "csv": "csv", "tsv": "tsv",
     "eml": "email",

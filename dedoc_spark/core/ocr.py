@@ -994,7 +994,7 @@ def extract_pdf_page_images(payload: bytes) -> List[List[np.ndarray]]:
 def _raw_stream(obj: bytes) -> Optional[bytes]:
     import re as _re
 
-    sm = _re.search(rb"stream\r?\n", obj)
+    sm = _re.search(rb"stream(?:\r\n|\n|\r)", obj)
     if sm is None:
         return None
     end = obj.rfind(b"endstream")
@@ -1003,7 +1003,7 @@ def _raw_stream(obj: bytes) -> Optional[bytes]:
     data = obj[sm.end() : end]
     if data.endswith(b"\r\n"):
         data = data[:-2]
-    elif data.endswith(b"\n"):
+    elif data.endswith((b"\n", b"\r")):
         data = data[:-1]
     return data
 
@@ -1026,52 +1026,59 @@ def _decode_image_object(obj: bytes) -> Optional[np.ndarray]:
     raw = _raw_stream(obj)
     if raw is None:
         return None
-    if b"/DCTDecode" in head:
-        from dedoc_spark.core.image_decode import decode_image
+    # filters apply as a cascade in array order (/Filter [/A /B] — e.g.
+    # the corpus's gost_multipage_table.pdf wraps DCT inside Flate); the
+    # image codecs (DCT, CCITT) terminate the chain
+    filters = [f.decode("latin-1") for f in _re.findall(rb"/(\w+Decode)\b", head)]
+    for name in filters:
+        if name == "DCTDecode":
+            from dedoc_spark.core.image_decode import decode_image
 
-        try:
-            _, _, rgb = decode_image(raw)
-            return rgb
-        except Exception:
-            return None
-    if b"/CCITTFaxDecode" in head:
-        # the canonical scanned-page codecs: K < 0 = pure G4/T.6 (what
-        # real scanned PDFs use), K = 0 = G3 1-D MH, K > 0 = G3 mixed
-        from dedoc_spark.core.ccitt import CcittError, decode_g3, decode_g4
+            try:
+                _, _, rgb = decode_image(raw)
+                return rgb
+            except Exception:
+                return None
+        if name == "CCITTFaxDecode":
+            # the canonical scanned-page codecs: K < 0 = pure G4/T.6 (what
+            # real scanned PDFs use), K = 0 = G3 1-D MH, K > 0 = G3 mixed
+            from dedoc_spark.core.ccitt import CcittError, decode_g3, decode_g4
 
-        km = _re.search(rb"/K\s+(-?\d+)", head)
-        k = int(km.group(1)) if km else 0
-        cm = _re.search(rb"/Columns\s+(\d+)", head)
-        columns = int(cm.group(1)) if cm else 1728
-        byte_align = bool(_re.search(rb"/EncodedByteAlign\s+true", head))
-        try:
-            if k < 0:
-                img = decode_g4(raw, columns, rows=height)
-            else:
-                img = decode_g3(raw, columns, rows=height, k=k, byte_align=byte_align)
-        except CcittError:
-            return None
-        return img if img.size else None
-    if b"/FlateDecode" in head:
-        try:
-            raw = zlib.decompress(raw)
-        except Exception:
-            return None
-    elif b"/LZWDecode" in head:
-        from dedoc_spark.core.pdf_filters import PdfFilterError, lzw_decode
+            km = _re.search(rb"/K\s+(-?\d+)", head)
+            k = int(km.group(1)) if km else 0
+            cm = _re.search(rb"/Columns\s+(\d+)", head)
+            columns = int(cm.group(1)) if cm else 1728
+            byte_align = bool(_re.search(rb"/EncodedByteAlign\s+true", head))
+            try:
+                if k < 0:
+                    img = decode_g4(raw, columns, rows=height)
+                else:
+                    img = decode_g3(raw, columns, rows=height, k=k, byte_align=byte_align)
+            except CcittError:
+                return None
+            return img if img.size else None
+        if name == "FlateDecode":
+            try:
+                raw = zlib.decompress(raw)
+            except Exception:
+                return None
+        elif name == "LZWDecode":
+            from dedoc_spark.core.pdf_filters import PdfFilterError, lzw_decode
 
-        em = _re.search(rb"/EarlyChange\s+(\d+)", head)
-        try:
-            raw = lzw_decode(raw, early_change=int(em.group(1)) if em else 1)
-        except PdfFilterError:
-            return None
-    elif b"/RunLengthDecode" in head:
-        from dedoc_spark.core.pdf_filters import PdfFilterError, runlength_decode
+            em = _re.search(rb"/EarlyChange\s+(\d+)", head)
+            try:
+                raw = lzw_decode(raw, early_change=int(em.group(1)) if em else 1)
+            except PdfFilterError:
+                return None
+        elif name == "RunLengthDecode":
+            try:
+                from dedoc_spark.core.pdf_filters import PdfFilterError, runlength_decode
 
-        try:
-            raw = runlength_decode(raw)
-        except PdfFilterError:
-            return None
+                raw = runlength_decode(raw)
+            except PdfFilterError:
+                return None
+        else:
+            return None  # no decoder for this filter (e.g. JBIG2)
     bpc = num(b"/BitsPerComponent") or 8
     if b"/DeviceRGB" in head and bpc == 8 and len(raw) >= width * height * 3:
         return np.frombuffer(raw[: width * height * 3], dtype=np.uint8).reshape(height, width, 3)

@@ -35,7 +35,9 @@ from typing import Dict, List, Optional, Tuple
 
 from dedoc_spark.core.model import Annotation, HierarchyLevel, Line
 
-_STREAM_START_RE = re.compile(rb"stream\r?\n")
+#  the spec says CRLF or LF after the keyword, but CR-only writers exist
+#  in the wild (reference corpus tables/example_with_table1.pdf)
+_STREAM_START_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 
 
@@ -635,17 +637,27 @@ def _page_xobjects(page_obj: bytes, objects: Dict[int, bytes]) -> Dict[str, int]
     out: Dict[str, int] = {}
     src = page_obj
     region = None
-    for _ in range(6):
-        m = re.search(rb"/XObject\s*<<(.*?)>>", src, re.S)
+    def xobject_region(scope: bytes) -> Optional[bytes]:
+        m = re.search(rb"/XObject\s*<<(.*?)>>", scope, re.S)
         if m:
-            region = m.group(1)
+            return m.group(1)
+        # /XObject as an indirect reference to the name->image dict
+        m = re.search(rb"/XObject\s+(\d+)\s+\d+\s+R", scope)
+        if m:
+            ref = objects.get(int(m.group(1)), b"")
+            dm = re.search(rb"<<(.*?)>>", ref, re.S)
+            if dm:
+                return dm.group(1)
+        return None
+
+    for _ in range(6):
+        region = xobject_region(src)
+        if region is not None:
             break
         rres = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", src)
         if rres:
-            res_obj = objects.get(int(rres.group(1)), b"")
-            m = re.search(rb"/XObject\s*<<(.*?)>>", res_obj, re.S)
-            if m:
-                region = m.group(1)
+            region = xobject_region(objects.get(int(rres.group(1)), b""))
+            if region is not None:
                 break
         pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", src)
         if not pm:

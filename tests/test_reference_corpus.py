@@ -86,3 +86,24 @@ def test_reference_cyrillic_pdfs():
     expected_head = (REF_DATA / "pdf_with_text_layer" / "cp1251.txt").read_text(encoding="utf-8").split()[:6]
     for word in expected_head:
         assert word in body
+
+
+def test_scanned_table_pdfs_yield_rasters():
+    """The tables/*.pdf scans exercise real-world PDF shapes the parser
+    must survive: /XObject as an indirect reference (not_table.pdf,
+    example_with_table0.pdf), CR-only line endings after the stream
+    keyword (example_with_table1.pdf), and a /Filter cascade
+    [/FlateDecode /DCTDecode] (gost_multipage_table.pdf). Every page
+    must produce a decoded raster."""
+    from dedoc_spark.core.ocr import extract_pdf_page_images
+
+    expect = {
+        "example_with_table0.pdf": [1, 1],
+        "example_with_table1.pdf": [1],
+        "not_table.pdf": [1],
+        "gost_multipage_table.pdf": [1, 1],
+    }
+    for name, counts in expect.items():
+        payload = (REF_DATA / "tables" / name).read_bytes()
+        pages = extract_pdf_page_images(payload)
+        assert [len(p) for p in pages] == counts, name

@@ -78,3 +78,23 @@ def test_bracket_letter_bullet_patterns():
     assert levels[1] == (5, "list_item")  # letter
     assert levels[2] == (6, "list_item")  # bullet
     assert levels[3] == (3, "list_item")  # roman
+
+
+def test_xml_routes_as_raw_text():
+    """.xml is txt_like in the reference (extensions.py:35): RawTextReader
+    lines with trailing newlines kept — the reference's own
+    test_api_format_xml assertions."""
+    import json
+
+    from dedoc_spark.core.document import extract_document
+
+    payload = b'<?xml version="1.0" encoding="UTF-8"?>\n<note>\n  <to>Tove</to>\n</note>'
+    d = extract_document("simple.xml", payload, None, params={})
+    assert d.get("error") is None
+    lines = [ln["line"] for ln in json.loads(d["lines_json"])]
+    assert lines == [
+        '<?xml version="1.0" encoding="UTF-8"?>\n',
+        "<note>\n",
+        "  <to>Tove</to>\n",
+        "</note>",
+    ]
