@@ -50,6 +50,27 @@ A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 
+# ISO strict -> transitional namespace URI map (ECMA-376 part 1 annex;
+# the package-relationships namespace is unchanged between editions)
+_STRICT_NS = [
+    (
+        b"http://purl.oclc.org/ooxml/wordprocessingml/main",
+        b"http://schemas.openxmlformats.org/wordprocessingml/2006/main",
+    ),
+    (
+        b"http://purl.oclc.org/ooxml/officeDocument/relationships",
+        b"http://schemas.openxmlformats.org/officeDocument/2006/relationships",
+    ),
+    (
+        b"http://purl.oclc.org/ooxml/drawingml/main",
+        b"http://schemas.openxmlformats.org/drawingml/2006/main",
+    ),
+    (
+        b"http://purl.oclc.org/ooxml/drawingml/wordprocessingDrawing",
+        b"http://schemas.openxmlformats.org/drawingml/2006/wordprocessingDrawing",
+    ),
+]
+
 
 def attachment_uid(url_hash: str, name: str) -> str:
     """Deterministic uid for a docx media attachment — matches the row uid
@@ -58,6 +79,110 @@ def attachment_uid(url_hash: str, name: str) -> str:
     return hashlib.md5(f"{url_hash}_attach_{name}".encode()).hexdigest()
 
 _HEADING_RE = re.compile(r"heading\s*(\d+)", re.I)
+
+# any-prefix paragraph open/close tag (attribute values may hold ">")
+_P_TAG_RE = re.compile(rb"<(/?)(?:\w+:)?p(?=[\s/>])((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>")
+_PICT_RE = re.compile(rb"<(?:\w+:)?pict[\s/>]")
+
+
+def _top_level_p_spans(content: bytes, start: int, end: int) -> List[Tuple[int, int]]:
+    """Byte spans of the BODY-level paragraphs in content[start:end] —
+    w:p nests inside textbox content, so spans need balanced matching."""
+    spans: List[Tuple[int, int]] = []
+    depth = 0
+    open_at: Optional[int] = None
+    for m in _P_TAG_RE.finditer(content, start, end):
+        if m.group(1) == b"/":
+            depth -= 1
+            if depth == 0 and open_at is not None:
+                spans.append((open_at, m.end()))
+                open_at = None
+        elif m.group(2).rstrip().endswith(b"/"):
+            if depth == 0:
+                spans.append((m.start(), m.end()))
+        else:
+            if depth == 0:
+                open_at = m.start()
+            depth += 1
+    return spans
+
+
+def diagram_paragraphs(document: bytes) -> Tuple[bytes, List[Tuple[int, Tuple[int, int]]]]:
+    """The reference's diagram discovery (docx_attachments_extractor.py
+    __extract_diagrams): whitespace-normalize document.xml, then every
+    body-level paragraph containing a VML ``pict`` element is a diagram.
+    Returns (normalized document, [(index among body-level paragraphs,
+    span in the normalized bytes)]). The md5 of a span's bytes is the
+    diagram uid (the reference hashes bs4's rendering of the same
+    paragraph — serializer-specific bytes, so uid VALUES differ while
+    the name scheme, count and determinism match)."""
+    content = re.sub(rb"\n[\t ]*", b"", document)
+    bo = re.search(rb"<(?:\w+:)?body[\s>]", content)
+    bc = re.search(rb"</(?:\w+:)?body>", content)
+    if bo is None or bc is None:
+        return content, []
+    spans = _top_level_p_spans(content, bo.end(), bc.start())
+    out = [
+        (i, (s, e))
+        for i, (s, e) in enumerate(spans)
+        if _PICT_RE.search(content, s, e)
+    ]
+    return content, out
+
+
+def diagram_attachments(payload: bytes, max_members: int = 1000) -> List[Tuple[str, bytes]]:
+    """One single-diagram docx per pict paragraph, named ``{uid}.docx``
+    (docx_attachments_extractor.py __extract_diagrams:44-94: the original
+    package re-zipped with a document.xml holding only that diagram
+    paragraph beside the non-diagram body). Fixed zip timestamps keep the
+    attachment bytes deterministic."""
+    import io
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            names = [n for n in zf.namelist() if not n.endswith("/")]
+            docname = next(
+                (n for n in ("word/document.xml", "word/document2.xml") if n in names),
+                None,
+            )
+            if docname is None:
+                return []
+            members = {n: zf.read(n) for n in names}
+    except zipfile.BadZipFile:
+        return []
+    content, diag = diagram_paragraphs(members[docname])
+    if not diag:
+        return []
+    doc_wo = bytearray()
+    prev = 0
+    for _, (s, e) in diag:
+        doc_wo += content[prev:s]
+        prev = e
+    doc_wo += content[prev:]
+    doc_wo = bytes(doc_wo)
+    bo = re.search(rb"<(?:\w+:)?body[\s>]", doc_wo)
+    bc = re.search(rb"</(?:\w+:)?body>", doc_wo)
+    if bo is None or bc is None:
+        return []
+    body_open_end = doc_wo.index(b">", bo.start()) + 1
+    remaining = _top_level_p_spans(doc_wo, body_open_end, bc.start())
+    # the reference inserts at body child index 1 (after the first
+    # remaining child when present)
+    insert_at = remaining[0][1] if remaining else body_open_end
+    out: List[Tuple[str, bytes]] = []
+    for _, (s, e) in diag[:max_members]:
+        span = content[s:e]
+        uid = hashlib.md5(span).hexdigest()
+        new_doc = doc_wo[:insert_at] + span + doc_wo[insert_at:]
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as nz:
+            for n in names:
+                info = zipfile.ZipInfo(n, date_time=(1980, 1, 1, 0, 0, 0))
+                info.compress_type = zipfile.ZIP_DEFLATED
+                nz.writestr(info, new_doc if n == docname else members[n])
+        out.append((f"{uid}.docx", buf.getvalue()))
+    return out
 
 
 def _w(tag: str) -> str:
@@ -267,7 +392,18 @@ class DocxExtractor:
             names = set(zf.namelist())
 
             def read(name: str) -> Optional[bytes]:
-                return zf.read(name) if name in names else None
+                if name not in names:
+                    return None
+                data = zf.read(name)
+                # ISO "strict" OOXML renames every namespace URI under
+                # purl.oclc.org (e.g. the corpus's size1.docx); the
+                # reference's bs4 matches on the "w:" PREFIX so it never
+                # notices — normalize strict URIs to transitional so the
+                # ElementTree paths line up
+                if b"http://purl.oclc.org/ooxml/" in data:
+                    for strict, trans in _STRICT_NS:
+                        data = data.replace(strict, trans)
+                return data
 
             # some Word builds emit document2.xml (reference falls back the
             # same way, office_utils.get_bs_from_zip / docx_document.py:134-136)
@@ -295,6 +431,14 @@ class DocxExtractor:
         # caption join (docx_document.py:121-131): "Таблица N"-style paragraph
         # two-before the table gets the table annotation, else the one-before
         table_ref_reg = re.compile(r"^[Тт](аблица|абл?\.) ")
+        # diagram (VML pict) paragraphs annotate like image attachments
+        # (docx_document.py diagram handling; the attachment rows come from
+        # formats.list_attachments' repacked one-paragraph docx files)
+        norm_doc, diag_spans = diagram_paragraphs(document)
+        diagram_uid_by_pidx = {
+            i: hashlib.md5(norm_doc[s:e]).hexdigest() for i, (s, e) in diag_spans
+        }
+        p_index = 0
         if body is not None:
             for child in body:
                 if child.tag == _w("p"):
@@ -310,6 +454,13 @@ class DocxExtractor:
                             line.annotations.append(
                                 Annotation(0, len(line.line), "attachment", attachment_uid(url_hash, name))
                             )
+                    duid = diagram_uid_by_pidx.get(p_index)
+                    if duid is not None:
+                        line.annotations.append(
+                            Annotation(0, len(line.line), "attachment",
+                                       attachment_uid(url_hash, f"{duid}.docx"))
+                        )
+                    p_index += 1
                     lines.append(line)
                 elif child.tag == _w("tbl"):
                     table = self._read_table(child, url_hash, len(tables))

@@ -363,6 +363,12 @@ def list_attachments(
                 break
         return out
     if fmt in ("docx", "xlsx", "pptx"):
+        if fmt == "docx":
+            # diagrams first, like the reference extractor (each pict
+            # paragraph repacked as a one-diagram docx; extract:30-36)
+            from dedoc_spark.core.docx_extract import diagram_attachments
+
+            out.extend(diagram_attachments(payload, max_members))
         media_dirs = {"docx": ("word/media/", "word/embeddings/"),
                       "xlsx": ("xl/media/", "xl/embeddings/"),
                       "pptx": ("ppt/media/", "ppt/embeddings/")}[fmt]

@@ -261,3 +261,72 @@ def test_docx_image_attachment_annotation_join():
     assert att[0].value == attachment_uid("h123", "image1.png")
     assert (att[0].start, att[0].end) == (0, len(lines[0].line))
     assert not any(a.name == "attachment" for a in lines[1].annotations)
+
+
+def test_strict_ooxml_namespace_normalized():
+    """ISO strict OOXML (purl.oclc.org namespace URIs — the corpus's
+    size1.docx) parses identically to transitional: the reference's bs4
+    matches prefixes so it never notices the URI change."""
+    import re
+
+    payload = build_docx(paragraph([("strict body text", "")]))
+    strict = payload.replace(
+        b"http://schemas.openxmlformats.org/wordprocessingml/2006/main",
+        b"http://purl.oclc.org/ooxml/wordprocessingml/main",
+    )
+    assert strict != payload  # replacement really happened
+
+    # rebuild the zip with the strict document.xml
+    import io
+    import zipfile
+
+    src = zipfile.ZipFile(io.BytesIO(payload))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n in src.namelist():
+            data = src.read(n)
+            out.writestr(
+                n,
+                re.sub(
+                    rb"http://schemas\.openxmlformats\.org/wordprocessingml/2006/main",
+                    b"http://purl.oclc.org/ooxml/wordprocessingml/main",
+                    data,
+                ),
+            )
+    lines_t, _, _ = extract_docx(payload, "h")
+    lines_s, _, _ = extract_docx(buf.getvalue(), "h")
+    assert [ln.line for ln in lines_s] == [ln.line for ln in lines_t]
+    assert "strict body text" in [ln.line for ln in lines_s]
+
+
+def test_diagram_paragraph_attachments():
+    """A VML pict paragraph becomes (a) an attachment annotation on its
+    line and (b) a repacked one-diagram docx in the attachments channel
+    (docx_attachments_extractor.py __extract_diagrams), with a joinable
+    deterministic uid."""
+    import io
+    import zipfile
+
+    from dedoc_spark.core.docx_extract import attachment_uid, diagram_attachments
+    from dedoc_spark.core.formats import list_attachments
+
+    base = build_docx(
+        paragraph([("before", "")])
+        + '<w:p><w:r><w:pict><v:shape xmlns:v="urn:schemas-microsoft-com:vml"/>'
+        "</w:pict></w:r></w:p>"
+        + paragraph([("after", "")])
+    )
+    atts = diagram_attachments(base)
+    assert len(atts) == 1
+    name, data = atts[0]
+    assert name.endswith(".docx")
+    assert diagram_attachments(base) == atts  # deterministic bytes
+    # the repacked docx parses and contains no body text (diagram only)
+    lines, _, _ = extract_docx(data, "h")
+    assert all(ln.line.strip() in ("", "before", "after") for ln in lines)
+    # list_attachments surfaces it ahead of media members
+    assert [n for n, _ in list_attachments("d.docx", base)][0] == name
+    # the hosting line carries the joinable annotation
+    lines0, _, _ = extract_docx(base, "h")
+    ann = [a.value for ln in lines0 for a in ln.annotations if a.name == "attachment"]
+    assert ann == [attachment_uid("h", name)]

@@ -107,3 +107,28 @@ def test_scanned_table_pdfs_yield_rasters():
         payload = (REF_DATA / "tables" / name).read_bytes()
         pages = extract_pdf_page_images(payload)
         assert [len(p) for p in pages] == counts, name
+
+
+def test_reference_diagram_and_strict_docx():
+    """diagram_1.docx: exactly 1 repacked diagram attachment with the
+    annotation on its hosting line (test_format_docx_reader.py:246-253
+    count semantics; uid VALUES differ — bs4 serialization). size1.docx:
+    ISO-strict namespaces — every size annotation reads 12.0
+    (test_format_docx_reader.py:287-293)."""
+    from dedoc_spark.core.docx_extract import extract_docx
+    from dedoc_spark.core.formats import list_attachments
+
+    payload = (REF_DATA / "docx" / "diagram_1.docx").read_bytes()
+    atts = list_attachments("diagram_1.docx", payload)
+    assert len(atts) == 1 and atts[0][0].endswith(".docx")
+    lines, _, _ = extract_docx(payload, "h")
+    assert any(a.name == "attachment" for a in lines[0].annotations)
+
+    payload2 = (REF_DATA / "with_attachments" / "with_attachments_2.docx").read_bytes()
+    assert len(list_attachments("x.docx", payload2)) >= 1
+
+    payload3 = (REF_DATA / "docx" / "size1.docx").read_bytes()
+    lines3, _, _ = extract_docx(payload3, "h")
+    assert len(lines3) > 0
+    sizes = {a.value for ln in lines3 for a in ln.annotations if a.name == "size"}
+    assert sizes == {"12.0"}
