@@ -24,6 +24,26 @@ from dedoc_spark.core.model import Annotation, Cell, HierarchyLevel, Line, Table
 _SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _DRAW = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 
+# ISO strict OOXML -> transitional URI map (see docx_extract._STRICT_NS)
+_STRICT_OOXML = [
+    (b"http://purl.oclc.org/ooxml/spreadsheetml/main",
+     b"http://schemas.openxmlformats.org/spreadsheetml/2006/main"),
+    (b"http://purl.oclc.org/ooxml/presentationml/main",
+     b"http://schemas.openxmlformats.org/presentationml/2006/main"),
+    (b"http://purl.oclc.org/ooxml/drawingml/main",
+     b"http://schemas.openxmlformats.org/drawingml/2006/main"),
+    (b"http://purl.oclc.org/ooxml/officeDocument/relationships",
+     b"http://schemas.openxmlformats.org/officeDocument/2006/relationships"),
+]
+
+
+def _member_xml(zf: zipfile.ZipFile, name: str) -> bytes:
+    data = zf.read(name)
+    if b"http://purl.oclc.org/ooxml/" in data:
+        for strict, trans in _STRICT_OOXML:
+            data = data.replace(strict, trans)
+    return data
+
 
 def _col_index(ref: str) -> int:
     """'BC12' → 0-based column index."""
@@ -46,7 +66,7 @@ def extract_xlsx_tables(payload: bytes, url_hash: str = "") -> Tuple[List[Table]
         names = set(zf.namelist())
         shared: List[str] = []
         if "xl/sharedStrings.xml" in names:
-            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            root = ET.fromstring(_member_xml(zf, "xl/sharedStrings.xml"))
             for si in root.findall(f"{_SSML}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_SSML}t")))
         sheet_names = sorted(
@@ -54,7 +74,7 @@ def extract_xlsx_tables(payload: bytes, url_hash: str = "") -> Tuple[List[Table]
             key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[-1]).group()),
         )
         for sheet_id, name in enumerate(sheet_names):
-            root = ET.fromstring(zf.read(name))
+            root = ET.fromstring(_member_xml(zf, name))
             rows: List[List[str]] = []
             max_cols = 0
             for row_el in root.iter(f"{_SSML}row"):
@@ -115,11 +135,11 @@ def extract_pptx(payload: bytes, url_hash: str = "") -> Tuple[List[Line], List[T
             rels_name = f"ppt/slides/_rels/{name.rsplit('/', 1)[-1]}.rels"
             media_rels = {}
             if rels_name in names:
-                for rel in ET.fromstring(zf.read(rels_name)).iter(f"{_REL_NS}Relationship"):
+                for rel in ET.fromstring(_member_xml(zf, rels_name)).iter(f"{_REL_NS}Relationship"):
                     target = rel.get("Target") or ""
                     if "media/" in target:
                         media_rels[rel.get("Id") or ""] = target.rsplit("/", 1)[-1]
-            root = ET.fromstring(zf.read(name))
+            root = ET.fromstring(_member_xml(zf, name))
             sp_tree = next((el for el in root.iter() if el.tag.endswith("}spTree")), root)
             is_first_shape = True
             for node in sp_tree:
