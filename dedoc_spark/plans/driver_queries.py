@@ -3211,9 +3211,14 @@ def q67_scanned_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
                         body_lines=["page three body"],
                     ),
                 ]
+                # rotate the raster codec per doc — CCITT G4/G3, LZW and
+                # RunLength must recognize identically to Flate (the
+                # closed-form oracle is codec-invariant), so the gate
+                # attests every scan codec end-to-end
+                codec = ("flate", "ccitt", "ccitt_g3", "lzw", "runlength")[did % 5]
                 d = extract_document(
                     f"{did}.pdf",
-                    build_scanned_pdf(pages),
+                    build_scanned_pdf(pages, image_filter=codec),
                     None,
                     params={
                         "pdf_with_text_layer": "false",
