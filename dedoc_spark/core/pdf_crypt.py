@@ -272,8 +272,9 @@ def _authenticate_r56(u: bytes, ue: bytes, r: int) -> Optional[bytes]:
 
 def _pdf_string(obj: bytes, key: bytes) -> Optional[bytes]:
     """First literal ( ) or hex < > string after ``key`` in ``obj``,
-    unescaped to raw bytes."""
-    m = re.search(re.escape(key) + rb"\s*", obj)
+    unescaped to raw bytes. The name-boundary guard keeps /U from
+    matching the prefix of /UE (dict entry order is arbitrary)."""
+    m = re.search(re.escape(key) + rb"(?![A-Za-z])\s*", obj)
     if not m:
         return None
     i = m.end()

@@ -131,3 +131,15 @@ def test_reference_encrypted_pdf_extracts():
     assert meta["title"].startswith("14221-1450-1000")
     pages = extract_pdf_page_images(payload)
     assert len(pages) == 2 and all(len(p) > 20 for p in pages)
+
+
+def test_pdf_string_name_boundary():
+    """/U must not match the prefix of a preceding /UE (entry order in
+    the encryption dict is arbitrary)."""
+    from dedoc_spark.core.pdf_crypt import _pdf_string
+
+    enc = b"<< /UE (AAAA) /U (BBBB) /O (CC) /OE (DD) >>"
+    assert _pdf_string(enc, b"/U") == b"BBBB"
+    assert _pdf_string(enc, b"/UE") == b"AAAA"
+    assert _pdf_string(enc, b"/O") == b"CC"
+    assert _pdf_string(enc, b"/OE") == b"DD"
