@@ -1008,6 +1008,47 @@ def _raw_stream(obj: bytes) -> Optional[bytes]:
     return data
 
 
+def _undo_predictor(raw: bytes, head: bytes) -> Optional[bytes]:
+    """Reverse /DecodeParms /Predictor for Flate/LZW image streams:
+    PNG predictors (>= 10, per-row filter byte — reuses the PNG
+    decoder's unfilter) and TIFF horizontal differencing (2)."""
+    import re as _re
+
+    pm = _re.search(rb"/Predictor\s+(\d+)", head)
+    if pm is None:
+        return raw
+    predictor = int(pm.group(1))
+    if predictor <= 1:
+        return raw
+
+    def parm(key: bytes, default: int) -> int:
+        m = _re.search(key + rb"\s+(\d+)", head)
+        return int(m.group(1)) if m else default
+
+    colors = parm(rb"/Colors", 1)
+    bpc = parm(rb"/BitsPerComponent", 8)
+    columns = parm(rb"/Columns", 1)
+    stride = (columns * colors * bpc + 7) // 8
+    bpp = max(1, (colors * bpc) // 8)
+    if predictor >= 10:
+        from dedoc_spark.core.image_decode import _png_unfilter
+
+        height = len(raw) // (stride + 1)
+        if height == 0:
+            return None
+        try:
+            return bytes(_png_unfilter(raw, height, stride, bpp))
+        except (ValueError, IndexError):
+            return None
+    if predictor == 2 and bpc == 8:
+        height = len(raw) // stride
+        rows = np.frombuffer(raw[: height * stride], dtype=np.uint8).reshape(
+            height, columns, colors
+        )
+        return np.add.accumulate(rows, axis=1, dtype=np.uint8).tobytes()
+    return None  # exotic predictor/bit-depth combination
+
+
 def _decode_image_object(obj: bytes) -> Optional[np.ndarray]:
     import re as _re
     import zlib
@@ -1062,6 +1103,9 @@ def _decode_image_object(obj: bytes) -> Optional[np.ndarray]:
                 raw = zlib.decompress(raw)
             except Exception:
                 return None
+            raw = _undo_predictor(raw, head)
+            if raw is None:
+                return None
         elif name == "LZWDecode":
             from dedoc_spark.core.pdf_filters import PdfFilterError, lzw_decode
 
@@ -1069,6 +1113,9 @@ def _decode_image_object(obj: bytes) -> Optional[np.ndarray]:
             try:
                 raw = lzw_decode(raw, early_change=int(em.group(1)) if em else 1)
             except PdfFilterError:
+                return None
+            raw = _undo_predictor(raw, head)
+            if raw is None:
                 return None
         elif name == "RunLengthDecode":
             try:
@@ -1080,10 +1127,13 @@ def _decode_image_object(obj: bytes) -> Optional[np.ndarray]:
         else:
             return None  # no decoder for this filter (e.g. JBIG2)
     bpc = num(b"/BitsPerComponent") or 8
+    # /Decode [1 0] inverts the component range (white-on-black scans)
+    inverted = _re.search(rb"/Decode\s*\[\s*1(?:\.0*)?\s+0", head) is not None
     if b"/DeviceRGB" in head and bpc == 8 and len(raw) >= width * height * 3:
         return np.frombuffer(raw[: width * height * 3], dtype=np.uint8).reshape(height, width, 3)
     if bpc == 8 and len(raw) >= width * height:
-        return np.frombuffer(raw[: width * height], dtype=np.uint8).reshape(height, width)
+        gray = np.frombuffer(raw[: width * height], dtype=np.uint8).reshape(height, width)
+        return (255 - gray) if inverted else gray
     if bpc == 1:
         stride = (width + 7) // 8
         if len(raw) >= stride * height:
@@ -1091,5 +1141,7 @@ def _decode_image_object(obj: bytes) -> Optional[np.ndarray]:
                 np.frombuffer(raw[: stride * height], dtype=np.uint8).reshape(height, stride),
                 axis=1,
             )[:, :width]
+            if inverted:
+                bits = 1 - bits
             return (bits * 255).astype(np.uint8)
     return None

@@ -430,9 +430,37 @@ def build_scanned_pdf(page_rasters, image_filter: str = "flate") -> bytes:
                 f"/Length {len(data)} >>"
             ).encode("latin-1")
         else:
+            parms = ""
             if image_filter == "flate":
                 data = zlib.compress(arr.tobytes())
                 fname = "FlateDecode"
+            elif image_filter == "flate_png_predictor":
+                # PNG Up predictor (12): per-row filter byte 2 + row-prev
+                import numpy as _np
+
+                diff = arr.astype(_np.int16)
+                diff[1:] -= arr[:-1].astype(_np.int16)
+                rows = _np.concatenate(
+                    [_np.full((h, 1), 2, dtype=_np.uint8),
+                     (diff % 256).astype(_np.uint8)], axis=1
+                )
+                data = zlib.compress(rows.tobytes())
+                fname = "FlateDecode"
+                parms = (
+                    f"/DecodeParms << /Predictor 12 /Colors 1 "
+                    f"/BitsPerComponent 8 /Columns {w} >> "
+                )
+            elif image_filter == "flate_tiff_predictor":
+                import numpy as _np
+
+                diff = arr.astype(_np.int16)
+                diff[:, 1:] -= arr[:, :-1].astype(_np.int16)
+                data = zlib.compress((diff % 256).astype(_np.uint8).tobytes())
+                fname = "FlateDecode"
+                parms = (
+                    f"/DecodeParms << /Predictor 2 /Colors 1 "
+                    f"/BitsPerComponent 8 /Columns {w} >> "
+                )
             elif image_filter == "lzw":
                 from dedoc_spark.core.pdf_filters import lzw_encode
 
@@ -448,7 +476,7 @@ def build_scanned_pdf(page_rasters, image_filter: str = "flate") -> bytes:
             head = (
                 f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
                 f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
-                f"/Filter /{fname} /Length {len(data)} >>"
+                f"{parms}/Filter /{fname} /Length {len(data)} >>"
             ).encode("latin-1")
         if image_filter != "flate" and data.endswith((b"\r", b"\n")):
             # the stream reader strips one trailing EOL before `endstream`;

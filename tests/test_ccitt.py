@@ -227,3 +227,61 @@ def test_ccitt_pdf_bytes_deterministic():
     assert build_scanned_pdf([raster], image_filter="ccitt") == build_scanned_pdf(
         [raster], image_filter="ccitt"
     )
+
+
+@pytest.mark.parametrize(
+    "image_filter", ["flate_png_predictor", "flate_tiff_predictor"]
+)
+def test_scanned_pdf_predictor_variants(image_filter):
+    """Flate image streams with /DecodeParms /Predictor (PNG Up = 12,
+    TIFF horizontal differencing = 2) — the common real-world flate
+    image shape — must decode to the same pixels as plain flate."""
+    from dedoc_spark.core import scanfont
+    from dedoc_spark.core.ocr import extract_pdf_page_images
+    from dedoc_spark.sources.pdf_fixture import build_scanned_pdf
+
+    raster = scanfont.render_scan_page(["Predictor variant line"], scale=2)
+    plain = extract_pdf_page_images(build_scanned_pdf([raster]))[0][0]
+    pred = extract_pdf_page_images(
+        build_scanned_pdf([raster], image_filter=image_filter)
+    )[0][0]
+    assert np.array_equal(pred, plain)
+
+
+def test_decode_array_inversion():
+    """/Decode [1 0] flips the component range (white-on-black scans):
+    an inverted raster with the inverted decode array reads back as the
+    original pixels, for both 8-bpc gray and 1-bit bilevel."""
+    from dedoc_spark.core import scanfont
+    from dedoc_spark.core.ocr import extract_pdf_page_images
+    from dedoc_spark.sources.pdf_fixture import build_scanned_pdf
+
+    raster = scanfont.render_scan_page(["Inverted scan line"], scale=2)
+    plain = extract_pdf_page_images(build_scanned_pdf([raster]))[0][0]
+    inv_pdf = build_scanned_pdf([255 - raster]).replace(
+        b"/BitsPerComponent 8 ", b"/BitsPerComponent 8 /Decode [1 0] ", 1
+    )
+    assert np.array_equal(extract_pdf_page_images(inv_pdf)[0][0], plain)
+    # 1-bit path: G4-encode the inverted page, flip back via /Decode
+    bin_plain = np.where(raster < 128, np.uint8(0), np.uint8(255))
+    ccitt_inv = build_scanned_pdf([255 - raster], image_filter="ccitt")
+    # CCITT output ignores /Decode here; check the raw 1-bit branch instead
+    stride = (raster.shape[1] + 7) // 8
+    packed = np.packbits(bin_plain == 0, axis=1)[:, :stride]  # 1 = ink
+    raw_pdf = build_scanned_pdf([raster])  # template for structure
+    # hand-build a 1-bit object: reuse fixture then swap the image object
+    import zlib as _z
+
+    h, w = bin_plain.shape
+    head = (
+        f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+        f"/ColorSpace /DeviceGray /BitsPerComponent 1 /Decode [1 0] "
+        f"/Filter /FlateDecode /Length "
+    )
+    data = _z.compress(packed.tobytes())
+    from dedoc_spark.core.ocr import _decode_image_object
+
+    obj = (head + f"{len(data)} >>").encode() + b"\nstream\n" + data + b"\nendstream"
+    img = _decode_image_object(obj)
+    # packed bits: 1 where ink; /Decode [1 0] maps 1 -> 0 (black)
+    assert img is not None and np.array_equal(img, bin_plain)
