@@ -149,6 +149,7 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, np.ndarray]:
     frame = None
     stores: Dict[int, np.ndarray] = {}
     restart_interval = 0
+    adobe_transform = None
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -202,6 +203,9 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, np.ndarray]:
                 b += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            # APP14 transform flag: 0 = CMYK as stored, 2 = YCCK
+            adobe_transform = body[11]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
@@ -224,7 +228,7 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, np.ndarray]:
         pos += 2 + seglen
     if frame is None or not stores:
         raise ValueError("jpeg: no scan data")
-    return _render(frame, stores, qt)
+    return _render(frame, stores, qt, adobe_transform)
 
 
 def _mcu_geometry(frame):
@@ -355,7 +359,7 @@ def _decode_scan_into(stores, br, frame, scan, huff_dc, huff_ac, ri, ss, se, ah,
                 unit += 1
 
 
-def _render(frame, stores, qt):
+def _render(frame, stores, qt, adobe_transform=None):
     """Dequant + IDCT + upsample + color convert, once, after all scans."""
     width, height = frame["w"], frame["h"]
     max_h, max_v, _, _ = _mcu_geometry(frame)
@@ -378,6 +382,19 @@ def _render(frame, stores, qt):
     if len(full) == 1:
         y = np.clip(full[0], 0, 255).astype(np.uint8)
         return width, height, np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
+    if len(full) == 4:
+        # Adobe CMYK (APP14 transform 0) / YCCK (transform 2); values are
+        # stored INVERTED (255 = no ink), so RGB = channel * K / 255
+        if adobe_transform == 2:
+            y, cb, cr, k = full
+            c = np.clip(y + 1.402 * (cr - 128.0), 0, 255)
+            m = np.clip(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0), 0, 255)
+            ye = np.clip(y + 1.772 * (cb - 128.0), 0, 255)
+        else:
+            c, m, ye, k = (np.clip(p, 0, 255) for p in full)
+        k = np.clip(k, 0, 255)
+        rgb = np.stack([c * k, m * k, ye * k], axis=2) / 255.0
+        return width, height, np.ascontiguousarray(np.clip(rgb, 0, 255).astype(np.uint8))
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
