@@ -1,0 +1,218 @@
+"""Baseline TIFF 6.0 decoder, pure Python + numpy — the container real
+fax scans and office scanners ship in. The reference hands TIFF to
+PIL/cv2 (it registers image_like .tiff, png_converter.py:16-39); neither
+lives in this container, so the strip-based baseline subset decodes
+natively here, reusing the codecs already built for PDF rasters:
+
+  compression 1      uncompressed (1-bit bilevel, 8-bit gray, 8-bit RGB)
+  compression 2      CCITT MH 1-D           (core/ccitt.decode_g3 k=0)
+  compression 3      CCITT G3, T4Options    (core/ccitt.decode_g3)
+  compression 4      CCITT G4               (core/ccitt.decode_g4)
+  compression 5      LZW (TIFF == the PDF MSB-first early-change
+                     stream) + Predictor 2  (core/pdf_filters.lzw_decode)
+  compression 32773  PackBits
+
+FillOrder 2 (bit-reversed fax strips) is honored. Multi-page TIFFs
+decode their first IFD (PIL's default frame — parity with the
+reference's conversion); decode_tiff_pages returns every page for the
+scanned-document route.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from dedoc_spark.core.ccitt import CcittError, decode_g3, decode_g4
+from dedoc_spark.core.pdf_filters import PdfFilterError, lzw_decode
+
+# byte-wise bit reversal for FillOrder 2
+_BITREV = np.array(
+    [int(f"{b:08b}"[::-1], 2) for b in range(256)], dtype=np.uint8
+)
+
+
+def _packbits(data: bytes) -> bytes:
+    """PackBits (TIFF 6.0 §9): n < 128 copies n+1 literals, n > 128
+    repeats the next byte 257-n times, n == 128 is a NOP."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        code = data[i]
+        i += 1
+        if code == 128:
+            continue
+        if code < 128:
+            out += data[i : i + code + 1]
+            i += code + 1
+        else:
+            if i >= n:
+                raise ValueError("tiff: truncated PackBits run")
+            out += bytes([data[i]]) * (257 - code)
+            i += 1
+    return bytes(out)
+
+
+def _read_ifds(data: bytes) -> Tuple[str, List[Dict[int, Tuple[int, int, bytes]]]]:
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (off,) = struct.unpack_from(bo + "I", data, 4)
+    ifds = []
+    seen = set()
+    while off and off not in seen and off + 2 <= len(data):
+        seen.add(off)
+        (count,) = struct.unpack_from(bo + "H", data, off)
+        entries: Dict[int, Tuple[int, int, bytes]] = {}
+        for i in range(count):
+            base = off + 2 + 12 * i
+            if base + 12 > len(data):
+                break
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", data, base)
+            entries[tag] = (typ, cnt, data[base + 8 : base + 12])
+        ifds.append(entries)
+        nxt_pos = off + 2 + 12 * count
+        if nxt_pos + 4 > len(data):
+            break
+        (off,) = struct.unpack_from(bo + "I", data, nxt_pos)
+    if not ifds:
+        raise ValueError("tiff: no IFD")
+    return bo, ifds
+
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4}
+
+
+def _values(data: bytes, bo: str, entry: Tuple[int, int, bytes]) -> List[int]:
+    typ, cnt, raw4 = entry
+    size = _TYPE_SIZE.get(typ)
+    if size is None:
+        return []
+    total = size * cnt
+    if total <= 4:
+        buf = raw4[:total]
+    else:
+        (ptr,) = struct.unpack_from(bo + "I", raw4, 0)
+        buf = data[ptr : ptr + total]
+    fmt = {1: "B", 2: "B", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i"}[typ]
+    return list(struct.unpack(bo + fmt * cnt, buf[: size * cnt]))
+
+
+def _decode_ifd(data: bytes, bo: str, ifd: Dict) -> np.ndarray:
+    def tag(t: int, default: Optional[int] = None) -> Optional[int]:
+        if t not in ifd:
+            return default
+        v = _values(data, bo, ifd[t])
+        return v[0] if v else default
+
+    width = tag(256)
+    height = tag(257)
+    if not width or not height:
+        raise ValueError("tiff: missing dimensions")
+    compression = tag(259, 1)
+    photometric = tag(262, 1)
+    spp = tag(277, 1)
+    bits = _values(data, bo, ifd[258]) if 258 in ifd else [1]
+    bps = bits[0] if bits else 1
+    rows_per_strip = tag(278, height) or height
+    fill_order = tag(266, 1)
+    predictor = tag(317, 1)
+    t4options = tag(292, 0)
+    offsets = _values(data, bo, ifd[273]) if 273 in ifd else []
+    counts = _values(data, bo, ifd[279]) if 279 in ifd else []
+    if not offsets:
+        raise ValueError("tiff: no strip offsets")
+    if not counts:  # single strip to EOF (seen in the wild)
+        counts = [len(data) - offsets[0]]
+
+    planes: List[np.ndarray] = []
+    row_cursor = 0
+    for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+        strip = data[soff : soff + scnt]
+        rows = min(rows_per_strip, height - row_cursor)
+        if rows <= 0:
+            break
+        if compression in (2, 3, 4) and fill_order == 2:
+            strip = _BITREV[np.frombuffer(strip, dtype=np.uint8)].tobytes()
+        if compression in (2, 3, 4):
+            try:
+                if compression == 4:
+                    img = decode_g4(strip, width, rows=rows)
+                elif compression == 3:
+                    two_d = bool(t4options & 1)
+                    img = decode_g3(
+                        strip, width, rows=rows, k=4 if two_d else 0,
+                        byte_align=bool(t4options & 4),
+                    )
+                else:
+                    img = decode_g3(strip, width, rows=rows, k=0)
+            except CcittError as e:
+                raise ValueError(f"tiff: fax strip decode failed ({e})")
+            if img.shape[0] < rows:  # pad short strips white
+                pad = np.full((rows - img.shape[0], width), 255, np.uint8)
+                img = np.vstack([img, pad])
+            planes.append(img[:, :, None])
+            row_cursor += rows
+            continue
+        if compression == 5:
+            try:
+                strip = lzw_decode(strip, early_change=1)
+            except PdfFilterError as e:
+                raise ValueError(f"tiff: LZW strip failed ({e})")
+        elif compression == 32773:
+            strip = _packbits(strip)
+        elif compression != 1:
+            raise ValueError(f"tiff: unsupported compression {compression}")
+        if bps == 1 and spp == 1:
+            stride = (width + 7) // 8
+            bitbuf = np.frombuffer(strip[: stride * rows], dtype=np.uint8)
+            px = np.unpackbits(bitbuf.reshape(rows, stride), axis=1)[:, :width]
+            if photometric == 1:  # BlackIsZero: 1 bits are white
+                px = 1 - px
+            planes.append(((1 - px) * 255).astype(np.uint8)[:, :, None])
+        elif bps == 8:
+            need = width * rows * spp
+            arr = np.frombuffer(strip[:need], dtype=np.uint8)
+            if arr.size < need:
+                raise ValueError("tiff: short strip")
+            arr = arr.reshape(rows, width, spp).copy()
+            if predictor == 2:
+                arr = np.add.accumulate(arr, axis=1, dtype=np.uint8)
+            if photometric == 0 and spp == 1:  # WhiteIsZero gray
+                arr = 255 - arr
+            planes.append(arr)
+        else:
+            raise ValueError(f"tiff: unsupported bits-per-sample {bps}")
+        row_cursor += rows
+    if not planes:
+        raise ValueError("tiff: no strips decoded")
+    img = np.vstack(planes)[:height]
+    if img.shape[2] == 1:
+        return np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
+def decode_tiff(data: bytes) -> Tuple[int, int, np.ndarray]:
+    """First page -> (width, height, HxWx3 uint8 RGB)."""
+    bo, ifds = _read_ifds(data)
+    rgb = _decode_ifd(data, bo, ifds[0])
+    return rgb.shape[1], rgb.shape[0], rgb
+
+
+def decode_tiff_pages(data: bytes) -> List[np.ndarray]:
+    """Every IFD page as HxWx3 RGB (multi-page fax TIFFs); pages that
+    fail to decode are skipped, never an exception for later pages."""
+    bo, ifds = _read_ifds(data)
+    out: List[np.ndarray] = []
+    for ifd in ifds:
+        try:
+            out.append(_decode_ifd(data, bo, ifd))
+        except ValueError:
+            continue
+    return out

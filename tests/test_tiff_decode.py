@@ -1,0 +1,192 @@
+"""TIFF decoder (core/tiff_decode): fixture-written baseline TIFFs per
+compression, fax strips through the CCITT codecs, multi-page, and the
+scanned-image document route."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from dedoc_spark.core.ccitt import encode_g3, encode_g4
+from dedoc_spark.core.pdf_filters import lzw_encode, runlength_encode
+from dedoc_spark.core.tiff_decode import _BITREV, decode_tiff, decode_tiff_pages
+
+
+def _write_tiff(
+    pages,
+    compression=1,
+    photometric=None,
+    fill_order=1,
+    predictor=1,
+    rows_per_strip=None,
+    t4options=0,
+    byte_order="<",
+):
+    """Minimal TIFF writer for fixtures: header, strip data, one IFD per
+    page chained at the end. ``pages``: HxW (gray/bilevel) or HxWx3."""
+    bo = byte_order
+    out = bytearray(b"II*\x00\x00\x00\x00\x00" if bo == "<" else b"MM\x00*\x00\x00\x00\x00")
+    ifd_offsets = []
+    page_entries = []
+    for img in pages:
+        img = np.asarray(img, dtype=np.uint8)
+        h, w = img.shape[:2]
+        spp = img.shape[2] if img.ndim == 3 else 1
+        rps = rows_per_strip or h
+        strips = []
+        for y0 in range(0, h, rps):
+            part = img[y0 : y0 + rps]
+            if compression == 4:
+                data = encode_g4(part)
+            elif compression == 3:
+                data = encode_g3(part, k=4 if t4options & 1 else 0, byte_align=bool(t4options & 4))
+            elif compression == 2:
+                data = encode_g3(part, k=0)
+            elif compression == 5:
+                raw = part
+                if predictor == 2:
+                    diff = part.astype(np.int16).copy()
+                    diff[:, 1:] -= part[:, :-1].astype(np.int16)
+                    raw = (diff % 256).astype(np.uint8)
+                data = lzw_encode(raw.tobytes())
+            elif compression == 32773:
+                data = runlength_encode(part.tobytes())
+            else:
+                data = part.tobytes()
+            if compression in (2, 3, 4) and fill_order == 2:
+                data = _BITREV[np.frombuffer(data, dtype=np.uint8)].tobytes()
+            strips.append(data)
+        offsets = []
+        for s in strips:
+            offsets.append(len(out))
+            out += s
+        bps = 1 if compression in (2, 3, 4) else 8
+        phot = photometric
+        if phot is None:
+            phot = 0 if compression in (2, 3, 4) else (2 if spp == 3 else 1)
+        entries = [
+            (256, 4, [w]), (257, 4, [h]), (258, 3, [bps] * spp),
+            (259, 3, [compression]), (262, 3, [phot]), (277, 3, [spp]),
+            (278, 4, [rps]), (273, 4, offsets), (279, 4, [len(s) for s in strips]),
+        ]
+        if fill_order != 1:
+            entries.append((266, 3, [fill_order]))
+        if predictor != 1:
+            entries.append((317, 3, [predictor]))
+        if t4options:
+            entries.append((292, 4, [t4options]))
+        page_entries.append(sorted(entries))
+
+    # emit IFDs (values needing >4 bytes go into an overflow area first)
+    prev_next_ptr = 4  # header's first-IFD pointer
+    for entries in page_entries:
+        overflow = bytearray()
+        packed = []
+        ifd_guess = len(out)
+        for tag, typ, vals in entries:
+            size = {3: 2, 4: 4}[typ]
+            fmt = {3: "H", 4: "I"}[typ]
+            body = b"".join(struct.pack(bo + fmt, v) for v in vals)
+            packed.append((tag, typ, len(vals), body))
+        # two passes: first compute IFD size, then place overflow after it
+        ifd_size = 2 + 12 * len(packed) + 4
+        data_base = ifd_guess + ifd_size
+        entry_bytes = bytearray(struct.pack(bo + "H", len(packed)))
+        for tag, typ, cnt, body in packed:
+            if len(body) <= 4:
+                raw4 = body + b"\x00" * (4 - len(body))
+            else:
+                raw4 = struct.pack(bo + "I", data_base + len(overflow))
+                overflow += body
+            entry_bytes += struct.pack(bo + "HHI", tag, typ, cnt) + raw4
+        entry_bytes += struct.pack(bo + "I", 0)  # next-IFD placeholder
+        struct.pack_into(bo + "I", out, prev_next_ptr, ifd_guess)
+        prev_next_ptr = ifd_guess + 2 + 12 * len(packed)
+        out += entry_bytes + overflow
+    return bytes(out)
+
+
+def _gray(seed, shape=(24, 37)):
+    return np.random.default_rng(seed).integers(0, 256, size=shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_uncompressed_gray_both_orders(bo):
+    img = _gray(1)
+    w, h, rgb = decode_tiff(_write_tiff([img], byte_order=bo))
+    assert (w, h) == (37, 24)
+    assert np.array_equal(rgb[:, :, 0], img)
+
+
+def test_white_is_zero_inverts():
+    img = _gray(2)
+    rgb = decode_tiff(_write_tiff([img], photometric=0))[2]
+    assert np.array_equal(rgb[:, :, 0], 255 - img)
+
+
+def test_rgb_packbits():
+    img = np.random.default_rng(3).integers(0, 256, size=(10, 13, 3), dtype=np.uint8)
+    w, h, rgb = decode_tiff(_write_tiff([img], compression=32773))
+    assert np.array_equal(rgb, img)
+
+
+def test_lzw_with_predictor():
+    img = _gray(4, (16, 50))
+    w, h, rgb = decode_tiff(_write_tiff([img], compression=5, predictor=2))
+    assert np.array_equal(rgb[:, :, 0], img)
+
+
+@pytest.mark.parametrize("compression,t4options", [(4, 0), (3, 0), (3, 1), (3, 5), (2, 0)])
+def test_fax_compressions(compression, t4options):
+    rng = np.random.default_rng(compression * 10 + t4options)
+    img = np.where(rng.random((21, 64)) < 0.3, np.uint8(0), np.uint8(255))
+    w, h, rgb = decode_tiff(
+        _write_tiff([img], compression=compression, t4options=t4options)
+    )
+    assert np.array_equal(rgb[:, :, 0], img)
+
+
+def test_g4_fill_order_2_and_multistrip():
+    rng = np.random.default_rng(9)
+    img = np.where(rng.random((30, 48)) < 0.25, np.uint8(0), np.uint8(255))
+    data = _write_tiff([img], compression=4, fill_order=2, rows_per_strip=8)
+    w, h, rgb = decode_tiff(data)
+    assert np.array_equal(rgb[:, :, 0], img)
+
+
+def test_multipage_fax():
+    rng = np.random.default_rng(11)
+    p1 = np.where(rng.random((12, 40)) < 0.3, np.uint8(0), np.uint8(255))
+    p2 = np.where(rng.random((15, 40)) < 0.3, np.uint8(0), np.uint8(255))
+    data = _write_tiff([p1, p2], compression=4)
+    pages = decode_tiff_pages(data)
+    assert len(pages) == 2
+    assert np.array_equal(pages[0][:, :, 0], p1)
+    assert np.array_equal(pages[1][:, :, 0], p2)
+    # decode_tiff = first page only (PIL default-frame parity)
+    assert decode_tiff(data)[2].shape[:2] == (12, 40)
+
+
+def test_decode_image_dispatch():
+    from dedoc_spark.core.image_decode import decode_image
+
+    img = _gray(12)
+    w, h, rgb = decode_image(_write_tiff([img]))
+    assert np.array_equal(rgb[:, :, 0], img)
+
+
+def test_scanned_tiff_document_route():
+    """.tif routes as typed media by default; pdf_with_text_layer=false
+    sends it through the scanned-page pipeline like any image."""
+    from dedoc_spark.core import scanfont
+    from dedoc_spark.core.document import extract_document
+
+    page = scanfont.render_scan_page(["Tiff scan line here"], scale=2)
+    payload = _write_tiff([page], compression=4)
+    d = extract_document("scan.tif", payload, None, params={})
+    assert d["error"] == "needs_decoder:image/tiff"  # default bytes stable
+    d2 = extract_document(
+        "scan.tif", payload, None, params={"pdf_with_text_layer": "false"}
+    )
+    assert d2.get("error") is None
+    assert "Tiff scan line here" in d2["text_extracted"]
