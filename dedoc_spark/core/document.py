@@ -241,9 +241,29 @@ def extract_scanned_image_document(url: str, payload: bytes, params: Optional[Di
     from dedoc_spark.core.image_decode import decode_image
     from dedoc_spark.core.ocr import process_scanned_page
 
-    _w, _h, rgb = decode_image(payload)
-    lines, located, angle = process_scanned_page(rgb, 0, url_hash(url), params or {})
-    warnings = [f"rotated page angles: [{angle:g}]"] if angle else []
+    # multi-page fax TIFFs: every IFD page is a scanned page (the
+    # reference's PIL conversion walks frames the same way)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from dedoc_spark.core.tiff_decode import decode_tiff_pages
+
+        rasters = decode_tiff_pages(payload)
+        if not rasters:
+            raise ValueError("tiff: no decodable pages")
+    else:
+        rasters = [decode_image(payload)[2]]
+    seed = url_hash(url)
+    lines: List[Line] = []
+    located = []
+    angles: List[float] = []
+    for page_id, rgb in enumerate(rasters):
+        pl, pt, angle = process_scanned_page(rgb, page_id, seed, params or {})
+        lines.extend(pl)
+        located.extend(pt)
+        angles.append(angle)
+    warnings = []
+    if any(angles):
+        joined = ", ".join(f"{a:g}" for a in angles)
+        warnings.append(f"rotated page angles: [{joined}]")
     return _finalize(url, lines, _merge_located_tables(located, lines), warnings, params)
 
 

@@ -190,3 +190,24 @@ def test_scanned_tiff_document_route():
     )
     assert d2.get("error") is None
     assert "Tiff scan line here" in d2["text_extracted"]
+
+
+def test_multipage_tiff_document_route():
+    """Every IFD page of a fax TIFF becomes a scanned page with its own
+    page_id through the image route."""
+    import json
+
+    from dedoc_spark.core import scanfont
+    from dedoc_spark.core.document import extract_document
+
+    p1 = scanfont.render_scan_page(["Multi page one"], scale=2)
+    p2 = scanfont.render_scan_page(["Multi page two"], scale=2)
+    payload = _write_tiff([p1, p2], compression=4)
+    d = extract_document(
+        "fax.tif", payload, None, params={"pdf_with_text_layer": "false"}
+    )
+    assert d.get("error") is None
+    assert "Multi page one" in d["text_extracted"]
+    assert "Multi page two" in d["text_extracted"]
+    pages = {ln["page_id"] for ln in json.loads(d["lines_json"])}
+    assert pages == {0, 1}
