@@ -44,33 +44,12 @@ from xml.etree import ElementTree as ET
 
 from dedoc_spark.core.annotation_merger import merge_annotations
 from dedoc_spark.core.model import Annotation, Cell, HierarchyLevel, Line, Table
+from dedoc_spark.core.ooxml_ns import normalize_strict_ooxml
 
 W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
-
-# ISO strict -> transitional namespace URI map (ECMA-376 part 1 annex;
-# the package-relationships namespace is unchanged between editions)
-_STRICT_NS = [
-    (
-        b"http://purl.oclc.org/ooxml/wordprocessingml/main",
-        b"http://schemas.openxmlformats.org/wordprocessingml/2006/main",
-    ),
-    (
-        b"http://purl.oclc.org/ooxml/officeDocument/relationships",
-        b"http://schemas.openxmlformats.org/officeDocument/2006/relationships",
-    ),
-    (
-        b"http://purl.oclc.org/ooxml/drawingml/main",
-        b"http://schemas.openxmlformats.org/drawingml/2006/main",
-    ),
-    (
-        b"http://purl.oclc.org/ooxml/drawingml/wordprocessingDrawing",
-        b"http://schemas.openxmlformats.org/drawingml/2006/wordprocessingDrawing",
-    ),
-]
-
 
 def attachment_uid(url_hash: str, name: str) -> str:
     """Deterministic uid for a docx media attachment — matches the row uid
@@ -80,61 +59,76 @@ def attachment_uid(url_hash: str, name: str) -> str:
 
 _HEADING_RE = re.compile(r"heading\s*(\d+)", re.I)
 
-# any-prefix paragraph open/close tag (attribute values may hold ">")
-_P_TAG_RE = re.compile(rb"<(/?)(?:\w+:)?p(?=[\s/>])((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>")
+# any-element open/close/self-closing tag (attribute values may hold ">")
+_TAG_RE = re.compile(
+    rb"<(/?)([A-Za-z_][\w:.-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>"
+)
 _PICT_RE = re.compile(rb"<(?:\w+:)?pict[\s/>]")
 
 
-def _top_level_p_spans(content: bytes, start: int, end: int) -> List[Tuple[int, int]]:
-    """Byte spans of the BODY-level paragraphs in content[start:end] —
-    w:p nests inside textbox content, so spans need balanced matching."""
-    spans: List[Tuple[int, int]] = []
+def _body_child_spans(
+    content: bytes, start: int, end: int
+) -> List[Tuple[bytes, int, int]]:
+    """(local tag name, byte span) for every DIRECT child element of the
+    body region content[start:end] — full depth tracking, so a w:p inside
+    a table cell or textbox is never mistaken for a body child (the
+    reference iterates ``bs.body`` children the same way)."""
+    spans: List[Tuple[bytes, int, int]] = []
     depth = 0
     open_at: Optional[int] = None
-    for m in _P_TAG_RE.finditer(content, start, end):
-        if m.group(1) == b"/":
+    open_name: bytes = b""
+    for m in _TAG_RE.finditer(content, start, end):
+        closing, name, attrs = m.group(1), m.group(2), m.group(3)
+        if closing == b"/":
             depth -= 1
             if depth == 0 and open_at is not None:
-                spans.append((open_at, m.end()))
+                spans.append((open_name, open_at, m.end()))
                 open_at = None
-        elif m.group(2).rstrip().endswith(b"/"):
+        elif attrs.rstrip().endswith(b"/"):
             if depth == 0:
-                spans.append((m.start(), m.end()))
+                spans.append((name.split(b":")[-1], m.start(), m.end()))
         else:
             if depth == 0:
                 open_at = m.start()
+                open_name = name.split(b":")[-1]
             depth += 1
     return spans
 
 
-def diagram_paragraphs(document: bytes) -> Tuple[bytes, List[Tuple[int, Tuple[int, int]]]]:
+def diagram_paragraphs(
+    document: bytes,
+) -> Tuple[bytes, List[Tuple[Optional[int], Tuple[int, int]]]]:
     """The reference's diagram discovery (docx_attachments_extractor.py
     __extract_diagrams): whitespace-normalize document.xml, then every
-    body-level paragraph containing a VML ``pict`` element is a diagram.
-    Returns (normalized document, [(index among body-level paragraphs,
-    span in the normalized bytes)]). The md5 of a span's bytes is the
-    diagram uid (the reference hashes bs4's rendering of the same
-    paragraph — serializer-specific bytes, so uid VALUES differ while
-    the name scheme, count and determinism match)."""
+    direct body child containing a VML ``pict`` element is a diagram
+    (bs4 iterates ALL children — a pict inside a body-level table
+    counts too). Returns (normalized document, [(index among body-level
+    w:p children or None for non-paragraph children, span in the
+    normalized bytes)]). The md5 of a span's bytes is the diagram uid
+    (the reference hashes bs4's rendering of the same element —
+    serializer-specific bytes, so uid VALUES differ while the name
+    scheme, count and determinism match)."""
     content = re.sub(rb"\n[\t ]*", b"", document)
     bo = re.search(rb"<(?:\w+:)?body[\s>]", content)
     bc = re.search(rb"</(?:\w+:)?body>", content)
     if bo is None or bc is None:
         return content, []
-    spans = _top_level_p_spans(content, bo.end(), bc.start())
-    out = [
-        (i, (s, e))
-        for i, (s, e) in enumerate(spans)
-        if _PICT_RE.search(content, s, e)
-    ]
+    out: List[Tuple[Optional[int], Tuple[int, int]]] = []
+    p_index = 0
+    for name, s, e in _body_child_spans(content, bo.end(), bc.start()):
+        if _PICT_RE.search(content, s, e):
+            out.append((p_index if name == b"p" else None, (s, e)))
+        if name == b"p":
+            p_index += 1
     return content, out
 
 
 def diagram_attachments(payload: bytes, max_members: int = 1000) -> List[Tuple[str, bytes]]:
-    """One single-diagram docx per pict paragraph, named ``{uid}.docx``
-    (docx_attachments_extractor.py __extract_diagrams:44-94: the original
-    package re-zipped with a document.xml holding only that diagram
-    paragraph beside the non-diagram body). Fixed zip timestamps keep the
+    """One single-diagram docx per pict-bearing body child, named
+    ``{uid}.docx`` (docx_attachments_extractor.py __extract_diagrams:44-94:
+    the reference extracts EVERY Tag child out of ``bs.body`` — so the
+    repacked document.xml holds ONLY the one diagram element, inserted back
+    alone via ``bs.body.insert(1, p)``). Fixed zip timestamps keep the
     attachment bytes deterministic."""
     import io
     import zipfile
@@ -151,30 +145,24 @@ def diagram_attachments(payload: bytes, max_members: int = 1000) -> List[Tuple[s
             members = {n: zf.read(n) for n in names}
     except zipfile.BadZipFile:
         return []
-    content, diag = diagram_paragraphs(members[docname])
+    # normalize strict-OOXML URIs BEFORE hashing: the reader's annotation
+    # side hashes the normalized document.xml, and the two md5s must agree
+    content, diag = diagram_paragraphs(normalize_strict_ooxml(members[docname]))
     if not diag:
         return []
-    doc_wo = bytearray()
-    prev = 0
-    for _, (s, e) in diag:
-        doc_wo += content[prev:s]
-        prev = e
-    doc_wo += content[prev:]
-    doc_wo = bytes(doc_wo)
-    bo = re.search(rb"<(?:\w+:)?body[\s>]", doc_wo)
-    bc = re.search(rb"</(?:\w+:)?body>", doc_wo)
+    bo = re.search(rb"<(?:\w+:)?body[\s>]", content)
+    bc = re.search(rb"</(?:\w+:)?body>", content)
     if bo is None or bc is None:
         return []
-    body_open_end = doc_wo.index(b">", bo.start()) + 1
-    remaining = _top_level_p_spans(doc_wo, body_open_end, bc.start())
-    # the reference inserts at body child index 1 (after the first
-    # remaining child when present)
-    insert_at = remaining[0][1] if remaining else body_open_end
+    open_tag = _TAG_RE.match(content, bo.start())
+    if open_tag is None:
+        return []
+    body_open_end = open_tag.end()
     out: List[Tuple[str, bytes]] = []
     for _, (s, e) in diag[:max_members]:
         span = content[s:e]
         uid = hashlib.md5(span).hexdigest()
-        new_doc = doc_wo[:insert_at] + span + doc_wo[insert_at:]
+        new_doc = content[:body_open_end] + span + content[bc.start():]
         buf = io.BytesIO()
         with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as nz:
             for n in names:
@@ -394,16 +382,10 @@ class DocxExtractor:
             def read(name: str) -> Optional[bytes]:
                 if name not in names:
                     return None
-                data = zf.read(name)
-                # ISO "strict" OOXML renames every namespace URI under
-                # purl.oclc.org (e.g. the corpus's size1.docx); the
-                # reference's bs4 matches on the "w:" PREFIX so it never
-                # notices — normalize strict URIs to transitional so the
-                # ElementTree paths line up
-                if b"http://purl.oclc.org/ooxml/" in data:
-                    for strict, trans in _STRICT_NS:
-                        data = data.replace(strict, trans)
-                return data
+                # strict-OOXML URIs normalized so ElementTree paths line
+                # up (e.g. the corpus's size1.docx) — shared table, so
+                # diagram uids hash the SAME normalized bytes everywhere
+                return normalize_strict_ooxml(zf.read(name))
 
             # some Word builds emit document2.xml (reference falls back the
             # same way, office_utils.get_bs_from_zip / docx_document.py:134-136)
@@ -436,7 +418,10 @@ class DocxExtractor:
         # formats.list_attachments' repacked one-paragraph docx files)
         norm_doc, diag_spans = diagram_paragraphs(document)
         diagram_uid_by_pidx = {
-            i: hashlib.md5(norm_doc[s:e]).hexdigest() for i, (s, e) in diag_spans
+            i: hashlib.md5(norm_doc[s:e]).hexdigest()
+            for i, (s, e) in diag_spans
+            if i is not None  # pict inside a body-level tbl: table wins
+            # in the reader (docx_document.py:70-76 checks tbl first)
         }
         p_index = 0
         if body is not None:

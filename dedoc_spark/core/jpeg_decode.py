@@ -383,8 +383,11 @@ def _render(frame, stores, qt, adobe_transform=None):
         y = np.clip(full[0], 0, 255).astype(np.uint8)
         return width, height, np.ascontiguousarray(np.repeat(y[:, :, None], 3, axis=2))
     if len(full) == 4:
-        # Adobe CMYK (APP14 transform 0) / YCCK (transform 2); values are
-        # stored INVERTED (255 = no ink), so RGB = channel * K / 255
+        # With an Adobe APP14 marker: CMYK (transform 0) / YCCK (transform
+        # 2), values stored INVERTED (255 = no ink) so RGB = ch * K / 255.
+        # WITHOUT the marker (adobe_transform None): standard non-inverted
+        # CMYK — libjpeg/PIL do NOT invert, so RGB = (255-ch)(255-K)/255
+        # (r6 review finding: print-workflow encoders hit this path).
         if adobe_transform == 2:
             y, cb, cr, k = full
             c = np.clip(y + 1.402 * (cr - 128.0), 0, 255)
@@ -393,6 +396,8 @@ def _render(frame, stores, qt, adobe_transform=None):
         else:
             c, m, ye, k = (np.clip(p, 0, 255) for p in full)
         k = np.clip(k, 0, 255)
+        if adobe_transform is None:
+            c, m, ye, k = 255.0 - c, 255.0 - m, 255.0 - ye, 255.0 - k
         rgb = np.stack([c * k, m * k, ye * k], axis=2) / 255.0
         return width, height, np.ascontiguousarray(np.clip(rgb, 0, 255).astype(np.uint8))
     y, cb, cr = full

@@ -992,11 +992,18 @@ def extract_pdf_page_images(payload: bytes) -> List[List[np.ndarray]]:
 
 
 def _raw_stream(obj: bytes) -> Optional[bytes]:
+    """Stream payload framed by a direct /Length (the only reliable
+    framing — compressed output may legitimately END in 0x0A/0x0D bytes
+    that an endstream scan would strip); indirect /Length falls back to
+    the endstream scan with a trailing-EOL strip."""
     import re as _re
 
     sm = _re.search(rb"stream(?:\r\n|\n|\r)", obj)
     if sm is None:
         return None
+    lm = _re.search(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)", obj[: sm.start()])
+    if lm:
+        return obj[sm.end() : sm.end() + int(lm.group(1))]
     end = obj.rfind(b"endstream")
     if end < 0:
         return None
@@ -1097,7 +1104,16 @@ def _decode_image_object(obj: bytes) -> Optional[np.ndarray]:
                     img = decode_g3(raw, columns, rows=height, k=k, byte_align=byte_align)
             except CcittError:
                 return None
-            return img if img.size else None
+            if not img.size:
+                return None
+            # /BlackIs1 true: black pixels are 1-samples, which the default
+            # /Decode [0 1] displays WHITE — a net inversion vs our decoder's
+            # ink=0 output. /Decode [1 0] inverts again, so they cancel.
+            black_is_1 = _re.search(rb"/BlackIs1\s+true", head) is not None
+            decode_10 = _re.search(rb"/Decode\s*\[\s*1(?:\.0*)?\s+0", head) is not None
+            if black_is_1 != decode_10:
+                img = 255 - img
+            return img
         if name == "FlateDecode":
             try:
                 raw = zlib.decompress(raw)

@@ -24,25 +24,11 @@ from dedoc_spark.core.model import Annotation, Cell, HierarchyLevel, Line, Table
 _SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _DRAW = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 
-# ISO strict OOXML -> transitional URI map (see docx_extract._STRICT_NS)
-_STRICT_OOXML = [
-    (b"http://purl.oclc.org/ooxml/spreadsheetml/main",
-     b"http://schemas.openxmlformats.org/spreadsheetml/2006/main"),
-    (b"http://purl.oclc.org/ooxml/presentationml/main",
-     b"http://schemas.openxmlformats.org/presentationml/2006/main"),
-    (b"http://purl.oclc.org/ooxml/drawingml/main",
-     b"http://schemas.openxmlformats.org/drawingml/2006/main"),
-    (b"http://purl.oclc.org/ooxml/officeDocument/relationships",
-     b"http://schemas.openxmlformats.org/officeDocument/2006/relationships"),
-]
-
-
 def _member_xml(zf: zipfile.ZipFile, name: str) -> bytes:
-    data = zf.read(name)
-    if b"http://purl.oclc.org/ooxml/" in data:
-        for strict, trans in _STRICT_OOXML:
-            data = data.replace(strict, trans)
-    return data
+    # strict-OOXML -> transitional (shared map, core/ooxml_ns.py)
+    from dedoc_spark.core.ooxml_ns import normalize_strict_ooxml
+
+    return normalize_strict_ooxml(zf.read(name))
 
 
 def _col_index(ref: str) -> int:

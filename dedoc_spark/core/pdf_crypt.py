@@ -282,7 +282,11 @@ def _pdf_string(obj: bytes, key: bytes) -> Optional[bytes]:
         return None
     if obj[i : i + 1] == b"<":
         j = obj.find(b">", i)
+        if j < 0:
+            return None  # unterminated hex string: malformed, not fatal
         hexstr = re.sub(rb"\s", b"", obj[i + 1 : j])
+        if not re.fullmatch(rb"[0-9A-Fa-f]*", hexstr):
+            return None
         if len(hexstr) % 2:
             hexstr += b"0"
         return bytes.fromhex(hexstr.decode("ascii"))
@@ -304,13 +308,10 @@ def _pdf_string(obj: bytes, key: bytes) -> Optional[bytes]:
                 out.append(table[e])
             elif e in (b"(", b")", b"\\"):
                 out.append(e[0])
-            elif e.isdigit():
-                oct_ = obj[i : i + 3]
-                k = 1
-                while k < 3 and k < len(oct_) and oct_[: k + 1].isdigit():
-                    k += 1
-                out.append(int(oct_[:k], 8) & 0xFF)
-                i += k - 1
+            elif b"0" <= e <= b"7":  # octal digits ONLY — \8 \9 are literal
+                om = re.match(rb"[0-7]{1,3}", obj[i : i + 3])
+                out.append(int(om.group(0), 8) & 0xFF)
+                i += om.end() - 1
             elif e in (b"\n", b"\r"):
                 if e == b"\r" and obj[i + 1 : i + 2] == b"\n":
                     i += 1
@@ -363,15 +364,42 @@ class PdfDecryptor:
     decrypt_string = decrypt  # same per-object key and cipher
 
 
+_ENC_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+
+
+def find_encrypt_ref(payload: bytes) -> Optional[int]:
+    """Object id of the GOVERNING /Encrypt dict: the reference named by
+    the last trailer dict, or (xref-stream PDFs) by the dict the final
+    startxref offset points at — never a '/Encrypt N G R' byte sequence
+    floating in arbitrary content (a plaintext stream about PDF internals
+    must not mark the document encrypted)."""
+    trailers = list(re.finditer(rb"trailer", payload))
+    if trailers:
+        t = trailers[-1]
+        em = _ENC_REF_RE.search(payload, t.end(), t.end() + 4096)
+        return int(em.group(1)) if em else None
+    sxs = re.findall(rb"startxref\s+(\d+)", payload)
+    if sxs:
+        off = int(sxs[-1])
+        em = _ENC_REF_RE.search(payload, off, off + 4096)
+        if em:
+            return int(em.group(1))
+        return None
+    # no trailer, no startxref: damaged file — fall back to the last
+    # reference anywhere (matches recovery-mode readers)
+    encs = _ENC_REF_RE.findall(payload)
+    return int(encs[-1]) if encs else None
+
+
 def build_decryptor(payload: bytes, objects: Dict[int, bytes]) -> Optional[PdfDecryptor]:
     """The document's decryptor when its trailer names an /Encrypt dict
     this handler can open with the EMPTY user password; None for
     unencrypted documents. Raises PdfCryptError for encryption that
     needs a real password or an unsupported handler."""
-    encs = re.findall(rb"/Encrypt\s+(\d+)\s+\d+\s+R", payload)
-    if not encs:
+    enc_oid = find_encrypt_ref(payload)
+    if enc_oid is None:
         return None
-    enc = objects.get(int(encs[-1]))
+    enc = objects.get(enc_oid)
     if enc is None:
         raise PdfCryptError("missing /Encrypt object")
     if b"/Standard" not in enc:
@@ -445,18 +473,21 @@ def get_decryptor(payload: bytes, objects: Dict[int, bytes]) -> Optional[PdfDecr
 
 def encryption_locked(payload: bytes) -> bool:
     """True when the trailer names an /Encrypt dict this handler cannot
-    open with the empty user password (real password / unsupported)."""
-    encs = re.findall(rb"/Encrypt\s+(\d+)\s+\d+\s+R", payload)
-    if not encs:
+    open with the empty user password (real password / unsupported).
+    The LAST ``N G obj`` occurrence wins — incremental updates append
+    newer object versions (same rule as pdf_extract._parse_objects)."""
+    oid = find_encrypt_ref(payload)
+    if oid is None:
         return False
-    oid = int(encs[-1])
-    m = re.search(
+    enc_obj = None
+    for m in re.finditer(
         rb"(?<![0-9])" + str(oid).encode("ascii") + rb"\s+\d+\s+obj(.*?)endobj",
         payload,
         re.S,
-    )
+    ):
+        enc_obj = m.group(1)
     try:
-        get_decryptor(payload, {oid: m.group(1)} if m else {})
+        get_decryptor(payload, {oid: enc_obj} if enc_obj is not None else {})
         return False
     except PdfCryptError:
         return True

@@ -99,7 +99,11 @@ def _raw_stream_bytes(obj: bytes, head_end: int, start: int) -> Optional[bytes]:
 def _decrypt_objects(data: bytes, objects: Dict[int, bytes], gens: Dict[int, int]) -> None:
     """In-place stream + string decryption (core/pdf_crypt). Streams are
     re-framed with an exact direct /Length; strings re-encode as hex."""
-    from dedoc_spark.core.pdf_crypt import PdfCryptError, get_decryptor
+    from dedoc_spark.core.pdf_crypt import (
+        PdfCryptError,
+        find_encrypt_ref,
+        get_decryptor,
+    )
 
     try:
         dec = get_decryptor(data, objects)
@@ -107,7 +111,7 @@ def _decrypt_objects(data: bytes, objects: Dict[int, bytes], gens: Dict[int, int
         return  # needs a real password / unsupported handler: leave opaque
     if dec is None:
         return
-    enc_oid = int(re.findall(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data)[-1])
+    enc_oid = find_encrypt_ref(data)
     for oid, obj in list(objects.items()):
         if oid == enc_oid:
             continue

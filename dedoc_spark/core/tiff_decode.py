@@ -12,7 +12,9 @@ natively here, reusing the codecs already built for PDF rasters:
                      stream) + Predictor 2  (core/pdf_filters.lzw_decode)
   compression 32773  PackBits
 
-FillOrder 2 (bit-reversed fax strips) is honored. Multi-page TIFFs
+FillOrder 2 (bit-reversed strips) is honored for fax codecs and 1-bit
+byte-oriented strips; PhotometricInterpretation 1 inverts fax output
+(BlackIsZero). Multi-page TIFFs
 decode their first IFD (PIL's default frame — parity with the
 reference's conversion); decode_tiff_pages returns every page for the
 scanned-document route.
@@ -151,12 +153,17 @@ def _decode_ifd(data: bytes, bo: str, ifd: Dict) -> np.ndarray:
                         byte_align=bool(t4options & 4),
                     )
                 else:
-                    img = decode_g3(strip, width, rows=rows, k=0)
+                    # TIFF 6.0 §10: Modified Huffman rows are REQUIRED to
+                    # begin on byte boundaries (libtiff FAXMODE_BYTEALIGN
+                    # for COMPRESSION_CCITTRLE)
+                    img = decode_g3(strip, width, rows=rows, k=0, byte_align=True)
             except CcittError as e:
                 raise ValueError(f"tiff: fax strip decode failed ({e})")
             if img.shape[0] < rows:  # pad short strips white
                 pad = np.full((rows - img.shape[0], width), 255, np.uint8)
                 img = np.vstack([img, pad])
+            if photometric == 1:  # BlackIsZero fax: coded runs are inverted
+                img = 255 - img
             planes.append(img[:, :, None])
             row_cursor += rows
             continue
@@ -171,6 +178,8 @@ def _decode_ifd(data: bytes, bo: str, ifd: Dict) -> np.ndarray:
             raise ValueError(f"tiff: unsupported compression {compression}")
         if bps == 1 and spp == 1:
             stride = (width + 7) // 8
+            if fill_order == 2:  # pixel bits fill bytes LSB-first
+                strip = _BITREV[np.frombuffer(strip, dtype=np.uint8)].tobytes()
             bitbuf = np.frombuffer(strip[: stride * rows], dtype=np.uint8)
             px = np.unpackbits(bitbuf.reshape(rows, stride), axis=1)[:, :width]
             if photometric == 1:  # BlackIsZero: 1 bits are white

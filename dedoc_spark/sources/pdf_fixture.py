@@ -478,15 +478,8 @@ def build_scanned_pdf(page_rasters, image_filter: str = "flate") -> bytes:
                 f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
                 f"{parms}/Filter /{fname} /Length {len(data)} >>"
             ).encode("latin-1")
-        if image_filter != "flate" and data.endswith((b"\r", b"\n")):
-            # the stream reader strips one trailing EOL before `endstream`;
-            # a pad byte after the codec's own EOD marker keeps the real
-            # payload intact (all three codecs ignore post-EOD bytes)
-            data += b"\x00"
-            head = head.replace(
-                f"/Length {len(data) - 1}".encode("latin-1"),
-                f"/Length {len(data)}".encode("latin-1"),
-            )
+        # the direct /Length frames the stream exactly, so payloads ending
+        # in EOL bytes (flate output does ~1/128 of the time) are safe
         image_ids.append(add(head + b"\nstream\n" + data + b"\nendstream"))
 
     page_obj_ids: List[int] = []

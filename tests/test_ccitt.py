@@ -285,3 +285,77 @@ def test_decode_array_inversion():
     img = _decode_image_object(obj)
     # packed bits: 1 where ink; /Decode [1 0] maps 1 -> 0 (black)
     assert img is not None and np.array_equal(img, bin_plain)
+
+
+def test_raw_stream_payload_ending_in_eol_bytes():
+    """r6 review finding: a stream payload legitimately ending in EOL
+    bytes must not be truncated — the direct /Length frames it exactly
+    (the old endstream-scan stripped up to 2 trailing bytes)."""
+    from dedoc_spark.core.ocr import _decode_image_object, _raw_stream
+
+    arr = np.full((6, 7), 200, np.uint8)
+    arr[-1, -2:] = [0x0D, 0x0A]  # payload ends "\r\n"
+    head = (
+        "<< /Type /XObject /Subtype /Image /Width 7 /Height 6 "
+        f"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length {arr.size} >>"
+    ).encode()
+    obj = head + b"\nstream\n" + arr.tobytes() + b"\nendstream"
+    assert _raw_stream(obj) == arr.tobytes()
+    img = _decode_image_object(obj)
+    assert img is not None and np.array_equal(img, arr)
+
+
+def test_flate_zlib_output_ending_in_eol_roundtrips():
+    """End-to-end shape of the q67 silent-raster-loss bug: a flate image
+    whose compressed bytes end in 0x0A/0x0D decodes fully."""
+    import zlib as _z
+
+    from dedoc_spark.core.ocr import _decode_image_object
+
+    arr = None
+    for v in range(4096):
+        cand = (
+            (np.arange(48, dtype=np.uint32) * (v + 7)) % 251
+        ).astype(np.uint8).reshape(6, 8)
+        if _z.compress(cand.tobytes()).endswith((b"\n", b"\r")):
+            arr = cand
+            break
+    assert arr is not None, "no EOL-tailed zlib output found in 4096 tries"
+    data = _z.compress(arr.tobytes())
+    head = (
+        "<< /Type /XObject /Subtype /Image /Width 8 /Height 6 "
+        "/ColorSpace /DeviceGray /BitsPerComponent 8 "
+        f"/Filter /FlateDecode /Length {len(data)} >>"
+    ).encode()
+    img = _decode_image_object(head + b"\nstream\n" + data + b"\nendstream")
+    assert img is not None and np.array_equal(img, arr)
+
+
+def test_ccitt_blackis1_and_decode_inversion():
+    """r6 review finding: /BlackIs1 true makes black pixels 1-samples,
+    which the default /Decode [0 1] displays WHITE (net inversion);
+    /Decode [1 0] inverts again so the pair cancels."""
+    from dedoc_spark.core.ccitt import encode_g4
+    from dedoc_spark.core.ocr import _decode_image_object
+
+    img0 = np.where(
+        np.add.outer(np.arange(12), np.arange(40)) % 5 < 2, np.uint8(0), np.uint8(255)
+    )
+    data = encode_g4(img0)
+
+    def decode(parms_extra="", dict_extra=""):
+        head = (
+            "<< /Type /XObject /Subtype /Image /Width 40 /Height 12 "
+            "/ColorSpace /DeviceGray /BitsPerComponent 1 "
+            f"/Filter /CCITTFaxDecode {dict_extra}"
+            f"/DecodeParms << /K -1 /Columns 40 /Rows 12 {parms_extra}>> "
+            f"/Length {len(data)} >>"
+        ).encode()
+        return _decode_image_object(head + b"\nstream\n" + data + b"\nendstream")
+
+    assert np.array_equal(decode(), img0)
+    assert np.array_equal(decode(parms_extra="/BlackIs1 true "), 255 - img0)
+    assert np.array_equal(decode(dict_extra="/Decode [1 0] "), 255 - img0)
+    assert np.array_equal(
+        decode(parms_extra="/BlackIs1 true ", dict_extra="/Decode [1 0] "), img0
+    )

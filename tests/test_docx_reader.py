@@ -330,3 +330,96 @@ def test_diagram_paragraph_attachments():
     lines0, _, _ = extract_docx(base, "h")
     ann = [a.value for ln in lines0 for a in ln.annotations if a.name == "attachment"]
     assert ann == [attachment_uid("h", name)]
+
+
+def test_diagram_index_alignment_with_body_table():
+    """Repro of the r6 review finding: a body-level table BEFORE the pict
+    paragraph must not shift the diagram index — table-cell w:p elements
+    are not body children (reference iterates ``bs.body`` directly,
+    docx_document.py:66-76). The annotation lands on the pict paragraph's
+    own line, and the repacked docx holds ONLY the diagram element."""
+    from dedoc_spark.core.docx_extract import attachment_uid, diagram_attachments
+
+    base = build_docx(
+        table([[("cell text", 1, None)]])
+        + '<w:p><w:r><w:pict><v:shape xmlns:v="urn:schemas-microsoft-com:vml"/>'
+        "</w:pict></w:r></w:p>"
+        + paragraph([("after", "")])
+    )
+    atts = diagram_attachments(base)
+    assert len(atts) == 1
+    name, data = atts[0]
+    lines, _, _ = extract_docx(base, "h")
+    by_line = {
+        ln.line.strip(): [a.value for a in ln.annotations if a.name == "attachment"]
+        for ln in lines
+    }
+    assert by_line.get("after") == []
+    pict_lines = [vals for txt, vals in by_line.items() if txt == ""]
+    assert [attachment_uid("h", name)] in pict_lines
+    # repacked docx: only the diagram paragraph survives in the body
+    rlines, rtables, _ = extract_docx(data, "h")
+    assert all(ln.line.strip() == "" for ln in rlines)
+    assert rtables == []
+
+
+def test_diagram_pict_inside_table_cell():
+    """Pict inside a body-level table: the WHOLE tbl is the diagram span
+    for the attachments channel (the reference's bs.body loop extracts the
+    tbl), but the reader treats tbl as a table FIRST (docx_document.py:70)
+    so no line gets a diagram annotation and the table still parses."""
+    from dedoc_spark.core.docx_extract import diagram_attachments
+
+    pict_cell_tbl = (
+        "<w:tbl><w:tr><w:tc><w:p><w:r>"
+        '<w:pict><v:shape xmlns:v="urn:schemas-microsoft-com:vml"/></w:pict>'
+        "</w:r></w:p></w:tc></w:tr></w:tbl>"
+    )
+    base = build_docx(pict_cell_tbl + paragraph([("plain", "")]))
+    atts = diagram_attachments(base)
+    assert len(atts) == 1  # the tbl itself is repacked
+    lines, tables, _ = extract_docx(base, "h")
+    assert len(tables) == 1  # table wins in the reader
+    assert all(
+        a.name != "attachment" for ln in lines for a in ln.annotations
+    )
+
+
+def test_strict_ooxml_diagram_uid_agreement():
+    """r6 review finding: the reader hashes NORMALIZED document.xml for
+    diagram annotation uids while the attachments channel hashed raw
+    bytes — on a strict-OOXML docx with an inline purl.oclc.org xmlns
+    on the pict paragraph the join key diverged. Both sides now share
+    core/ooxml_ns.normalize_strict_ooxml."""
+    import io
+    import zipfile
+
+    from dedoc_spark.core.docx_extract import attachment_uid, diagram_attachments
+
+    pict_p = (
+        '<w:p><w:r><w:pict xmlns:wpd="http://schemas.openxmlformats.org/'
+        'drawingml/2006/wordprocessingDrawing">'
+        '<v:shape xmlns:v="urn:schemas-microsoft-com:vml"/>'
+        "</w:pict></w:r></w:p>"
+    )
+    payload = build_docx(paragraph([("before", "")]) + pict_p)
+    src = zipfile.ZipFile(io.BytesIO(payload))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n in src.namelist():
+            data = src.read(n)
+            data = data.replace(
+                b"http://schemas.openxmlformats.org/wordprocessingml/2006/main",
+                b"http://purl.oclc.org/ooxml/wordprocessingml/main",
+            ).replace(
+                b"http://schemas.openxmlformats.org/drawingml/2006/wordprocessingDrawing",
+                b"http://purl.oclc.org/ooxml/drawingml/wordprocessingDrawing",
+            )
+            out.writestr(n, data)
+    strict = buf.getvalue()
+    atts = diagram_attachments(strict)
+    assert len(atts) == 1
+    name = atts[0][0]
+    lines, _, _ = extract_docx(strict, "h")
+    ann = [a.value for ln in lines for a in ln.annotations if a.name == "attachment"]
+    assert ann == [attachment_uid("h", name)]

@@ -180,3 +180,33 @@ def test_ycck_adobe_jpeg():
     k = np.full((8, 8), 255, np.uint8)
     w, h, rgb = decode_jpeg(_encode_jpeg_4comp([yp, cb, cr, k], transform=2))
     assert np.abs(rgb.astype(float) - 200.0).max() < 6
+
+
+def test_cmyk_without_adobe_marker_not_inverted():
+    """r6 review finding: a 4-component JPEG WITHOUT the Adobe APP14
+    marker stores standard (non-inverted) CMYK ink — libjpeg/PIL do not
+    invert, so neither do we: RGB = (255-ch)(255-K)/255."""
+    import struct
+
+    from dedoc_spark.core.jpeg_decode import decode_jpeg
+
+    # ink-domain twin of test_cmyk_adobe_jpeg's channels
+    c = 255 - np.where(np.arange(16) < 8, np.uint8(255), np.uint8(40))[None, :].repeat(16, 0)
+    m = 255 - np.where(np.arange(16) < 8, np.uint8(60), np.uint8(255))[None, :].repeat(16, 0)
+    y = 255 - np.where(np.arange(16) < 8, np.uint8(60), np.uint8(255))[None, :].repeat(16, 0)
+    k = np.zeros((16, 16), np.uint8)  # ink K=0 == inverted K'=255
+    jpg = _encode_jpeg_4comp(
+        [c.astype(np.uint8), m.astype(np.uint8), y.astype(np.uint8), k], transform=0
+    )
+    # strip the APP14 segment (0xFFEE + length-prefixed body)
+    i = jpg.find(b"\xff\xee")
+    assert i >= 0
+    (seg_len,) = struct.unpack(">H", jpg[i + 2 : i + 4])
+    bare = jpg[:i] + jpg[i + 2 + seg_len :]
+    assert b"Adobe" not in bare
+    w, h, rgb = decode_jpeg(bare)
+    assert (w, h) == (16, 16)
+    expect_left = np.array([255 * 255, 60 * 255, 60 * 255]) / 255.0
+    expect_right = np.array([40 * 255, 255 * 255, 255 * 255]) / 255.0
+    assert np.abs(rgb[4, 4].astype(float) - expect_left).max() < 6
+    assert np.abs(rgb[4, 12].astype(float) - expect_right).max() < 6

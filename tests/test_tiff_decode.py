@@ -21,6 +21,7 @@ def _write_tiff(
     rows_per_strip=None,
     t4options=0,
     byte_order="<",
+    bilevel=False,
 ):
     """Minimal TIFF writer for fixtures: header, strip data, one IFD per
     page chained at the end. ``pages``: HxW (gray/bilevel) or HxWx3."""
@@ -41,7 +42,8 @@ def _write_tiff(
             elif compression == 3:
                 data = encode_g3(part, k=4 if t4options & 1 else 0, byte_align=bool(t4options & 4))
             elif compression == 2:
-                data = encode_g3(part, k=0)
+                # TIFF 6.0 §10: MH rows begin on byte boundaries
+                data = encode_g3(part, k=0, byte_align=True)
             elif compression == 5:
                 raw = part
                 if predictor == 2:
@@ -51,16 +53,21 @@ def _write_tiff(
                 data = lzw_encode(raw.tobytes())
             elif compression == 32773:
                 data = runlength_encode(part.tobytes())
+            elif bilevel:
+                mask = (part > 127).astype(np.uint8)  # 1 = white for phot=1
+                if photometric == 0:
+                    mask = 1 - mask
+                data = np.packbits(mask, axis=1).tobytes()
             else:
                 data = part.tobytes()
-            if compression in (2, 3, 4) and fill_order == 2:
+            if (compression in (2, 3, 4) or bilevel) and fill_order == 2:
                 data = _BITREV[np.frombuffer(data, dtype=np.uint8)].tobytes()
             strips.append(data)
         offsets = []
         for s in strips:
             offsets.append(len(out))
             out += s
-        bps = 1 if compression in (2, 3, 4) else 8
+        bps = 1 if (compression in (2, 3, 4) or bilevel) else 8
         phot = photometric
         if phot is None:
             phot = 0 if compression in (2, 3, 4) else (2 if spp == 3 else 1)
@@ -144,6 +151,24 @@ def test_fax_compressions(compression, t4options):
         _write_tiff([img], compression=compression, t4options=t4options)
     )
     assert np.array_equal(rgb[:, :, 0], img)
+
+
+def test_bilevel_uncompressed_fill_order_2():
+    """r6 review finding: FillOrder=2 pixel-bit reversal must apply to
+    byte-oriented 1-bit strips too, not only fax codecs."""
+    rng = np.random.default_rng(13)
+    img = np.where(rng.random((9, 20)) < 0.4, np.uint8(0), np.uint8(255))
+    w, h, rgb = decode_tiff(_write_tiff([img], bilevel=True, fill_order=2))
+    assert np.array_equal(rgb[:, :, 0], img)
+
+
+def test_black_is_zero_fax_inverts():
+    """r6 review finding: PhotometricInterpretation=1 on a fax strip means
+    the coded runs are inverted relative to the usual WhiteIsZero fax."""
+    rng = np.random.default_rng(14)
+    img = np.where(rng.random((11, 33)) < 0.3, np.uint8(0), np.uint8(255))
+    rgb = decode_tiff(_write_tiff([img], compression=4, photometric=1))[2]
+    assert np.array_equal(rgb[:, :, 0], 255 - img)
 
 
 def test_g4_fill_order_2_and_multistrip():
