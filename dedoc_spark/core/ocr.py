@@ -1114,6 +1114,21 @@ def _decode_image_object(obj: bytes) -> Optional[np.ndarray]:
             if black_is_1 != decode_10:
                 img = 255 - img
             return img
+        if name == "JBIG2Decode":
+            # generic-region streams decode natively (core/jbig2); symbol
+            # or text regions — which need the /JBIG2Globals symbol
+            # dictionary — raise and the image is skipped like any other
+            # missing codec
+            from dedoc_spark.core.jbig2 import Jbig2Error, decode_embedded
+
+            try:
+                bits = decode_embedded(raw)
+            except Jbig2Error:
+                return None
+            img = np.where(bits != 0, np.uint8(0), np.uint8(255))
+            if _re.search(rb"/Decode\s*\[\s*1(?:\.0*)?\s+0", head):
+                img = 255 - img
+            return img
         if name == "FlateDecode":
             try:
                 raw = zlib.decompress(raw)

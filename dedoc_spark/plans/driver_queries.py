@@ -3211,11 +3211,15 @@ def q67_scanned_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
                         body_lines=["page three body"],
                     ),
                 ]
-                # rotate the raster codec per doc — CCITT G4/G3, LZW and
-                # RunLength must recognize identically to Flate (the
-                # closed-form oracle is codec-invariant), so the gate
-                # attests every scan codec end-to-end
-                codec = ("flate", "ccitt", "ccitt_g3", "lzw", "runlength")[did % 5]
+                # rotate the raster codec per doc — CCITT G4/G3, LZW,
+                # RunLength and JBIG2 (arithmetic + MMR generic regions)
+                # must recognize identically to Flate (the closed-form
+                # oracle is codec-invariant), so the gate attests every
+                # scan codec end-to-end
+                codec = (
+                    "flate", "ccitt", "ccitt_g3", "lzw",
+                    "runlength", "jbig2", "jbig2_mmr",
+                )[did % 7]
                 d = extract_document(
                     f"{did}.pdf",
                     build_scanned_pdf(pages, image_filter=codec),

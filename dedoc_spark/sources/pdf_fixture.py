@@ -396,8 +396,10 @@ def build_scanned_pdf(page_rasters, image_filter: str = "flate") -> bytes:
     default), "ccitt" (1-bit /CCITTFaxDecode K=-1 Group 4 — the codec
     real-world scanned PDFs use; the raster is binarized at 128),
     "ccitt_g3" (K=0 pure 1-D MH), "ccitt_g3_2d" (K=4 mixed with
-    /EncodedByteAlign), "lzw" (/LZWDecode 8 bpc) or "runlength"
-    (/RunLengthDecode 8 bpc)."""
+    /EncodedByteAlign), "jbig2" (/JBIG2Decode embedded stream, MQ
+    arithmetic generic region), "jbig2_mmr" (generic region with MMR
+    body), "lzw" (/LZWDecode 8 bpc) or "runlength" (/RunLengthDecode
+    8 bpc)."""
     import numpy as np
 
     objects: List[bytes] = []
@@ -412,7 +414,18 @@ def build_scanned_pdf(page_rasters, image_filter: str = "flate") -> bytes:
         if arr.ndim == 3:
             arr = arr[..., :3].mean(axis=2).astype(np.uint8)
         h, w = arr.shape
-        if image_filter in ("ccitt", "ccitt_g3", "ccitt_g3_2d"):
+        if image_filter in ("jbig2", "jbig2_mmr"):
+            from dedoc_spark.core.jbig2 import encode_embedded
+
+            bits = (arr < 128).astype(np.uint8)  # 1 = black
+            data = encode_embedded(bits, mmr=image_filter == "jbig2_mmr")
+            head = (
+                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                f"/Filter /JBIG2Decode "
+                f"/Length {len(data)} >>"
+            ).encode("latin-1")
+        elif image_filter in ("ccitt", "ccitt_g3", "ccitt_g3_2d"):
             from dedoc_spark.core.ccitt import encode_g3, encode_g4
 
             if image_filter == "ccitt":
