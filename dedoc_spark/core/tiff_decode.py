@@ -10,6 +10,8 @@ natively here, reusing the codecs already built for PDF rasters:
   compression 4      CCITT G4               (core/ccitt.decode_g4)
   compression 5      LZW (TIFF == the PDF MSB-first early-change
                      stream) + Predictor 2  (core/pdf_filters.lzw_decode)
+  compression 7      new-style JPEG strips, with or without the shared
+                     JPEGTables tag  (core/jpeg_decode)
   compression 32773  PackBits
 
 FillOrder 2 (bit-reversed strips) is honored for fax codecs and 1-bit
@@ -126,6 +128,11 @@ def _decode_ifd(data: bytes, bo: str, ifd: Dict) -> np.ndarray:
     fill_order = tag(266, 1)
     predictor = tag(317, 1)
     t4options = tag(292, 0)
+    # JPEGTables (347, TIFF/EP): abbreviated DQT/DHT stream shared by all
+    # strips — SOI + segments + EOI; each strip is SOI + frame/scan + EOI
+    jpeg_tables = (
+        bytes(_values(data, bo, ifd[347])) if 347 in ifd else b""
+    )
     offsets = _values(data, bo, ifd[273]) if 273 in ifd else []
     counts = _values(data, bo, ifd[279]) if 279 in ifd else []
     if not offsets:
@@ -165,6 +172,21 @@ def _decode_ifd(data: bytes, bo: str, ifd: Dict) -> np.ndarray:
             if photometric == 1:  # BlackIsZero fax: coded runs are inverted
                 img = 255 - img
             planes.append(img[:, :, None])
+            row_cursor += rows
+            continue
+        if compression == 7:  # new-style JPEG (TIFF/EP / TechNote 2)
+            from dedoc_spark.core.jpeg_decode import decode_jpeg
+
+            blob = strip
+            if jpeg_tables and strip[:2] == b"\xff\xd8":
+                blob = b"\xff\xd8" + jpeg_tables[2:-2] + strip[2:]
+            try:
+                _, _, rgb = decode_jpeg(blob)
+            except ValueError as e:
+                raise ValueError(f"tiff: jpeg strip failed ({e})")
+            if rgb.shape[1] < width or rgb.shape[0] < rows:
+                raise ValueError("tiff: jpeg strip smaller than declared")
+            planes.append(rgb[:rows, :width])  # crop MCU padding
             row_cursor += rows
             continue
         if compression == 5:

@@ -12,6 +12,21 @@ from dedoc_spark.core.pdf_filters import lzw_encode, runlength_encode
 from dedoc_spark.core.tiff_decode import _BITREV, decode_tiff, decode_tiff_pages
 
 
+def _jpeg_segments(data):
+    """[(marker, full segment bytes)]; SOS carries everything to EOI."""
+    segs = []
+    p = 2
+    while p < len(data) - 1:
+        m = data[p + 1]
+        if m == 0xDA:
+            segs.append((m, data[p:]))
+            break
+        ln = struct.unpack(">H", data[p + 2 : p + 4])[0]
+        segs.append((m, data[p : p + 2 + ln]))
+        p += 2 + ln
+    return segs
+
+
 def _write_tiff(
     pages,
     compression=1,
@@ -22,6 +37,7 @@ def _write_tiff(
     t4options=0,
     byte_order="<",
     bilevel=False,
+    jpeg_tables_tag=False,
 ):
     """Minimal TIFF writer for fixtures: header, strip data, one IFD per
     page chained at the end. ``pages``: HxW (gray/bilevel) or HxWx3."""
@@ -35,6 +51,7 @@ def _write_tiff(
         spp = img.shape[2] if img.ndim == 3 else 1
         rps = rows_per_strip or h
         strips = []
+        strip_tables = None
         for y0 in range(0, h, rps):
             part = img[y0 : y0 + rps]
             if compression == 4:
@@ -51,6 +68,17 @@ def _write_tiff(
                     diff[:, 1:] -= part[:, :-1].astype(np.int16)
                     raw = (diff % 256).astype(np.uint8)
                 data = lzw_encode(raw.tobytes())
+            elif compression == 7:
+                from dedoc_spark.core.jpeg_decode import encode_jpeg_gray
+
+                data = encode_jpeg_gray(part)
+                if jpeg_tables_tag:
+                    # split DQT/DHT out into the shared JPEGTables stream
+                    segs = _jpeg_segments(data)
+                    tables = b"".join(s for m, s in segs if m in (0xDB, 0xC4))
+                    body = b"".join(s for m, s in segs if m not in (0xDB, 0xC4))
+                    strip_tables = b"\xff\xd8" + tables + b"\xff\xd9"
+                    data = b"\xff\xd8" + body
             elif compression == 32773:
                 data = runlength_encode(part.tobytes())
             elif bilevel:
@@ -82,6 +110,8 @@ def _write_tiff(
             entries.append((317, 3, [predictor]))
         if t4options:
             entries.append((292, 4, [t4options]))
+        if strip_tables is not None:
+            entries.append((347, 7, list(strip_tables)))
         page_entries.append(sorted(entries))
 
     # emit IFDs (values needing >4 bytes go into an overflow area first)
@@ -91,9 +121,11 @@ def _write_tiff(
         packed = []
         ifd_guess = len(out)
         for tag, typ, vals in entries:
-            size = {3: 2, 4: 4}[typ]
-            fmt = {3: "H", 4: "I"}[typ]
-            body = b"".join(struct.pack(bo + fmt, v) for v in vals)
+            if typ == 7:  # undefined = raw bytes
+                body = bytes(vals)
+            else:
+                fmt = {3: "H", 4: "I"}[typ]
+                body = b"".join(struct.pack(bo + fmt, v) for v in vals)
             packed.append((tag, typ, len(vals), body))
         # two passes: first compute IFD size, then place overflow after it
         ifd_size = 2 + 12 * len(packed) + 4
@@ -253,3 +285,26 @@ def test_reference_tiff_cross_format_ground_truth():
     pw, ph, prgb = decode_image((REF_SCANNED / "example.png").read_bytes())
     assert (tw, th) == (pw, ph) == (827, 1170)
     assert np.array_equal(trgb, prgb)
+
+
+@pytest.mark.parametrize("tables", [False, True])
+def test_jpeg_in_tiff(tables):
+    """Compression 7 (new-style JPEG): full JFIF strips, and the
+    TIFF/EP JPEGTables form where DQT/DHT live in tag 347 and each
+    strip carries only SOI + frame + scan."""
+    # quantization-stable content: flat 8x8-aligned blocks
+    img = np.zeros((24, 40), np.uint8)
+    img[:, :16] = 60
+    img[8:16, 16:] = 200
+    data = _write_tiff([img], compression=7, jpeg_tables_tag=tables)
+    w, h, rgb = decode_tiff(data)
+    assert (w, h) == (40, 24)
+    assert np.abs(rgb[:, :, 0].astype(float) - img.astype(float)).max() < 6
+
+
+def test_jpeg_in_tiff_multistrip():
+    img = np.tile(np.linspace(40, 210, 8, dtype=np.uint8).repeat(8)[None, :], (32, 1))
+    data = _write_tiff([img], compression=7, rows_per_strip=16, jpeg_tables_tag=True)
+    w, h, rgb = decode_tiff(data)
+    assert (w, h) == (64, 32)
+    assert np.abs(rgb[:, :, 0].astype(float) - img.astype(float)).mean() < 3
