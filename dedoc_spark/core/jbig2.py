@@ -3,20 +3,23 @@ streams — the last scan codec real-world PDFs commonly ship that this
 engine previously skipped.
 
 Scope: the PDF *embedded stream* organisation (no file header) with
-GENERIC REGION segments — both coding modes:
 
-  * MMR=1   — the region payload is T.6 (Group 4) coded; reuses
-              core/ccitt.decode_g4.
-  * MMR=0   — MQ arithmetic coding (T.88 Annex E software conventions)
-              with GB templates 0-3, nominal or custom AT pixels, and
-              TPGDON typical-prediction rows.
+  * GENERIC REGION segments, both coding modes: MMR=1 (T.6/Group 4,
+    reuses core/ccitt.decode_g4) and MMR=0 (MQ arithmetic coding per
+    T.88 Annex E software conventions, GB templates 0-3, nominal or
+    custom AT pixels, TPGDON typical-prediction rows);
+  * arithmetic SYMBOL DICTIONARIES (T.88 6.5) + TEXT REGIONS (6.4) —
+    the mode jbig2enc and scanner firmware emit for text-heavy pages:
+    integer arithmetic decoding (Annex A IADH/IADW/IAEX/IADT/IAFS/
+    IADS/IAIT + IAID), height classes, export runs, strip placement
+    with all four reference corners on the non-transposed path, and
+    cross-segment symbol inheritance via referred-to segments (incl.
+    dictionaries living in the /JBIG2Globals stream).
 
-Symbol dictionaries / text regions / halftones / refinement — the
-machinery that needs cross-segment symbol state — raise
-:class:`Jbig2Error`, and the caller (ocr._decode_image_object) skips
-the image exactly as it does for any codec it lacks. Real scanner
-output (Xerox/Ricoh fax-style pipelines) is predominantly generic
-regions; symbol-mode files keep the pre-r6 behavior.
+Huffman-coded dictionaries/regions, refinement/aggregate coding,
+transposed text regions and halftones raise :class:`Jbig2Error`, and
+the caller (ocr._decode_image_object) skips the image exactly as it
+does for any codec it lacks.
 
 The reference hands scanned PDFs to pdf2image/poppler, which decodes
 JBIG2 natively (pdf_image_reader/pdf_image_reader.py:60-97 receives
@@ -339,18 +342,26 @@ def decode_generic(
 
 
 def encode_generic(
-    bitmap: np.ndarray, template: int = 0, at: Optional[List[Tuple[int, int]]] = None
-) -> bytes:
+    bitmap: np.ndarray,
+    template: int = 0,
+    at: Optional[List[Tuple[int, int]]] = None,
+    encoder: Optional[MQEncoder] = None,
+    icx: Optional[bytearray] = None,
+    mps: Optional[bytearray] = None,
+) -> Optional[bytes]:
     """Fixture-side generic-region MQ encoder (no TPGDON), the exact
-    mirror of decode_generic — round-trip tested."""
+    mirror of decode_generic — round-trip tested. With an external
+    ``encoder`` the bits join its stream (symbol-dictionary use) and
+    None is returned; standalone, the flushed bytes come back."""
     if template not in _TEMPLATES:
         raise Jbig2Error(f"jbig2: bad template {template}")
     at = list(at) if at else list(_NOMINAL_AT[template])
     h, w = bitmap.shape
-    enc = MQEncoder()
+    standalone = encoder is None
+    enc = encoder or MQEncoder()
     n_ctx = 1 << 16
-    icx = bytearray(n_ctx)
-    mps = bytearray(n_ctx)
+    icx = icx if icx is not None else bytearray(n_ctx)
+    mps = mps if mps is not None else bytearray(n_ctx)
     pad = 4
     rows: List[bytearray] = [bytearray(w + 8) for _ in range(2)]
     fast = template == 0 and at == _NOMINAL_AT[0]
@@ -385,7 +396,396 @@ def encode_generic(
                 cur[pad + x] = b
         rows.append(cur)
         rows.pop(0)
-    return enc.flush()
+    return enc.flush() if standalone else None
+
+
+# --- integer arithmetic decoding (T.88 Annex A) -------------------------------
+
+OOB = object()  # out-of-band sentinel
+
+_INT_RANGES = [(2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436)]
+
+
+class IntCtx:
+    """One IAx procedure's 512-entry adaptive context."""
+
+    __slots__ = ("icx", "mps")
+
+    def __init__(self) -> None:
+        self.icx = bytearray(512)
+        self.mps = bytearray(512)
+
+
+def decode_int(dec: MQDecoder, ctx: IntCtx):
+    """A.2 — returns an int or OOB."""
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = dec.decode(ctx.icx, ctx.mps, prev)
+        prev = (prev << 1) | b if prev < 256 else ((((prev << 1) | b) & 511) | 256)
+        return b
+
+    s = bit()
+    for i, (n, offset) in enumerate(_INT_RANGES):
+        if i == len(_INT_RANGES) - 1 or bit() == 0:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | bit()
+            v += offset
+            if s and v == 0:
+                return OOB
+            return -v if s else v
+    raise AssertionError("unreachable")
+
+
+def encode_int(enc: MQEncoder, ctx: IntCtx, value) -> None:
+    """Mirror of decode_int; ``value`` may be OOB."""
+    prev = 1
+
+    def bit(b: int) -> None:
+        nonlocal prev
+        enc.encode(ctx.icx, ctx.mps, prev, b)
+        prev = (prev << 1) | b if prev < 256 else ((((prev << 1) | b) & 511) | 256)
+
+    if value is OOB:
+        s, v = 1, 0
+    else:
+        s = 1 if value < 0 else 0
+        v = -value if value < 0 else value
+    bit(s)
+    for i, (n, offset) in enumerate(_INT_RANGES):
+        last = i == len(_INT_RANGES) - 1
+        nxt_off = _INT_RANGES[i + 1][1] if not last else None
+        if last or v < nxt_off:
+            if not last:
+                bit(0)
+            rem = v - offset
+            for k in range(n - 1, -1, -1):
+                bit((rem >> k) & 1)
+            return
+        bit(1)
+
+
+def decode_iaid(dec: MQDecoder, ctx_icx: bytearray, ctx_mps: bytearray, code_len: int) -> int:
+    """A.3 symbol-ID decoding over a (1 << (code_len+1)) context tree."""
+    prev = 1
+    for _ in range(code_len):
+        prev = (prev << 1) | dec.decode(ctx_icx, ctx_mps, prev)
+    return prev - (1 << code_len)
+
+
+def encode_iaid(enc: MQEncoder, ctx_icx: bytearray, ctx_mps: bytearray, code_len: int, value: int) -> None:
+    prev = 1
+    for k in range(code_len - 1, -1, -1):
+        b = (value >> k) & 1
+        enc.encode(ctx_icx, ctx_mps, prev, b)
+        prev = (prev << 1) | b
+
+
+# --- symbol dictionary + text region (T.88 6.4 / 6.5) -------------------------
+
+
+def decode_symbol_dict(payload: bytes, input_syms: List[np.ndarray]) -> List[np.ndarray]:
+    """Arithmetic symbol dictionary -> exported symbol bitmaps (1=black).
+    SDHUFF (huffman) and SDREFAGG (refinement/aggregate) raise — the
+    dominant encoder output (jbig2enc default) uses neither."""
+    if len(payload) < 2:
+        raise Jbig2Error("jbig2: truncated symbol dictionary")
+    flags = struct.unpack_from(">H", payload, 0)[0]
+    sdhuff = flags & 1
+    sdrefagg = (flags >> 1) & 1
+    template = (flags >> 10) & 3
+    if sdhuff:
+        raise Jbig2Error("jbig2: huffman symbol dictionary unsupported")
+    if sdrefagg:
+        raise Jbig2Error("jbig2: refinement/aggregate coding unsupported")
+    p = 2
+    n_at = 4 if template == 0 else 1
+    at: List[Tuple[int, int]] = []
+    for _ in range(n_at):
+        at.append(struct.unpack_from("bb", payload, p))
+        p += 2
+    num_ex = _u32(payload, p)
+    num_new = _u32(payload, p + 4)
+    p += 8
+    if num_new > 10000 or num_ex > 10000:
+        raise Jbig2Error("jbig2: implausible symbol counts")
+
+    dec = MQDecoder(payload[p:])
+    iadh, iadw, iaex, iaai = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    gb_icx = bytearray(1 << 16)
+    gb_mps = bytearray(1 << 16)
+    new_syms: List[np.ndarray] = []
+    hc_height = 0
+    while len(new_syms) < num_new:
+        dh = decode_int(dec, iadh)
+        if dh is OOB:
+            raise Jbig2Error("jbig2: OOB height delta")
+        hc_height += dh
+        sym_width = 0
+        while True:
+            dw = decode_int(dec, iadw)
+            if dw is OOB:
+                break
+            sym_width += dw
+            if len(new_syms) >= num_new:
+                raise Jbig2Error("jbig2: too many symbols in dictionary")
+            if not (0 < sym_width <= 1 << 14 and 0 < hc_height <= 1 << 14):
+                raise Jbig2Error("jbig2: bad symbol size")
+            new_syms.append(
+                decode_generic(
+                    b"", sym_width, hc_height, template, at,
+                    decoder=dec, icx=gb_icx, mps=gb_mps,
+                )
+            )
+    # export flags: alternating skip/export run lengths over all symbols
+    all_syms = input_syms + new_syms
+    exported: List[np.ndarray] = []
+    i = 0
+    cur = 0
+    while i < len(all_syms):
+        run = decode_int(dec, iaex)
+        if run is OOB or run < 0:
+            raise Jbig2Error("jbig2: bad export run")
+        if cur:
+            exported.extend(all_syms[i : i + run])
+        i += run
+        cur ^= 1
+    if len(exported) != num_ex:
+        raise Jbig2Error("jbig2: export count mismatch")
+    return exported
+
+
+def decode_text_region(
+    payload: bytes, symbols: List[np.ndarray], max_pixels: int
+) -> Tuple[int, int, int, int, int, np.ndarray]:
+    """Arithmetic text region -> (x, y, w, h, comb_op, bitmap)."""
+    if len(payload) < 19:
+        raise Jbig2Error("jbig2: truncated text region")
+    w, h, x, y = (_u32(payload, k) for k in (0, 4, 8, 12))
+    comb_op = payload[16] & 0x07
+    flags = struct.unpack_from(">H", payload, 17)[0]
+    sbhuff = flags & 1
+    refine = (flags >> 1) & 1
+    log_strips = (flags >> 2) & 3
+    ref_corner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    sb_comb_op = (flags >> 7) & 3
+    def_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32
+    rtemplate = (flags >> 15) & 1
+    if sbhuff:
+        raise Jbig2Error("jbig2: huffman text region unsupported")
+    if transposed:
+        raise Jbig2Error("jbig2: transposed text region unsupported")
+    p = 19
+    if refine and rtemplate == 0:
+        p += 4  # refinement AT pixels (only consulted when RI != 0)
+    num_instances = _u32(payload, p)
+    p += 4
+    if not symbols:
+        raise Jbig2Error("jbig2: text region with no symbols")
+    if w == 0 or h == 0 or w * h > max_pixels:
+        raise Jbig2Error("jbig2: text region over the pixel budget")
+    strips = 1 << log_strips
+    n = len(symbols)
+    code_len = max(1, (n - 1).bit_length()) if n > 1 else 0
+    dec = MQDecoder(payload[p:])
+    iadt, iafs, iads, iait, iari = (IntCtx() for _ in range(5))
+    id_icx = bytearray(1 << (code_len + 1))
+    id_mps = bytearray(1 << (code_len + 1))
+
+    region = np.full((h, w), def_pixel, dtype=np.uint8)
+    op = _COMBINE.get(sb_comb_op, _COMBINE[0])
+    dt0 = decode_int(dec, iadt)
+    if dt0 is OOB:
+        raise Jbig2Error("jbig2: OOB strip T")
+    strip_t = -dt0 * strips
+    first_s = 0
+    n_inst = 0
+    while n_inst < num_instances:
+        dt = decode_int(dec, iadt)
+        if dt is OOB:
+            raise Jbig2Error("jbig2: OOB strip T")
+        strip_t += dt * strips
+        first = True
+        cur_s = 0
+        while True:
+            if first:
+                dfs = decode_int(dec, iafs)
+                if dfs is OOB:
+                    raise Jbig2Error("jbig2: OOB first S")
+                first_s += dfs
+                cur_s = first_s
+                first = False
+            else:
+                ids = decode_int(dec, iads)
+                if ids is OOB:
+                    break
+                cur_s += ids + ds_offset
+            if n_inst >= num_instances:
+                break
+            cur_t = decode_int(dec, iait) if strips > 1 else 0
+            if cur_t is OOB:
+                raise Jbig2Error("jbig2: OOB in-strip T")
+            t = strip_t + cur_t
+            sym_id = decode_iaid(dec, id_icx, id_mps, code_len)
+            if sym_id >= n:
+                raise Jbig2Error("jbig2: symbol id out of range")
+            if refine and decode_int(dec, iari):
+                raise Jbig2Error("jbig2: refined symbol instance unsupported")
+            bm = symbols[sym_id]
+            hi, wi = bm.shape
+            # non-transposed: CURS is the LEFT edge; REFCORNER picks
+            # top- vs bottom-anchored T (pdf.js-compatible placement)
+            y0 = t if ref_corner & 1 else t - hi + 1
+            x0 = cur_s
+            ys, xs = max(0, y0), max(0, x0)
+            ye, xe = min(h, y0 + hi), min(w, x0 + wi)
+            if ys < ye and xs < xe:
+                sub = region[ys:ye, xs:xe]
+                region[ys:ye, xs:xe] = op(
+                    sub, bm[ys - y0 : ye - y0, xs - x0 : xe - x0]
+                ).astype(np.uint8)
+            cur_s += wi - 1
+            n_inst += 1
+    return x, y, w, h, comb_op, region
+
+
+def encode_symbol_text(
+    glyphs: List[np.ndarray],
+    placements: List[Tuple[int, int, int]],
+    page_w: int,
+    page_h: int,
+    parts: bool = False,
+    log_strips: int = 0,
+    ref_corner: int = 1,
+):
+    """Fixture-side mirror of decode_symbol_dict + decode_text_region:
+    a full embedded stream of page-info + arithmetic symbol dictionary
+    (template 0, nominal AT, no huffman/refinement) + one immediate
+    text region (OR compositing) referencing it. ``placements`` are
+    (glyph_index, x, y) with y the TOP row regardless of
+    ``ref_corner`` — bottom-anchored corners (0/2) re-express y as the
+    bottom row in the T coordinate. ``log_strips`` > 0 exercises the
+    in-strip IAIT procedure (SBSTRIPS = 1 << log_strips). Round-trip
+    tested against decode_embedded.
+
+    With ``parts=True`` returns ``(globals_bytes, page_bytes)`` — the
+    dictionary alone in the first (the /JBIG2Globals organisation PDF
+    writers use for shared dictionaries), page-info + text region in
+    the second."""
+    if not glyphs or not placements:
+        raise ValueError("need at least one glyph and one placement")
+    template = 0
+    at = _NOMINAL_AT[0]
+
+    # -- symbol dictionary: height classes ascending, widths in input order
+    order = sorted(range(len(glyphs)), key=lambda i: (glyphs[i].shape[0], i))
+    id_of = {orig: new for new, orig in enumerate(order)}
+    enc = MQEncoder()
+    iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
+    gb_icx = bytearray(1 << 16)
+    gb_mps = bytearray(1 << 16)
+    hc_height = 0
+    i = 0
+    while i < len(order):
+        h = glyphs[order[i]].shape[0]
+        encode_int(enc, iadh, h - hc_height)
+        hc_height = h
+        sym_width = 0
+        while i < len(order) and glyphs[order[i]].shape[0] == h:
+            bm = glyphs[order[i]]
+            encode_int(enc, iadw, bm.shape[1] - sym_width)
+            sym_width = bm.shape[1]
+            encode_generic(bm, template, at, encoder=enc, icx=gb_icx, mps=gb_mps)
+            i += 1
+        encode_int(enc, iadw, OOB)
+    encode_int(enc, iaex, 0)           # skip none,
+    encode_int(enc, iaex, len(order))  # export all
+    sd_body = enc.flush()
+    sd_payload = (
+        struct.pack(">H", (template & 3) << 10)
+        + b"".join(struct.pack("bb", ax, ay) for ax, ay in at)
+        + struct.pack(">II", len(order), len(order))
+        + sd_body
+    )
+
+    # -- text region: strips of 1 << log_strips rows
+    n = len(order)
+    strips = 1 << log_strips
+    code_len = max(1, (n - 1).bit_length()) if n > 1 else 0
+    # T coordinate per the corner anchor: top row (1/3) or bottom (0/2)
+    placed = sorted(
+        (
+            (y if ref_corner & 1 else y + glyphs[g].shape[0] - 1,
+             x, id_of[g])
+            for g, x, y in placements
+        ),
+        key=lambda t: (t[0] // strips, t[1]),
+    )
+    enc = MQEncoder()
+    iadt, iafs, iads, iait = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    id_icx = bytearray(1 << (code_len + 1))
+    id_mps = bytearray(1 << (code_len + 1))
+    encode_int(enc, iadt, 0)  # DT0 -> STRIPT = 0
+    strip_id = 0
+    first_s = 0
+    j = 0
+    while j < len(placed):
+        sid_t = placed[j][0] // strips
+        encode_int(enc, iadt, sid_t - strip_id)
+        strip_id = sid_t
+        first = True
+        cur_s = 0
+        while j < len(placed) and placed[j][0] // strips == sid_t:
+            t, x, sid = placed[j]
+            if first:
+                encode_int(enc, iafs, x - first_s)
+                first_s = x
+                cur_s = first_s
+                first = False
+            else:
+                encode_int(enc, iads, x - cur_s)
+                cur_s = x
+            if strips > 1:
+                encode_int(enc, iait, t - sid_t * strips)
+            encode_iaid(enc, id_icx, id_mps, code_len, sid)
+            cur_s += glyphs[order[sid]].shape[1] - 1
+            j += 1
+        encode_int(enc, iads, OOB)
+    tr_body = enc.flush()
+    tr_flags = ((log_strips & 3) << 2) | ((ref_corner & 3) << 4)
+    tr_payload = (
+        struct.pack(">IIII", page_w, page_h, 0, 0)
+        + b"\x00"  # external comb op: OR
+        + struct.pack(">H", tr_flags)
+        + struct.pack(">I", len(placed))
+        + tr_body
+    )
+
+    def seg_header(number: int, seg_type: int, refs: List[int], length: int) -> bytes:
+        hdr = struct.pack(">IB", number, seg_type)
+        hdr += bytes([len(refs) << 5]) + bytes(refs)
+        hdr += b"\x01" + struct.pack(">I", length)  # page 1
+        return hdr
+
+    page_info = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x00" + struct.pack(">H", 0)
+    sd_seg = seg_header(1, 0, [], len(sd_payload)) + sd_payload
+    page_segs = (
+        seg_header(0, 48, [], len(page_info)) + page_info
+        + seg_header(2, 6, [1], len(tr_payload)) + tr_payload
+    )
+    if parts:
+        return sd_seg, page_segs
+    return (
+        seg_header(0, 48, [], len(page_info)) + page_info
+        + sd_seg
+        + seg_header(2, 6, [1], len(tr_payload)) + tr_payload
+    )
 
 
 # --- embedded-stream segment plumbing ----------------------------------------
@@ -489,13 +889,13 @@ def decode_embedded(
 ) -> np.ndarray:
     """PDF-embedded JBIG2 stream -> HxW uint8 bitmap (1 = black).
 
-    ``globals_data`` is the /JBIG2Globals stream when present; only its
-    page-info is honored here — a symbol dictionary inside it raises
-    (symbol/text regions are out of scope, the caller skips the image).
-    """
+    ``globals_data`` is the /JBIG2Globals stream when present — it is
+    walked first, so symbol dictionaries it carries are visible to text
+    regions in ``data`` via their referred-to segment numbers."""
     page_w = page_h = None
     page_default = 0
     regions: List[Tuple[int, int, int, int, int, np.ndarray]] = []
+    sym_by_seg: Dict[int, List[np.ndarray]] = {}
 
     def walk(buf: bytes) -> None:
         nonlocal page_w, page_h, page_default
@@ -519,7 +919,17 @@ def decode_embedded(
                     page_default = 1
             elif t in (36, 38, 39):  # generic region
                 regions.append(_decode_generic_segment(payload, max_pixels))
-            elif t in (0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43):
+            elif t == 0:  # symbol dictionary
+                inputs: List[np.ndarray] = []
+                for r in seg["refs"]:
+                    inputs.extend(sym_by_seg.get(r, []))
+                sym_by_seg[seg["number"]] = decode_symbol_dict(payload, inputs)
+            elif t in (4, 6, 7):  # text region
+                syms: List[np.ndarray] = []
+                for r in seg["refs"]:
+                    syms.extend(sym_by_seg.get(r, []))
+                regions.append(decode_text_region(payload, syms, max_pixels))
+            elif t in (16, 20, 22, 23, 40, 42, 43):
                 raise Jbig2Error(f"jbig2: unsupported segment type {t}")
             # 49-53, 62: end-of-page/stripe/file, profiles, tables, ext — skip
 
@@ -564,7 +974,7 @@ def encode_embedded(
             + struct.pack(">I", length)
         )
 
-    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00"
+    page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + struct.pack(">H", 0)
     out = seg_header(0, 48, len(page_info)) + page_info
 
     region_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00"  # OR

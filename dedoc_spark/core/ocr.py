@@ -984,7 +984,7 @@ def extract_pdf_page_images(payload: bytes) -> List[List[np.ndarray]]:
     for pid in page_ids:
         imgs: List[np.ndarray] = []
         for name, obj_id in sorted(_page_xobjects(objects[pid], objects).items()):
-            arr = _decode_image_object(objects.get(obj_id, b""))
+            arr = _decode_image_object(objects.get(obj_id, b""), objects)
             if arr is not None:
                 imgs.append(arr)
         out.append(imgs)
@@ -1056,7 +1056,11 @@ def _undo_predictor(raw: bytes, head: bytes) -> Optional[bytes]:
     return None  # exotic predictor/bit-depth combination
 
 
-def _decode_image_object(obj: bytes) -> Optional[np.ndarray]:
+def _decode_image_object(
+    obj: bytes, objects: Optional[Dict[int, bytes]] = None
+) -> Optional[np.ndarray]:
+    """``objects`` (the document's object map) lets stream filters
+    resolve indirect /DecodeParms members — today only /JBIG2Globals."""
     import re as _re
     import zlib
 
@@ -1115,14 +1119,29 @@ def _decode_image_object(obj: bytes) -> Optional[np.ndarray]:
                 img = 255 - img
             return img
         if name == "JBIG2Decode":
-            # generic-region streams decode natively (core/jbig2); symbol
-            # or text regions — which need the /JBIG2Globals symbol
-            # dictionary — raise and the image is skipped like any other
-            # missing codec
+            # generic-region AND symbol/text-region streams decode
+            # natively (core/jbig2); shared symbol dictionaries arrive
+            # via /DecodeParms << /JBIG2Globals N 0 R >>. Modes the
+            # decoder lacks (huffman, refinement, halftones) raise and
+            # the image is skipped like any other missing codec.
+            import zlib as _zlib
+
             from dedoc_spark.core.jbig2 import Jbig2Error, decode_embedded
 
+            globals_data = b""
+            gm = _re.search(rb"/JBIG2Globals\s+(\d+)\s+\d+\s+R", head)
+            if gm and objects is not None:
+                gobj = objects.get(int(gm.group(1)), b"")
+                graw = _raw_stream(gobj)
+                if graw is not None:
+                    if b"/FlateDecode" in gobj.split(b"stream", 1)[0]:
+                        try:
+                            graw = _zlib.decompress(graw)
+                        except Exception:
+                            graw = b""
+                    globals_data = graw
             try:
-                bits = decode_embedded(raw)
+                bits = decode_embedded(raw, globals_data=globals_data)
             except Jbig2Error:
                 return None
             img = np.where(bits != 0, np.uint8(0), np.uint8(255))

@@ -3212,14 +3212,16 @@ def q67_scanned_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 ]
                 # rotate the raster codec per doc — CCITT G4/G3, LZW,
-                # RunLength and JBIG2 (arithmetic + MMR generic regions)
-                # must recognize identically to Flate (the closed-form
-                # oracle is codec-invariant), so the gate attests every
-                # scan codec end-to-end
+                # RunLength and JBIG2 (arithmetic + MMR generic regions,
+                # plus symbol-dictionary/text-region coding with the
+                # dictionary in a separate /JBIG2Globals object) must
+                # recognize identically to Flate (the closed-form oracle
+                # is codec-invariant), so the gate attests every scan
+                # codec end-to-end
                 codec = (
                     "flate", "ccitt", "ccitt_g3", "lzw",
-                    "runlength", "jbig2", "jbig2_mmr",
-                )[did % 7]
+                    "runlength", "jbig2", "jbig2_mmr", "jbig2_sym",
+                )[did % 8]
                 d = extract_document(
                     f"{did}.pdf",
                     build_scanned_pdf(pages, image_filter=codec),

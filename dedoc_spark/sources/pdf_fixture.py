@@ -398,8 +398,9 @@ def build_scanned_pdf(page_rasters, image_filter: str = "flate") -> bytes:
     "ccitt_g3" (K=0 pure 1-D MH), "ccitt_g3_2d" (K=4 mixed with
     /EncodedByteAlign), "jbig2" (/JBIG2Decode embedded stream, MQ
     arithmetic generic region), "jbig2_mmr" (generic region with MMR
-    body), "lzw" (/LZWDecode 8 bpc) or "runlength" (/RunLengthDecode
-    8 bpc)."""
+    body), "jbig2_sym" (symbol dictionary in a separate /JBIG2Globals
+    object + text region), "lzw" (/LZWDecode 8 bpc) or "runlength"
+    (/RunLengthDecode 8 bpc)."""
     import numpy as np
 
     objects: List[bytes] = []
@@ -423,6 +424,40 @@ def build_scanned_pdf(page_rasters, image_filter: str = "flate") -> bytes:
                 f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
                 f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
                 f"/Filter /JBIG2Decode "
+                f"/Length {len(data)} >>"
+            ).encode("latin-1")
+        elif image_filter == "jbig2_sym":
+            # symbol-dictionary + text-region coding (the mode jbig2enc
+            # emits for text pages), with the dictionary in a SEPARATE
+            # /JBIG2Globals stream object — the shared-dictionary shape
+            # real PDF writers produce. Lossless: every non-blank 16x16
+            # tile is a symbol, duplicates dedup into one glyph.
+            from dedoc_spark.core.jbig2 import encode_symbol_text
+
+            bits = (arr < 128).astype(np.uint8)
+            ts = 16
+            glyphs, gid_of, placements = [], {}, []
+            for ty in range(0, h, ts):
+                for tx in range(0, w, ts):
+                    tile = bits[ty : ty + ts, tx : tx + ts]
+                    if not tile.any():
+                        continue
+                    key = (tile.shape, tile.tobytes())
+                    g = gid_of.get(key)
+                    if g is None:
+                        g = gid_of[key] = len(glyphs)
+                        glyphs.append(np.ascontiguousarray(tile))
+                    placements.append((g, tx, ty))
+            sd_seg, data = encode_symbol_text(glyphs, placements, w, h, parts=True)
+            gid = add(
+                f"<< /Length {len(sd_seg)} >>".encode("latin-1")
+                + b"\nstream\n" + sd_seg + b"\nendstream"
+            )
+            head = (
+                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                f"/Filter /JBIG2Decode "
+                f"/DecodeParms << /JBIG2Globals {gid} 0 R >> "
                 f"/Length {len(data)} >>"
             ).encode("latin-1")
         elif image_filter in ("ccitt", "ccitt_g3", "ccitt_g3_2d"):

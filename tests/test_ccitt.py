@@ -190,7 +190,8 @@ def test_runlength_truncated_raises():
 
 @pytest.mark.parametrize(
     "image_filter",
-    ["ccitt", "ccitt_g3", "ccitt_g3_2d", "lzw", "runlength", "jbig2", "jbig2_mmr"],
+    ["ccitt", "ccitt_g3", "ccitt_g3_2d", "lzw", "runlength",
+     "jbig2", "jbig2_mmr", "jbig2_sym"],
 )
 def test_scanned_pdf_filter_variants(image_filter):
     from dedoc_spark.core.document import extract_document

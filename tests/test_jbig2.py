@@ -109,15 +109,107 @@ def test_embedded_stream_roundtrip(mmr):
     assert np.array_equal(page, img)
 
 
-def test_embedded_unsupported_symbol_segment_raises():
+def test_embedded_unsupported_segment_raises():
     stream = bytearray(encode_embedded(_rand_bits(1, (8, 8))))
     # flip the region segment type (offset: after the 11-byte page-info
-    # segment header + 17-byte payload, byte 4 of the next header)
-    off = 11 + 17 + 4
+    # segment header + 19-byte payload, byte 4 of the next header)
+    off = 11 + 19 + 4
     assert stream[off] == 39
-    stream[off] = 0x04  # intermediate text region
+    stream[off] = 16  # halftone pattern dictionary
     with pytest.raises(Jbig2Error):
         decode_embedded(bytes(stream))
+
+
+def _glyphs_and_expected(page_w=60, page_h=24):
+    """Three random glyphs of two heights stamped at known spots, plus
+    the numpy-composited expectation."""
+    glyphs = [
+        _rand_bits(21, (7, 5), p=0.5),
+        _rand_bits(22, (7, 4), p=0.5),
+        _rand_bits(23, (9, 6), p=0.5),
+    ]
+    placements = [
+        (0, 2, 3), (1, 9, 3), (0, 15, 3), (2, 22, 2),
+        (2, 5, 13), (1, 13, 13), (0, 40, 14), (0, 47, 14),
+    ]
+    page = np.zeros((page_h, page_w), dtype=np.uint8)
+    for g, x, y in placements:
+        bm = glyphs[g]
+        page[y : y + bm.shape[0], x : x + bm.shape[1]] |= bm
+    return glyphs, placements, page
+
+
+@pytest.mark.parametrize("log_strips", [0, 2])
+@pytest.mark.parametrize("ref_corner", [0, 1, 2, 3])
+def test_symbol_text_region_roundtrip(log_strips, ref_corner):
+    """Symbol dictionary + text region: the fixture encoder writes the
+    Annex-A integer procedures and strip placement that jbig2enc-style
+    files use; decode_embedded must reproduce the composited page over
+    every reference corner and with multi-row strips (IAIT path)."""
+    from dedoc_spark.core.jbig2 import encode_symbol_text
+
+    glyphs, placements, expected = _glyphs_and_expected()
+    stream = encode_symbol_text(
+        glyphs, placements, 60, 24,
+        log_strips=log_strips, ref_corner=ref_corner,
+    )
+    assert np.array_equal(decode_embedded(stream), expected)
+
+
+def test_symbol_dict_in_globals_stream():
+    """A dictionary carried in /JBIG2Globals must be visible to text
+    regions in the page stream (cross-stream referred-to segments)."""
+    from dedoc_spark.core.jbig2 import encode_symbol_text
+
+    glyphs, placements, expected = _glyphs_and_expected()
+    stream = encode_symbol_text(glyphs, placements, 60, 24)
+    # split: page-info + symbol dict -> globals; text region -> page data
+    off = 0
+    segs = []
+    for _ in range(3):
+        # header: 4 num + 1 flags + 1 rts(+refs) + 1 page + 4 length
+        p = off + 5
+        nrefs = stream[p] >> 5
+        p += 1 + nrefs
+        p += 1  # page assoc
+        length = int.from_bytes(stream[p : p + 4], "big")
+        p += 4
+        segs.append(stream[off : p + length])
+        off = p + length
+    assert off == len(stream)
+    out = decode_embedded(segs[2], globals_data=segs[0] + segs[1])
+    assert np.array_equal(out, expected)
+
+
+def test_single_symbol_code_len_zero():
+    """n=1 symbols -> IAID code length 0 (no bits per id)."""
+    from dedoc_spark.core.jbig2 import encode_symbol_text
+
+    glyph = _rand_bits(31, (6, 6), p=0.5)
+    stream = encode_symbol_text([glyph], [(0, 1, 1), (0, 10, 3)], 20, 12)
+    page = decode_embedded(stream)
+    expected = np.zeros((12, 20), np.uint8)
+    expected[1:7, 1:7] |= glyph
+    expected[3:9, 10:16] |= glyph
+    assert np.array_equal(page, expected)
+
+
+def test_int_coder_roundtrip():
+    """Annex-A integer procedures over every range bucket + OOB."""
+    from dedoc_spark.core.jbig2 import (
+        IntCtx, OOB, decode_int, encode_int,
+    )
+
+    values = [0, 1, -1, 3, 4, -4, 19, 20, -20, 83, 84, 339, 340,
+              4435, 4436, 100000, -100000, OOB, 0, OOB, -340]
+    enc = MQEncoder()
+    ctx = IntCtx()
+    for v in values:
+        encode_int(enc, ctx, v)
+    dec = MQDecoder(enc.flush())
+    ctx = IntCtx()
+    out = [decode_int(dec, ctx) for _ in values]
+    assert out == values
 
 
 def test_embedded_pixel_budget():
@@ -148,7 +240,7 @@ def test_scanned_pdf_jbig2_end_to_end():
     from dedoc_spark.sources.pdf_fixture import build_scanned_pdf
 
     raster = scanfont.render_scan_page(["Jbig two scan line"], scale=2)
-    for f in ("jbig2", "jbig2_mmr"):
+    for f in ("jbig2", "jbig2_mmr", "jbig2_sym"):
         pdf = build_scanned_pdf([raster], image_filter=f)
         d = extract_document(
             "scan.pdf", pdf, None, params={"pdf_with_text_layer": "false"}
