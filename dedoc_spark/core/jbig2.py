@@ -486,10 +486,14 @@ def encode_iaid(enc: MQEncoder, ctx_icx: bytearray, ctx_mps: bytearray, code_len
 # --- symbol dictionary + text region (T.88 6.4 / 6.5) -------------------------
 
 
-def decode_symbol_dict(payload: bytes, input_syms: List[np.ndarray]) -> List[np.ndarray]:
+def decode_symbol_dict(
+    payload: bytes, input_syms: List[np.ndarray], max_pixels: int = 1 << 24
+) -> List[np.ndarray]:
     """Arithmetic symbol dictionary -> exported symbol bitmaps (1=black).
     SDHUFF (huffman) and SDREFAGG (refinement/aggregate) raise — the
-    dominant encoder output (jbig2enc default) uses neither."""
+    dominant encoder output (jbig2enc default) uses neither.
+    ``max_pixels`` bounds the CUMULATIVE symbol-bitmap area (each pixel
+    costs a Python-level arithmetic decode, so this is the CPU valve)."""
     if len(payload) < 2:
         raise Jbig2Error("jbig2: truncated symbol dictionary")
     flags = struct.unpack_from(">H", payload, 0)[0]
@@ -500,6 +504,11 @@ def decode_symbol_dict(payload: bytes, input_syms: List[np.ndarray]) -> List[np.
         raise Jbig2Error("jbig2: huffman symbol dictionary unsupported")
     if sdrefagg:
         raise Jbig2Error("jbig2: refinement/aggregate coding unsupported")
+    if (flags >> 8) & 1:
+        # T.88 7.4.3.1.1 bit 8: GB context imported from a referred-to
+        # dictionary — decoding with a fresh context would yield silently
+        # wrong glyphs, so refuse like the other unsupported modes.
+        raise Jbig2Error("jbig2: imported bitmap coding context unsupported")
     p = 2
     n_at = 4 if template == 0 else 1
     at: List[Tuple[int, int]] = []
@@ -513,12 +522,20 @@ def decode_symbol_dict(payload: bytes, input_syms: List[np.ndarray]) -> List[np.
         raise Jbig2Error("jbig2: implausible symbol counts")
 
     dec = MQDecoder(payload[p:])
-    iadh, iadw, iaex, iaai = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
     gb_icx = bytearray(1 << 16)
     gb_mps = bytearray(1 << 16)
     new_syms: List[np.ndarray] = []
     hc_height = 0
+    budget = max_pixels
+    classes = 0
     while len(new_syms) < num_new:
+        # a valid stream adds >=1 symbol per height class, so more
+        # classes than symbols means the exhausted-decoder fixed point
+        # is feeding us empty classes forever — bail out.
+        classes += 1
+        if classes > num_new:
+            raise Jbig2Error("jbig2: empty height classes (no progress)")
         dh = decode_int(dec, iadh)
         if dh is OOB:
             raise Jbig2Error("jbig2: OOB height delta")
@@ -533,6 +550,9 @@ def decode_symbol_dict(payload: bytes, input_syms: List[np.ndarray]) -> List[np.
                 raise Jbig2Error("jbig2: too many symbols in dictionary")
             if not (0 < sym_width <= 1 << 14 and 0 < hc_height <= 1 << 14):
                 raise Jbig2Error("jbig2: bad symbol size")
+            budget -= sym_width * hc_height
+            if budget < 0:
+                raise Jbig2Error("jbig2: symbol dictionary over the pixel budget")
             new_syms.append(
                 decode_generic(
                     b"", sym_width, hc_height, template, at,
@@ -544,7 +564,14 @@ def decode_symbol_dict(payload: bytes, input_syms: List[np.ndarray]) -> List[np.
     exported: List[np.ndarray] = []
     i = 0
     cur = 0
+    runs = 0
     while i < len(all_syms):
+        # alternating runs cover each symbol at most once, so a valid
+        # stream needs at most len+1 nonzero runs plus interleaved
+        # zeros; beyond 2*len+2 iterations run==0 is spinning in place.
+        runs += 1
+        if runs > 2 * len(all_syms) + 2:
+            raise Jbig2Error("jbig2: export runs make no progress")
         run = decode_int(dec, iaex)
         if run is OOB or run < 0:
             raise Jbig2Error("jbig2: bad export run")
@@ -590,6 +617,12 @@ def decode_text_region(
         raise Jbig2Error("jbig2: text region with no symbols")
     if w == 0 or h == 0 or w * h > max_pixels:
         raise Jbig2Error("jbig2: text region over the pixel budget")
+    if num_instances > w * h:
+        # SBNUMINSTANCES is a raw u32; every instance occupies >=1 pixel
+        # column, so more instances than pixels is a crafted/corrupt
+        # stream spinning the placement loop (each iteration is several
+        # Python-level arithmetic decodes fed free by 0xFF padding).
+        raise Jbig2Error("jbig2: implausible instance count")
     strips = 1 << log_strips
     n = len(symbols)
     code_len = max(1, (n - 1).bit_length()) if n > 1 else 0
@@ -917,27 +950,38 @@ def decode_embedded(
                     page_h = ph
                 if len(payload) > 16 and payload[16] & 0x04:
                     page_default = 1
-            elif t in (36, 38, 39):  # generic region
+            elif t in (38, 39):  # immediate generic region
                 regions.append(_decode_generic_segment(payload, max_pixels))
             elif t == 0:  # symbol dictionary
                 inputs: List[np.ndarray] = []
                 for r in seg["refs"]:
                     inputs.extend(sym_by_seg.get(r, []))
-                sym_by_seg[seg["number"]] = decode_symbol_dict(payload, inputs)
-            elif t in (4, 6, 7):  # text region
+                sym_by_seg[seg["number"]] = decode_symbol_dict(
+                    payload, inputs, max_pixels
+                )
+            elif t in (6, 7):  # immediate text region
                 syms: List[np.ndarray] = []
                 for r in seg["refs"]:
                     syms.extend(sym_by_seg.get(r, []))
                 regions.append(decode_text_region(payload, syms, max_pixels))
-            elif t in (16, 20, 22, 23, 40, 42, 43):
+            elif t in (4, 16, 20, 22, 23, 36, 40, 42, 43):
+                # 4/36 = INTERMEDIATE text/generic regions: per T.88 they
+                # feed other segments (refinement, unsupported here) and
+                # must never be composited onto the page.
                 raise Jbig2Error(f"jbig2: unsupported segment type {t}")
             # 49-53, 62: end-of-page/stripe/file, profiles, tables, ext — skip
 
-    if globals_data:
-        walk(globals_data)
-    walk(data)
+    try:
+        if globals_data:
+            walk(globals_data)
+        walk(data)
+    except (struct.error, IndexError) as e:
+        # truncated headers/payloads surface as unpack/index errors deep
+        # in the parsers; fold them into the typed skip channel so a
+        # malformed image never fails the whole document.
+        raise Jbig2Error(f"jbig2: malformed stream ({e})")
     if not regions:
-        raise Jbig2Error("jbig2: no generic region found")
+        raise Jbig2Error("jbig2: no region segment found")
     if page_w is None or page_h is None or page_h == 0:
         page_w = max(x + w for x, y, w, h, _, _ in regions)
         page_h = max(y + h for x, y, w, h, _, _ in regions)

@@ -448,6 +448,12 @@ def build_scanned_pdf(page_rasters, image_filter: str = "flate") -> bytes:
                         g = gid_of[key] = len(glyphs)
                         glyphs.append(np.ascontiguousarray(tile))
                     placements.append((g, tx, ty))
+            if not placements:
+                # all-white page: one blank glyph placed once keeps the
+                # symbol-coded stream valid (encode_symbol_text needs at
+                # least one placement; OR with a blank tile is identity)
+                glyphs.append(np.zeros((1, 1), np.uint8))
+                placements.append((0, 0, 0))
             sd_seg, data = encode_symbol_text(glyphs, placements, w, h, parts=True)
             gid = add(
                 f"<< /Length {len(sd_seg)} >>".encode("latin-1")

@@ -247,3 +247,165 @@ def test_scanned_pdf_jbig2_end_to_end():
         )
         assert d.get("error") is None, f
         assert "Jbig two scan line" in d["text_extracted"], f
+
+
+# --- adversarial-input hardening (r6 review batch) ---------------------------
+
+import struct
+
+from dedoc_spark.core.jbig2 import (
+    IntCtx,
+    OOB,
+    _NOMINAL_AT,
+    decode_int,
+    decode_symbol_dict,
+    decode_text_region,
+    encode_int,
+)
+
+
+def _seg(number, seg_type, refs, payload):
+    hdr = struct.pack(">IB", number, seg_type)
+    hdr += bytes([len(refs) << 5]) + bytes(refs)
+    hdr += b"\x01" + struct.pack(">I", len(payload))
+    return hdr + payload
+
+
+_PAGE_INFO = struct.pack(">IIII", 8, 8, 0, 0) + b"\x00" + struct.pack(">H", 0)
+
+
+def test_truncated_symbol_dict_is_typed_error():
+    """struct underflow in a 3-byte dictionary payload must surface as
+    Jbig2Error (the caller's skip channel), never struct.error."""
+    stream = _seg(0, 48, [], _PAGE_INFO) + _seg(1, 0, [], b"\x00\x00\x00")
+    with pytest.raises(Jbig2Error):
+        decode_embedded(stream)
+
+
+def test_truncated_text_region_is_typed_error():
+    """A 19-byte text-region payload passes the length check but the
+    SBNUMINSTANCES u32 reads past the end — typed, not struct.error."""
+    tr = struct.pack(">IIII", 4, 4, 0, 0) + b"\x00" + struct.pack(">H", 0)
+    assert len(tr) == 19
+    stream = _seg(0, 48, [], _PAGE_INFO) + _seg(1, 6, [], tr)
+    with pytest.raises(Jbig2Error):
+        decode_embedded(stream)
+
+
+def _dict_payload(body, num_ex=1, num_new=1):
+    at = _NOMINAL_AT[0]
+    return (
+        struct.pack(">H", 0)
+        + b"".join(struct.pack("bb", ax, ay) for ax, ay in at)
+        + struct.pack(">II", num_ex, num_new)
+        + body
+    )
+
+
+def test_symbol_dict_respects_pixel_budget():
+    """Symbol bitmaps are decoded by a per-pixel Python loop, so the
+    max_pixels CPU valve must bound their cumulative area too — a
+    declared 300x300 glyph must refuse under a 1000-pixel budget."""
+    enc = MQEncoder()
+    iadh, iadw = IntCtx(), IntCtx()
+    encode_int(enc, iadh, 300)
+    encode_int(enc, iadw, 300)
+    payload = _dict_payload(enc.flush())
+    with pytest.raises(Jbig2Error, match="pixel budget"):
+        decode_symbol_dict(payload, [], max_pixels=1000)
+
+
+def test_symbol_dict_empty_height_classes_terminate():
+    """Height classes that add no symbols must not loop forever (the MQ
+    decoder never exhausts on 0xFF padding)."""
+    enc = MQEncoder()
+    iadh, iadw = IntCtx(), IntCtx()
+    for _ in range(3):
+        encode_int(enc, iadh, 1)
+        encode_int(enc, iadw, OOB)
+    payload = _dict_payload(enc.flush())
+    with pytest.raises(Jbig2Error, match="no progress"):
+        decode_symbol_dict(payload, [], max_pixels=1 << 20)
+
+
+def test_symbol_dict_zero_export_runs_terminate():
+    """Export runs of length 0 flip the skip/export phase without
+    advancing — a run of zeros must raise, not spin."""
+    glyph = _rand_bits(41, (3, 3), p=0.5)
+    at = _NOMINAL_AT[0]
+    enc = MQEncoder()
+    iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
+    gb_icx = bytearray(1 << 16)
+    gb_mps = bytearray(1 << 16)
+    encode_int(enc, iadh, 3)
+    encode_int(enc, iadw, 3)
+    encode_generic(glyph, 0, at, encoder=enc, icx=gb_icx, mps=gb_mps)
+    encode_int(enc, iadw, OOB)
+    for _ in range(10):
+        encode_int(enc, iaex, 0)
+    payload = _dict_payload(enc.flush())
+    with pytest.raises(Jbig2Error, match="no progress"):
+        decode_symbol_dict(payload, [], max_pixels=1 << 20)
+
+
+def test_text_region_implausible_instance_count():
+    """SBNUMINSTANCES is a raw u32; more instances than region pixels is
+    a crafted stream driving billions of placement iterations."""
+    tr = (
+        struct.pack(">IIII", 4, 4, 0, 0)
+        + b"\x00"
+        + struct.pack(">H", 0)
+        + struct.pack(">I", 17)  # > 4*4
+    )
+    with pytest.raises(Jbig2Error, match="instance count"):
+        decode_text_region(tr, [np.ones((1, 1), np.uint8)], max_pixels=1 << 24)
+
+
+def test_symbol_dict_imported_context_raises():
+    """T.88 7.4.3.1.1 bit 8 (bitmap coding context used) means the GB
+    context comes from another dictionary — decoding with a fresh
+    context yields silently wrong glyphs, so it must refuse."""
+    with pytest.raises(Jbig2Error, match="context"):
+        decode_symbol_dict(struct.pack(">H", 1 << 8), [])
+
+
+def test_intermediate_region_types_raise():
+    """Intermediate regions (types 4/36) feed refinement segments and
+    must never be composited onto the page."""
+    stream = bytearray(encode_embedded(_rand_bits(1, (8, 8))))
+    off = 11 + 19 + 4
+    assert stream[off] == 39
+    stream[off] = 36  # intermediate generic region
+    with pytest.raises(Jbig2Error):
+        decode_embedded(bytes(stream))
+
+    from dedoc_spark.core.jbig2 import encode_symbol_text
+
+    glyphs, placements, _ = _glyphs_and_expected()
+    sym = bytearray(encode_symbol_text(glyphs, placements, 60, 24))
+    # text region is the third segment; walk two headers to find it
+    off = 0
+    for _ in range(2):
+        p = off + 5
+        nrefs = sym[p] >> 5
+        p += 1 + nrefs + 1
+        off = p + 4 + int.from_bytes(sym[p : p + 4], "big")
+    assert sym[off + 4] == 6
+    sym[off + 4] = 4  # intermediate text region
+    with pytest.raises(Jbig2Error):
+        decode_embedded(bytes(sym))
+
+
+def test_blank_page_jbig2_sym_fixture():
+    """An all-white page has no inked tiles; the symbol-coded fixture
+    must still produce a valid PDF (blank-glyph fallback), matching the
+    other filters' behavior."""
+    from dedoc_spark.core.document import extract_document
+    from dedoc_spark.sources.pdf_fixture import build_scanned_pdf
+
+    blank = np.full((32, 32), 255, np.uint8)
+    pdf = build_scanned_pdf([blank], image_filter="jbig2_sym")
+    d = extract_document(
+        "blank.pdf", pdf, None, params={"pdf_with_text_layer": "false"}
+    )
+    assert d.get("error") is None
