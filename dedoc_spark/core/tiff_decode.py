@@ -14,6 +14,10 @@ natively here, reusing the codecs already built for PDF rasters:
                      JPEGTables tag  (core/jpeg_decode)
   compression 32773  PackBits
 
+Both the STRIP organisation (RowsPerStrip/StripOffsets) and the TILE
+organisation (TileWidth/TileLength/TileOffsets, TIFF 6.0 §15 — what
+imaging libraries and GIS scanners emit for large pages) decode through
+the same per-rectangle codec paths.
 FillOrder 2 (bit-reversed strips) is honored for fax codecs and 1-bit
 byte-oriented strips; PhotometricInterpretation 1 inverts fax output
 (BlackIsZero). Multi-page TIFFs
@@ -133,97 +137,125 @@ def _decode_ifd(data: bytes, bo: str, ifd: Dict) -> np.ndarray:
     jpeg_tables = (
         bytes(_values(data, bo, ifd[347])) if 347 in ifd else b""
     )
-    offsets = _values(data, bo, ifd[273]) if 273 in ifd else []
-    counts = _values(data, bo, ifd[279]) if 279 in ifd else []
-    if not offsets:
-        raise ValueError("tiff: no strip offsets")
-    if not counts:  # single strip to EOF (seen in the wild)
-        counts = [len(data) - offsets[0]]
-
-    planes: List[np.ndarray] = []
-    row_cursor = 0
-    for si, (soff, scnt) in enumerate(zip(offsets, counts)):
-        strip = data[soff : soff + scnt]
-        rows = min(rows_per_strip, height - row_cursor)
-        if rows <= 0:
-            break
+    def block(chunk: bytes, bw: int, rows: int) -> np.ndarray:
+        """Decode one strip/tile rectangle -> (rows, bw, channels) uint8.
+        Strips and tiles share every codec path (TIFF 6.0 §15: a tile is
+        compressed exactly like a strip of TileLength rows)."""
         if compression in (2, 3, 4) and fill_order == 2:
-            strip = _BITREV[np.frombuffer(strip, dtype=np.uint8)].tobytes()
+            chunk = _BITREV[np.frombuffer(chunk, dtype=np.uint8)].tobytes()
         if compression in (2, 3, 4):
             try:
                 if compression == 4:
-                    img = decode_g4(strip, width, rows=rows)
+                    img = decode_g4(chunk, bw, rows=rows)
                 elif compression == 3:
                     two_d = bool(t4options & 1)
                     img = decode_g3(
-                        strip, width, rows=rows, k=4 if two_d else 0,
+                        chunk, bw, rows=rows, k=4 if two_d else 0,
                         byte_align=bool(t4options & 4),
                     )
                 else:
                     # TIFF 6.0 §10: Modified Huffman rows are REQUIRED to
                     # begin on byte boundaries (libtiff FAXMODE_BYTEALIGN
                     # for COMPRESSION_CCITTRLE)
-                    img = decode_g3(strip, width, rows=rows, k=0, byte_align=True)
+                    img = decode_g3(chunk, bw, rows=rows, k=0, byte_align=True)
             except CcittError as e:
                 raise ValueError(f"tiff: fax strip decode failed ({e})")
             if img.shape[0] < rows:  # pad short strips white
-                pad = np.full((rows - img.shape[0], width), 255, np.uint8)
+                pad = np.full((rows - img.shape[0], bw), 255, np.uint8)
                 img = np.vstack([img, pad])
             if photometric == 1:  # BlackIsZero fax: coded runs are inverted
                 img = 255 - img
-            planes.append(img[:, :, None])
-            row_cursor += rows
-            continue
+            return img[:, :, None]
         if compression == 7:  # new-style JPEG (TIFF/EP / TechNote 2)
             from dedoc_spark.core.jpeg_decode import decode_jpeg
 
-            blob = strip
-            if jpeg_tables and strip[:2] == b"\xff\xd8":
-                blob = b"\xff\xd8" + jpeg_tables[2:-2] + strip[2:]
+            blob = chunk
+            if jpeg_tables and chunk[:2] == b"\xff\xd8":
+                blob = b"\xff\xd8" + jpeg_tables[2:-2] + chunk[2:]
             try:
                 _, _, rgb = decode_jpeg(blob)
             except ValueError as e:
                 raise ValueError(f"tiff: jpeg strip failed ({e})")
-            if rgb.shape[1] < width or rgb.shape[0] < rows:
+            if rgb.shape[1] < bw or rgb.shape[0] < rows:
                 raise ValueError("tiff: jpeg strip smaller than declared")
-            planes.append(rgb[:rows, :width])  # crop MCU padding
-            row_cursor += rows
-            continue
+            return rgb[:rows, :bw]  # crop MCU padding
         if compression == 5:
             try:
-                strip = lzw_decode(strip, early_change=1)
+                chunk = lzw_decode(chunk, early_change=1)
             except PdfFilterError as e:
                 raise ValueError(f"tiff: LZW strip failed ({e})")
         elif compression == 32773:
-            strip = _packbits(strip)
+            chunk = _packbits(chunk)
         elif compression != 1:
             raise ValueError(f"tiff: unsupported compression {compression}")
         if bps == 1 and spp == 1:
-            stride = (width + 7) // 8
+            stride = (bw + 7) // 8
             if fill_order == 2:  # pixel bits fill bytes LSB-first
-                strip = _BITREV[np.frombuffer(strip, dtype=np.uint8)].tobytes()
-            bitbuf = np.frombuffer(strip[: stride * rows], dtype=np.uint8)
-            px = np.unpackbits(bitbuf.reshape(rows, stride), axis=1)[:, :width]
+                chunk = _BITREV[np.frombuffer(chunk, dtype=np.uint8)].tobytes()
+            bitbuf = np.frombuffer(chunk[: stride * rows], dtype=np.uint8)
+            if bitbuf.size < stride * rows:
+                raise ValueError("tiff: short strip")
+            px = np.unpackbits(bitbuf.reshape(rows, stride), axis=1)[:, :bw]
             if photometric == 1:  # BlackIsZero: 1 bits are white
                 px = 1 - px
-            planes.append(((1 - px) * 255).astype(np.uint8)[:, :, None])
-        elif bps == 8:
-            need = width * rows * spp
-            arr = np.frombuffer(strip[:need], dtype=np.uint8)
+            return ((1 - px) * 255).astype(np.uint8)[:, :, None]
+        if bps == 8:
+            need = bw * rows * spp
+            arr = np.frombuffer(chunk[:need], dtype=np.uint8)
             if arr.size < need:
                 raise ValueError("tiff: short strip")
-            arr = arr.reshape(rows, width, spp).copy()
+            arr = arr.reshape(rows, bw, spp).copy()
             if predictor == 2:
                 arr = np.add.accumulate(arr, axis=1, dtype=np.uint8)
             if photometric == 0 and spp == 1:  # WhiteIsZero gray
                 arr = 255 - arr
-            planes.append(arr)
-        else:
-            raise ValueError(f"tiff: unsupported bits-per-sample {bps}")
-        row_cursor += rows
-    if not planes:
-        raise ValueError("tiff: no strips decoded")
-    img = np.vstack(planes)[:height]
+            return arr
+        raise ValueError(f"tiff: unsupported bits-per-sample {bps}")
+
+    tile_w = tag(322)
+    tile_h = tag(323)
+    if tile_w and tile_h:
+        # tiled organisation (TIFF 6.0 §15): left-to-right, top-to-bottom
+        # grid of FULL tile_w x tile_h rectangles (edge tiles are padded
+        # in the data and cropped here)
+        offsets = _values(data, bo, ifd[324]) if 324 in ifd else []
+        counts = _values(data, bo, ifd[325]) if 325 in ifd else []
+        if not offsets:
+            raise ValueError("tiff: no tile offsets")
+        if not counts:
+            counts = [len(data) - offsets[0]]
+        across = (width + tile_w - 1) // tile_w
+        down = (height + tile_h - 1) // tile_h
+        if len(offsets) < across * down:
+            raise ValueError("tiff: missing tiles")
+        img = None
+        for ti in range(across * down):
+            t = block(data[offsets[ti] : offsets[ti] + counts[ti]], tile_w, tile_h)
+            if img is None:
+                img = np.zeros((height, width, t.shape[2]), np.uint8)
+            y0 = (ti // across) * tile_h
+            x0 = (ti % across) * tile_w
+            img[y0 : y0 + tile_h, x0 : x0 + tile_w] = t[
+                : height - y0, : width - x0
+            ]
+    else:
+        offsets = _values(data, bo, ifd[273]) if 273 in ifd else []
+        counts = _values(data, bo, ifd[279]) if 279 in ifd else []
+        if not offsets:
+            raise ValueError("tiff: no strip offsets")
+        if not counts:  # single strip to EOF (seen in the wild)
+            counts = [len(data) - offsets[0]]
+        planes: List[np.ndarray] = []
+        row_cursor = 0
+        for soff, scnt in zip(offsets, counts):
+            rows = min(rows_per_strip, height - row_cursor)
+            if rows <= 0:
+                break
+            planes.append(block(data[soff : soff + scnt], width, rows))
+            row_cursor += rows
+        if not planes:
+            raise ValueError("tiff: no strips decoded")
+        img = np.vstack(planes)[:height]
     if img.shape[2] == 1:
         return np.repeat(img, 3, axis=2)
     return np.ascontiguousarray(img[:, :, :3])

@@ -38,9 +38,12 @@ def _write_tiff(
     byte_order="<",
     bilevel=False,
     jpeg_tables_tag=False,
+    tile=None,
 ):
     """Minimal TIFF writer for fixtures: header, strip data, one IFD per
-    page chained at the end. ``pages``: HxW (gray/bilevel) or HxWx3."""
+    page chained at the end. ``pages``: HxW (gray/bilevel) or HxWx3.
+    ``tile=(tw, th)`` writes the tiled organisation (§15) instead of
+    strips — each tile padded to the full tile size like real writers."""
     bo = byte_order
     out = bytearray(b"II*\x00\x00\x00\x00\x00" if bo == "<" else b"MM\x00*\x00\x00\x00\x00")
     ifd_offsets = []
@@ -52,8 +55,23 @@ def _write_tiff(
         rps = rows_per_strip or h
         strips = []
         strip_tables = None
-        for y0 in range(0, h, rps):
-            part = img[y0 : y0 + rps]
+        if tile:
+            tw, th = tile
+            parts = []
+            for y0 in range(0, h, th):
+                for x0 in range(0, w, tw):
+                    part = img[y0 : y0 + th, x0 : x0 + tw]
+                    pad_h, pad_w = th - part.shape[0], tw - part.shape[1]
+                    if pad_h or pad_w:
+                        pad_val = 255 if compression in (2, 3, 4) else 0
+                        pads = [(0, pad_h), (0, pad_w)]
+                        if part.ndim == 3:
+                            pads.append((0, 0))
+                        part = np.pad(part, pads, constant_values=pad_val)
+                    parts.append(part)
+        else:
+            parts = [img[y0 : y0 + rps] for y0 in range(0, h, rps)]
+        for part in parts:
             if compression == 4:
                 data = encode_g4(part)
             elif compression == 3:
@@ -102,8 +120,17 @@ def _write_tiff(
         entries = [
             (256, 4, [w]), (257, 4, [h]), (258, 3, [bps] * spp),
             (259, 3, [compression]), (262, 3, [phot]), (277, 3, [spp]),
-            (278, 4, [rps]), (273, 4, offsets), (279, 4, [len(s) for s in strips]),
         ]
+        if tile:
+            entries += [
+                (322, 4, [tile[0]]), (323, 4, [tile[1]]),
+                (324, 4, offsets), (325, 4, [len(s) for s in strips]),
+            ]
+        else:
+            entries += [
+                (278, 4, [rps]), (273, 4, offsets),
+                (279, 4, [len(s) for s in strips]),
+            ]
         if fill_order != 1:
             entries.append((266, 3, [fill_order]))
         if predictor != 1:
@@ -308,3 +335,52 @@ def test_jpeg_in_tiff_multistrip():
     w, h, rgb = decode_tiff(data)
     assert (w, h) == (64, 32)
     assert np.abs(rgb[:, :, 0].astype(float) - img.astype(float)).mean() < 3
+
+
+def test_tiled_gray_matches_strip_layout():
+    """Tiled organisation (§15): same pixels as the strip layout, edge
+    tiles padded in the data and cropped on decode."""
+    img = _gray(61, (24, 37))
+    strip = decode_tiff(_write_tiff([img]))[2]
+    tiled = decode_tiff(_write_tiff([img], tile=(16, 8)))[2]
+    assert np.array_equal(tiled, strip)
+
+
+@pytest.mark.parametrize("compression", [4, 5, 32773])
+def test_tiled_codecs_roundtrip(compression):
+    """Every strip codec decodes identically through the tile path."""
+    if compression == 4:
+        img = np.where(_gray(62, (30, 41)) > 128, 255, 0).astype(np.uint8)
+    else:
+        img = _gray(63, (30, 41))
+    kw = {"predictor": 2} if compression == 5 else {}
+    strip = decode_tiff(_write_tiff([img], compression=compression, **kw))[2]
+    tiled = decode_tiff(
+        _write_tiff([img], compression=compression, tile=(16, 16), **kw)
+    )[2]
+    assert np.array_equal(tiled, strip)
+
+
+def test_tiled_rgb_partial_edge_tiles():
+    img = _gray(64, (20, 27, 3))
+    tiled = decode_tiff(_write_tiff([img], tile=(16, 16)))[2]
+    assert np.array_equal(tiled, img)
+
+
+def test_tiled_jpeg():
+    """Compression 7 tiles: each tile is its own JFIF stream; MCU
+    padding cropped per tile."""
+    img = np.zeros((24, 40), np.uint8)
+    img[:, :16] = 60
+    img[8:16, 16:] = 200
+    data = _write_tiff([img], compression=7, tile=(16, 16))
+    w, h, rgb = decode_tiff(data)
+    assert (w, h) == (40, 24)
+    assert np.abs(rgb[:, :, 0].astype(float) - img.astype(float)).max() < 6
+
+
+def test_tiled_bilevel():
+    img = np.where(_gray(65, (22, 33)) > 128, 255, 0).astype(np.uint8)
+    tiled = decode_tiff(_write_tiff([img], bilevel=True, tile=(16, 8)))[2]
+    strip = decode_tiff(_write_tiff([img], bilevel=True))[2]
+    assert np.array_equal(tiled, strip)
