@@ -243,7 +243,7 @@ def extract_scanned_image_document(url: str, payload: bytes, params: Optional[Di
 
     # multi-page fax TIFFs: every IFD page is a scanned page (the
     # reference's PIL conversion walks frames the same way)
-    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+    if payload[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
         from dedoc_spark.core.tiff_decode import decode_tiff_pages
 
         rasters = decode_tiff_pages(payload)

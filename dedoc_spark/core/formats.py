@@ -542,6 +542,8 @@ _MEDIA_MAGIC = [
     (b"GIF89a", "media:image/gif"),
     (b"II*\x00", "media:image/tiff"),
     (b"MM\x00*", "media:image/tiff"),
+    (b"II+\x00", "media:image/tiff"),  # BigTIFF (version 43)
+    (b"MM\x00+", "media:image/tiff"),
 ]
 
 # OLE2 compound file (legacy .doc/.xls/.ppt share one magic)

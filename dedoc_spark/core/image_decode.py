@@ -329,7 +329,7 @@ def decode_image(data: bytes) -> Tuple[int, int, np.ndarray]:
         from dedoc_spark.core.jpeg_decode import decode_jpeg
 
         return decode_jpeg(data)
-    if data[:4] in (b"II*\x00", b"MM\x00*"):
+    if data[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
         from dedoc_spark.core.tiff_decode import decode_tiff
 
         return decode_tiff(data)

@@ -17,7 +17,10 @@ natively here, reusing the codecs already built for PDF rasters:
 Both the STRIP organisation (RowsPerStrip/StripOffsets) and the TILE
 organisation (TileWidth/TileLength/TileOffsets, TIFF 6.0 §15 — what
 imaging libraries and GIS scanners emit for large pages) decode through
-the same per-rectangle codec paths.
+the same per-rectangle codec paths. BigTIFF (version 43, 8-byte
+offsets) parses through the same IFD walk; 16-bit samples keep their
+high byte (the pipeline is 8-bit); PlanarConfiguration 2 gathers the
+per-sample strip planes.
 FillOrder 2 (bit-reversed strips) is honored for fax codecs and 1-bit
 byte-oriented strips; PhotometricInterpretation 1 inverts fax output
 (BlackIsZero). Multi-page TIFFs
@@ -64,51 +67,74 @@ def _packbits(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _read_ifds(data: bytes) -> Tuple[str, List[Dict[int, Tuple[int, int, bytes]]]]:
-    if data[:4] == b"II*\x00":
+def _read_ifds(data: bytes) -> Tuple[str, List[Dict[int, Tuple[int, int, bytes, bool]]]]:
+    """Classic (42) and BigTIFF (43, 8-byte offsets/counts — what
+    scanners emit past the 4 GiB strip-offset ceiling) IFD chains.
+    Each entry carries its own ``big`` flag so value readers need no
+    extra plumbing."""
+    if data[:2] == b"II":
         bo = "<"
-    elif data[:4] == b"MM\x00*":
+    elif data[:2] == b"MM":
         bo = ">"
     else:
         raise ValueError("not a TIFF")
-    (off,) = struct.unpack_from(bo + "I", data, 4)
+    (version,) = struct.unpack_from(bo + "H", data, 2)
+    if version == 42:
+        big = False
+        (off,) = struct.unpack_from(bo + "I", data, 4)
+    elif version == 43:
+        osize, pad = struct.unpack_from(bo + "HH", data, 4)
+        if osize != 8 or pad != 0:
+            raise ValueError("tiff: bad BigTIFF header")
+        big = True
+        (off,) = struct.unpack_from(bo + "Q", data, 8)
+    else:
+        raise ValueError("not a TIFF")
+    count_size, entry_size, raw_off = (8, 20, 12) if big else (2, 12, 8)
+    # IFD entry-count field H/Q; per-entry value count LONG/LONG8
+    cfmt, ecfmt, nfmt = ("Q", "Q", "Q") if big else ("H", "I", "I")
     ifds = []
     seen = set()
-    while off and off not in seen and off + 2 <= len(data):
+    while off and off not in seen and off + count_size <= len(data):
         seen.add(off)
-        (count,) = struct.unpack_from(bo + "H", data, off)
-        entries: Dict[int, Tuple[int, int, bytes]] = {}
+        (count,) = struct.unpack_from(bo + cfmt, data, off)
+        entries: Dict[int, Tuple[int, int, bytes, bool]] = {}
         for i in range(count):
-            base = off + 2 + 12 * i
-            if base + 12 > len(data):
+            base = off + count_size + entry_size * i
+            if base + entry_size > len(data):
                 break
-            tag, typ, cnt = struct.unpack_from(bo + "HHI", data, base)
-            entries[tag] = (typ, cnt, data[base + 8 : base + 12])
+            tag, typ = struct.unpack_from(bo + "HH", data, base)
+            (cnt,) = struct.unpack_from(bo + ecfmt, data, base + 4)
+            entries[tag] = (typ, cnt, data[base + raw_off : base + entry_size], big)
         ifds.append(entries)
-        nxt_pos = off + 2 + 12 * count
-        if nxt_pos + 4 > len(data):
+        nxt_pos = off + count_size + entry_size * count
+        if nxt_pos + (8 if big else 4) > len(data):
             break
-        (off,) = struct.unpack_from(bo + "I", data, nxt_pos)
+        (off,) = struct.unpack_from(bo + nfmt, data, nxt_pos)
     if not ifds:
         raise ValueError("tiff: no IFD")
     return bo, ifds
 
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4, 16: 8, 17: 8}
 
 
-def _values(data: bytes, bo: str, entry: Tuple[int, int, bytes]) -> List[int]:
-    typ, cnt, raw4 = entry
+def _values(data: bytes, bo: str, entry: Tuple[int, int, bytes, bool]) -> List[int]:
+    typ, cnt, raw, big = entry
     size = _TYPE_SIZE.get(typ)
     if size is None:
         return []
     total = size * cnt
-    if total <= 4:
-        buf = raw4[:total]
+    inline = 8 if big else 4
+    if total <= inline:
+        buf = raw[:total]
     else:
-        (ptr,) = struct.unpack_from(bo + "I", raw4, 0)
+        (ptr,) = struct.unpack_from(bo + ("Q" if big else "I"), raw, 0)
         buf = data[ptr : ptr + total]
-    fmt = {1: "B", 2: "B", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i"}[typ]
+    fmt = {
+        1: "B", 2: "B", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i",
+        16: "Q", 17: "q",
+    }[typ]
     return list(struct.unpack(bo + fmt * cnt, buf[: size * cnt]))
 
 
@@ -137,10 +163,15 @@ def _decode_ifd(data: bytes, bo: str, ifd: Dict) -> np.ndarray:
     jpeg_tables = (
         bytes(_values(data, bo, ifd[347])) if 347 in ifd else b""
     )
-    def block(chunk: bytes, bw: int, rows: int) -> np.ndarray:
+    planar = tag(284, 1)
+
+    def block(chunk: bytes, bw: int, rows: int, nsamples: Optional[int] = None) -> np.ndarray:
         """Decode one strip/tile rectangle -> (rows, bw, channels) uint8.
         Strips and tiles share every codec path (TIFF 6.0 §15: a tile is
-        compressed exactly like a strip of TileLength rows)."""
+        compressed exactly like a strip of TileLength rows).
+        ``nsamples`` overrides samples-per-pixel for planar strips (each
+        carries ONE sample plane)."""
+        nspp = spp if nsamples is None else nsamples
         if compression in (2, 3, 4) and fill_order == 2:
             chunk = _BITREV[np.frombuffer(chunk, dtype=np.uint8)].tobytes()
         if compression in (2, 3, 4):
@@ -188,7 +219,7 @@ def _decode_ifd(data: bytes, bo: str, ifd: Dict) -> np.ndarray:
             chunk = _packbits(chunk)
         elif compression != 1:
             raise ValueError(f"tiff: unsupported compression {compression}")
-        if bps == 1 and spp == 1:
+        if bps == 1 and nspp == 1:
             stride = (bw + 7) // 8
             if fill_order == 2:  # pixel bits fill bytes LSB-first
                 chunk = _BITREV[np.frombuffer(chunk, dtype=np.uint8)].tobytes()
@@ -200,16 +231,31 @@ def _decode_ifd(data: bytes, bo: str, ifd: Dict) -> np.ndarray:
                 px = 1 - px
             return ((1 - px) * 255).astype(np.uint8)[:, :, None]
         if bps == 8:
-            need = bw * rows * spp
+            need = bw * rows * nspp
             arr = np.frombuffer(chunk[:need], dtype=np.uint8)
             if arr.size < need:
                 raise ValueError("tiff: short strip")
-            arr = arr.reshape(rows, bw, spp).copy()
+            arr = arr.reshape(rows, bw, nspp).copy()
             if predictor == 2:
                 arr = np.add.accumulate(arr, axis=1, dtype=np.uint8)
             if photometric == 0 and spp == 1:  # WhiteIsZero gray
                 arr = 255 - arr
             return arr
+        if bps == 16:
+            # 16-bit samples (film/medical scanners): decode in the file's
+            # byte order, apply the predictor at full width, keep the
+            # high byte (the document pipeline is 8-bit)
+            need = bw * rows * nspp * 2
+            arr = np.frombuffer(chunk[:need], dtype=np.dtype(bo + "u2"))
+            if arr.size < need // 2:
+                raise ValueError("tiff: short strip")
+            arr = arr.reshape(rows, bw, nspp).copy()
+            if predictor == 2:
+                arr = np.add.accumulate(arr, axis=1, dtype=np.uint16)
+            out = (arr >> 8).astype(np.uint8)
+            if photometric == 0 and spp == 1:  # WhiteIsZero gray
+                out = 255 - out
+            return out
         raise ValueError(f"tiff: unsupported bits-per-sample {bps}")
 
     tile_w = tag(322)
@@ -245,17 +291,42 @@ def _decode_ifd(data: bytes, bo: str, ifd: Dict) -> np.ndarray:
             raise ValueError("tiff: no strip offsets")
         if not counts:  # single strip to EOF (seen in the wild)
             counts = [len(data) - offsets[0]]
-        planes: List[np.ndarray] = []
-        row_cursor = 0
-        for soff, scnt in zip(offsets, counts):
-            rows = min(rows_per_strip, height - row_cursor)
-            if rows <= 0:
-                break
-            planes.append(block(data[soff : soff + scnt], width, rows))
-            row_cursor += rows
-        if not planes:
-            raise ValueError("tiff: no strips decoded")
-        img = np.vstack(planes)[:height]
+        if planar == 2 and spp > 1:
+            # PlanarConfiguration 2: all strips of sample 0, then all of
+            # sample 1, ... — each strip carries one sample plane
+            if compression in (2, 3, 4, 7):
+                raise ValueError("tiff: planar fax/jpeg unsupported")
+            per_plane = (height + rows_per_strip - 1) // rows_per_strip
+            if len(offsets) < per_plane * spp:
+                raise ValueError("tiff: missing planar strips")
+            chans = []
+            for s in range(spp):
+                planes: List[np.ndarray] = []
+                row_cursor = 0
+                for k in range(per_plane):
+                    rows = min(rows_per_strip, height - row_cursor)
+                    if rows <= 0:
+                        break
+                    soff = offsets[s * per_plane + k]
+                    scnt = counts[s * per_plane + k]
+                    planes.append(
+                        block(data[soff : soff + scnt], width, rows, nsamples=1)
+                    )
+                    row_cursor += rows
+                chans.append(np.vstack(planes)[:height])
+            img = np.concatenate(chans, axis=2)
+        else:
+            planes = []
+            row_cursor = 0
+            for soff, scnt in zip(offsets, counts):
+                rows = min(rows_per_strip, height - row_cursor)
+                if rows <= 0:
+                    break
+                planes.append(block(data[soff : soff + scnt], width, rows))
+                row_cursor += rows
+            if not planes:
+                raise ValueError("tiff: no strips decoded")
+            img = np.vstack(planes)[:height]
     if img.shape[2] == 1:
         return np.repeat(img, 3, axis=2)
     return np.ascontiguousarray(img[:, :, :3])

@@ -39,23 +39,45 @@ def _write_tiff(
     bilevel=False,
     jpeg_tables_tag=False,
     tile=None,
+    big=False,
+    planar=False,
 ):
     """Minimal TIFF writer for fixtures: header, strip data, one IFD per
-    page chained at the end. ``pages``: HxW (gray/bilevel) or HxWx3.
+    page chained at the end. ``pages``: HxW (gray/bilevel) or HxWx3;
+    uint16 pages write BitsPerSample 16.
     ``tile=(tw, th)`` writes the tiled organisation (§15) instead of
-    strips — each tile padded to the full tile size like real writers."""
+    strips — each tile padded to the full tile size like real writers.
+    ``big`` writes the BigTIFF (version 43) header and 20-byte entries;
+    ``planar`` writes PlanarConfiguration 2 (all strips of sample 0,
+    then sample 1, ...)."""
     bo = byte_order
-    out = bytearray(b"II*\x00\x00\x00\x00\x00" if bo == "<" else b"MM\x00*\x00\x00\x00\x00")
+    if big:
+        out = bytearray(
+            (b"II" if bo == "<" else b"MM")
+            + struct.pack(bo + "HHH", 43, 8, 0)
+            + struct.pack(bo + "Q", 0)
+        )
+    else:
+        out = bytearray(b"II*\x00\x00\x00\x00\x00" if bo == "<" else b"MM\x00*\x00\x00\x00\x00")
     ifd_offsets = []
     page_entries = []
     for img in pages:
-        img = np.asarray(img, dtype=np.uint8)
+        img = np.asarray(img)
+        sixteen = img.dtype == np.uint16
+        if not sixteen:
+            img = img.astype(np.uint8)
         h, w = img.shape[:2]
         spp = img.shape[2] if img.ndim == 3 else 1
         rps = rows_per_strip or h
         strips = []
         strip_tables = None
-        if tile:
+        if planar:
+            parts = [
+                img[y0 : y0 + rps, :, s]
+                for s in range(spp)
+                for y0 in range(0, h, rps)
+            ]
+        elif tile:
             tw, th = tile
             parts = []
             for y0 in range(0, h, th):
@@ -82,10 +104,14 @@ def _write_tiff(
             elif compression == 5:
                 raw = part
                 if predictor == 2:
-                    diff = part.astype(np.int16).copy()
-                    diff[:, 1:] -= part[:, :-1].astype(np.int16)
-                    raw = (diff % 256).astype(np.uint8)
-                data = lzw_encode(raw.tobytes())
+                    diff = part.astype(np.int32).copy()
+                    diff[:, 1:] -= part[:, :-1].astype(np.int32)
+                    mod = 65536 if sixteen else 256
+                    raw = (diff % mod).astype(part.dtype)
+                data = lzw_encode(
+                    raw.astype(np.dtype(bo + "u2")).tobytes() if sixteen
+                    else raw.astype(np.uint8).tobytes()
+                )
             elif compression == 7:
                 from dedoc_spark.core.jpeg_decode import encode_jpeg_gray
 
@@ -105,7 +131,10 @@ def _write_tiff(
                     mask = 1 - mask
                 data = np.packbits(mask, axis=1).tobytes()
             else:
-                data = part.tobytes()
+                data = (
+                    part.astype(np.dtype(bo + "u2")).tobytes() if sixteen
+                    else part.tobytes()
+                )
             if (compression in (2, 3, 4) or bilevel) and fill_order == 2:
                 data = _BITREV[np.frombuffer(data, dtype=np.uint8)].tobytes()
             strips.append(data)
@@ -113,7 +142,7 @@ def _write_tiff(
         for s in strips:
             offsets.append(len(out))
             out += s
-        bps = 1 if (compression in (2, 3, 4) or bilevel) else 8
+        bps = 1 if (compression in (2, 3, 4) or bilevel) else (16 if sixteen else 8)
         phot = photometric
         if phot is None:
             phot = 0 if compression in (2, 3, 4) else (2 if spp == 3 else 1)
@@ -131,6 +160,8 @@ def _write_tiff(
                 (278, 4, [rps]), (273, 4, offsets),
                 (279, 4, [len(s) for s in strips]),
             ]
+        if planar:
+            entries.append((284, 3, [2]))
         if fill_order != 1:
             entries.append((266, 3, [fill_order]))
         if predictor != 1:
@@ -141,8 +172,12 @@ def _write_tiff(
             entries.append((347, 7, list(strip_tables)))
         page_entries.append(sorted(entries))
 
-    # emit IFDs (values needing >4 bytes go into an overflow area first)
-    prev_next_ptr = 4  # header's first-IFD pointer
+    # emit IFDs (values needing > inline bytes go into an overflow area)
+    inline = 8 if big else 4
+    count_size, entry_size = (8, 20) if big else (2, 12)
+    # IFD entry-count field H/Q; per-entry value count LONG/LONG8
+    cfmt, ecfmt, pfmt = ("Q", "Q", "Q") if big else ("H", "I", "I")
+    prev_next_ptr = 8 if big else 4  # header's first-IFD pointer
     for entries in page_entries:
         overflow = bytearray()
         packed = []
@@ -155,19 +190,21 @@ def _write_tiff(
                 body = b"".join(struct.pack(bo + fmt, v) for v in vals)
             packed.append((tag, typ, len(vals), body))
         # two passes: first compute IFD size, then place overflow after it
-        ifd_size = 2 + 12 * len(packed) + 4
+        ifd_size = count_size + entry_size * len(packed) + (8 if big else 4)
         data_base = ifd_guess + ifd_size
-        entry_bytes = bytearray(struct.pack(bo + "H", len(packed)))
+        entry_bytes = bytearray(struct.pack(bo + cfmt, len(packed)))
         for tag, typ, cnt, body in packed:
-            if len(body) <= 4:
-                raw4 = body + b"\x00" * (4 - len(body))
+            if len(body) <= inline:
+                raw = body + b"\x00" * (inline - len(body))
             else:
-                raw4 = struct.pack(bo + "I", data_base + len(overflow))
+                raw = struct.pack(bo + pfmt, data_base + len(overflow))
+                raw += b"\x00" * (inline - len(raw))
                 overflow += body
-            entry_bytes += struct.pack(bo + "HHI", tag, typ, cnt) + raw4
-        entry_bytes += struct.pack(bo + "I", 0)  # next-IFD placeholder
-        struct.pack_into(bo + "I", out, prev_next_ptr, ifd_guess)
-        prev_next_ptr = ifd_guess + 2 + 12 * len(packed)
+            entry_bytes += struct.pack(bo + "HH", tag, typ)
+            entry_bytes += struct.pack(bo + ecfmt, cnt) + raw
+        entry_bytes += struct.pack(bo + pfmt, 0)  # next-IFD placeholder
+        struct.pack_into(bo + pfmt, out, prev_next_ptr, ifd_guess)
+        prev_next_ptr = ifd_guess + count_size + entry_size * len(packed)
         out += entry_bytes + overflow
     return bytes(out)
 
@@ -384,3 +421,69 @@ def test_tiled_bilevel():
     tiled = decode_tiff(_write_tiff([img], bilevel=True, tile=(16, 8)))[2]
     strip = decode_tiff(_write_tiff([img], bilevel=True))[2]
     assert np.array_equal(tiled, strip)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_bigtiff_header_and_ifd(bo):
+    """BigTIFF (version 43): 8-byte offsets, 20-byte entries, LONG8
+    counts — same pixels as the classic container."""
+    img = _gray(71, (24, 37))
+    classic = decode_tiff(_write_tiff([img], byte_order=bo))[2]
+    bigt = decode_tiff(_write_tiff([img], byte_order=bo, big=True))[2]
+    assert np.array_equal(bigt, classic)
+
+
+def test_bigtiff_multipage_packbits():
+    pages = [_gray(72, (10, 13)), _gray(73, (8, 11))]
+    out = decode_tiff_pages(
+        _write_tiff(pages, compression=32773, big=True)
+    )
+    assert len(out) == 2
+    assert np.array_equal(out[0][:, :, 0], pages[0])
+    assert np.array_equal(out[1][:, :, 0], pages[1])
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_sixteen_bit_gray_keeps_high_byte(bo):
+    img16 = (_gray(74, (12, 19)).astype(np.uint16) << 8) | 0x7F
+    rgb = decode_tiff(_write_tiff([img16], byte_order=bo))[2]
+    assert np.array_equal(rgb[:, :, 0], (img16 >> 8).astype(np.uint8))
+
+
+def test_sixteen_bit_lzw_predictor():
+    img16 = np.random.default_rng(75).integers(
+        0, 65536, size=(14, 21), dtype=np.uint16
+    )
+    rgb = decode_tiff(_write_tiff([img16], compression=5, predictor=2))[2]
+    assert np.array_equal(rgb[:, :, 0], (img16 >> 8).astype(np.uint8))
+
+
+def test_planar_configuration_rgb():
+    """PlanarConfiguration 2: all strips of sample 0, then 1, then 2."""
+    img = np.random.default_rng(76).integers(0, 256, size=(18, 23, 3), dtype=np.uint8)
+    chunky = decode_tiff(_write_tiff([img]))[2]
+    planar = decode_tiff(_write_tiff([img], planar=True, rows_per_strip=5))[2]
+    assert np.array_equal(planar, chunky)
+
+
+def test_planar_configuration_lzw():
+    img = np.random.default_rng(77).integers(0, 256, size=(12, 17, 3), dtype=np.uint8)
+    planar = decode_tiff(
+        _write_tiff([img], compression=5, planar=True, rows_per_strip=4)
+    )[2]
+    assert np.array_equal(planar, img)
+
+
+def test_bigtiff_document_route():
+    """BigTIFF magic (II+/MM+) must route through sniffing, the scanned
+    route's container check, and decode_image alike."""
+    from dedoc_spark.core import scanfont
+    from dedoc_spark.core.document import extract_document
+
+    raster = scanfont.render_scan_page(["Bigtiff scan line"], scale=2)
+    data = _write_tiff([raster], compression=5, big=True, rows_per_strip=16)
+    d = extract_document(
+        "scan.tif", data, None, params={"pdf_with_text_layer": "false"}
+    )
+    assert d.get("error") is None
+    assert "Bigtiff scan line" in d["text_extracted"]
