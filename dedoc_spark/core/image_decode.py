@@ -333,6 +333,10 @@ def decode_image(data: bytes) -> Tuple[int, int, np.ndarray]:
         from dedoc_spark.core.tiff_decode import decode_tiff
 
         return decode_tiff(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from dedoc_spark.core.webp_decode import decode_webp
+
+        return decode_webp(data)
     raise ValueError(f"unsupported image format (magic {data[:4]!r})")
 
 
