@@ -529,8 +529,25 @@ _EXT_FORMATS = {
     "bmp": "media:image/bmp",
     "tiff": "media:image/tiff", "tif": "media:image/tiff",
     "webp": "media:image/webp",
+    "heic": "media:image/heif", "heif": "media:image/heif",
+    "avif": "media:image/avif",
     "mp3": "media:audio/mpeg", "wav": "media:audio/wav",
     "mp4": "media:video/mp4", "avi": "media:video/avi",
+}
+
+# ISO-BMFF ftyp major brands (bytes 8-12 after the 4-byte box size +
+# "ftyp"): still-image brands route to the image channel, movie brands
+# to video; unknown brands fall through to the text/markup fallback
+_FTYP_BRANDS = {
+    b"heic": "media:image/heif", b"heix": "media:image/heif",
+    b"heim": "media:image/heif", b"heis": "media:image/heif",
+    b"hevc": "media:image/heif", b"hevx": "media:image/heif",
+    b"mif1": "media:image/heif", b"msf1": "media:image/heif",
+    b"avif": "media:image/avif", b"avis": "media:image/avif",
+    b"isom": "media:video/mp4", b"iso2": "media:video/mp4",
+    b"mp41": "media:video/mp4", b"mp42": "media:video/mp4",
+    b"mp4v": "media:video/mp4", b"M4V ": "media:video/mp4",
+    b"qt  ": "media:video/mp4",
 }
 
 # only magics that can't collide with plain text (BM/RIFF deliberately
@@ -577,6 +594,8 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
         for magic, fmt in _MEDIA_MAGIC:
             if payload[:len(magic)] == magic:
                 return fmt
+        if payload[4:8] == b"ftyp" and payload[8:12] in _FTYP_BRANDS:
+            return _FTYP_BRANDS[payload[8:12]]
         if payload[:8] == _OLE2_MAGIC:
             # sniff the compound-file directory for the stream that names
             # the format; unrecognized OLE2 keeps the typed conversion row

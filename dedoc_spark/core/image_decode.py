@@ -337,6 +337,11 @@ def decode_image(data: bytes) -> Tuple[int, int, np.ndarray]:
         from dedoc_spark.core.webp_decode import decode_webp
 
         return decode_webp(data)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        from dedoc_spark.core.heif_decode import decode_heif, is_heif
+
+        if is_heif(data):
+            return decode_heif(data)
     raise ValueError(f"unsupported image format (magic {data[:4]!r})")
 
 
