@@ -1,0 +1,647 @@
+"""Real-font OCR engine: nearest-template matching against a committed
+glyph bank rendered from the container's DejaVu family (Serif / Sans /
+Mono, regular + bold — full Latin AND Cyrillic coverage).
+
+This is the second engine behind the ``recognize_page`` seam
+(core/ocr.py). The first (scanfont template matcher) reads only the
+procedural 8x8 fixture font; REAL scans — fax pages, renders of
+proportional anti-aliased type — decoded pixels fine but matched
+garbage. This engine reads them:
+
+* templates are 16x16 area-mean coverage grids + aspect + font-metric
+  features (height / ascent / descent relative to the em), rendered at
+  BUILD time by scripts/build_glyph_bank.py through core/ftrender
+  (FreeType is NOT needed at run time — workers only load the bank,
+  exactly like the trained line labelers in dedoc_spark/models/);
+* matching is a two-pass joint fit: pass 1 matches shape+aspect alone
+  (one numpy GEMM per band against every template), then the band's em
+  scale S and baseline are estimated from the agreeing matches, and
+  pass 2 re-scores every (glyph, template) pair with size and
+  baseline-position penalties — this is what separates c/C, o/O, x/X,
+  '.'/'\\'' and friends, which pure shape matching cannot;
+* segmentation is projection-profile bands -> column ink runs with a
+  scale-relative word gap (0.17 em), the layout real proportional
+  fonts produce.
+
+The reference runs Tesseract here (pdf_image_reader.py:60-97); this
+engine is the container-local stand-in documented in COVERAGE.md — a
+real recognizer for the fonts it was built from and their lookalikes,
+not a general LSTM OCR.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+GRID = 16
+BANK_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "models",
+    "glyph_bank.json.gz",
+)
+
+_W_ASPECT = 0.6
+_W_SIZE = 0.55
+_W_BASE = 0.45
+# distance -> confidence, calibrated so clean matches (d ≈ 0.01-0.06)
+# land in the 85-97 range Tesseract reports for clean scans and junk
+# (d ≥ 0.3) falls toward 0 — the ocr_conf_threshold channel expects
+# that spread
+_CONF_SLOPE = 2.2
+
+
+def grid_features(crop: np.ndarray) -> np.ndarray:
+    """Float HxW coverage crop (0..1, tight bbox) -> flattened GRIDxGRID
+    area-mean vector. Mirrors core/ocr._cell_means at GRID resolution."""
+    h, w = crop.shape
+    rb = (np.arange(GRID) * h) // GRID
+    cb = (np.arange(GRID) * w) // GRID
+    summed = np.add.reduceat(
+        np.add.reduceat(crop.astype(np.float64), rb, axis=0), cb, axis=1
+    )
+    rcounts = np.maximum(np.diff(np.concatenate([rb, [h]])), 1)
+    ccounts = np.maximum(np.diff(np.concatenate([cb, [w]])), 1)
+    return (summed / np.outer(rcounts, ccounts)).reshape(-1)
+
+
+class GlyphBank:
+    """Loaded template bank: (n, GRID*GRID) float grids + per-template
+    char / aspect / font-metric columns."""
+
+    def __init__(self, payload: Dict) -> None:
+        if payload.get("grid") != GRID:
+            raise ValueError("glyph bank grid mismatch")
+        t = payload["templates"]
+        self.chars: str = "".join(e["c"] for e in t)
+        self.grids = (
+            np.array([e["g"] for e in t], dtype=np.float64) / 255.0
+        )  # (n, GRID*GRID)
+        self.aspect = np.log(np.array([e["a"] for e in t], dtype=np.float64))
+        self.h_rel = np.array([e["h"] for e in t], dtype=np.float64)
+        self.desc_rel = np.array([e["d"] for e in t], dtype=np.float64)
+        self._sq = (self.grids**2).sum(axis=1)
+
+    def subset(self, charset: str) -> "GlyphBank":
+        keep = np.array([c in charset for c in self.chars])
+        sub = GlyphBank.__new__(GlyphBank)
+        sub.chars = "".join(c for c, k in zip(self.chars, keep) if k)
+        sub.grids = self.grids[keep]
+        sub.aspect = self.aspect[keep]
+        sub.h_rel = self.h_rel[keep]
+        sub.desc_rel = self.desc_rel[keep]
+        sub._sq = self._sq[keep]
+        return sub
+
+
+_bank: Optional[GlyphBank] = None
+_bank_tried = False
+_subsets: Dict[str, GlyphBank] = {}
+
+
+def load_bank(path: str = BANK_PATH) -> Optional[GlyphBank]:
+    global _bank, _bank_tried
+    if _bank_tried:
+        return _bank
+    _bank_tried = True
+    try:
+        with gzip.open(path, "rt", encoding="utf-8") as f:
+            _bank = GlyphBank(json.load(f))
+    except (OSError, ValueError, KeyError):
+        _bank = None
+    return _bank
+
+
+def bank_available() -> bool:
+    return load_bank() is not None
+
+
+def _bank_for_language(language: str) -> Optional[GlyphBank]:
+    bank = load_bank()
+    if bank is None:
+        return None
+    key = str(language or "")
+    hit = _subsets.get(key)
+    if hit is None:
+        from dedoc_spark.core.scanfont import charset_for_language
+
+        hit = _subsets[key] = bank.subset(charset_for_language(language))
+    return hit
+
+
+def _runs(profile: np.ndarray, min_gap: int = 1) -> List[Tuple[int, int]]:
+    idx = np.where(profile)[0]
+    if idx.size == 0:
+        return []
+    breaks = np.where(np.diff(idx) > min_gap)[0]
+    starts = np.concatenate([[idx[0]], idx[breaks + 1]])
+    ends = np.concatenate([idx[breaks] + 1, [idx[-1] + 1]])
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def _shape_dist(bank: GlyphBank, feats: np.ndarray, aspect: np.ndarray) -> np.ndarray:
+    """(m, n_templates) pass-1 distance: grid MSE + aspect penalty."""
+    d2 = (
+        (feats**2).sum(axis=1)[:, None]
+        - 2.0 * feats @ bank.grids.T
+        + bank._sq[None, :]
+    ) / (GRID * GRID)
+    return d2 + _W_ASPECT * (aspect[:, None] - bank.aspect[None, :]) ** 2
+
+
+def _crop_feats(crops: Sequence[np.ndarray], boxes: Sequence[Tuple[int, int, int, int]]):
+    feats = np.stack([grid_features(c) for c in crops])
+    heights = np.array([y1 - y0 for _, y0, _, y1 in boxes], dtype=np.float64)
+    widths = np.array([x1 - x0 for x0, _, x1, _ in boxes], dtype=np.float64)
+    aspect = np.log(np.maximum(widths, 1) / np.maximum(heights, 1))
+    return feats, heights, widths, aspect
+
+
+def _match_band(
+    bank: GlyphBank,
+    crops: Sequence[np.ndarray],
+    boxes: Sequence[Tuple[int, int, int, int]],
+    topk: int = 5,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Two-pass joint match of one band's glyphs.
+
+    Returns (cand_idx (m, topk) template indices best-first,
+    cand_dist (m, topk), band em scale S)."""
+    feats, heights, _, aspect = _crop_feats(crops, boxes)
+    bottoms = np.array([y1 for _, _, _, y1 in boxes], dtype=np.float64)
+
+    dist1 = _shape_dist(bank, feats, aspect)
+    best1 = dist1.argmin(axis=1)
+
+    # band em scale from the agreeing matches: S such that h = h_rel * S
+    scales = heights / np.maximum(bank.h_rel[best1], 1e-6)
+    S = float(np.median(scales))
+    if not np.isfinite(S) or S <= 0:
+        S = float(np.median(heights))
+    # baseline from predicted descents: bottom = baseline + desc_rel * S
+    base_est = float(np.median(bottoms - bank.desc_rel[best1] * S))
+
+    # pass 2: add size + baseline-position penalties over ALL templates —
+    # this separates c/C, o/O, x/X, '.'/'\'' that pure shape cannot.
+    # Two iterations: shape-only ties skew the first S/baseline estimate
+    # when a band is homoglyph-heavy, and the second pass's own matches
+    # correct it.
+    dist2 = dist1
+    for _ in range(2):
+        size_pen = (
+            np.log(
+                np.maximum(heights, 1)[:, None]
+                / np.maximum(bank.h_rel[None, :] * S, 1e-6)
+            )
+            ** 2
+        )
+        base_pen = ((bottoms[:, None] - base_est - bank.desc_rel[None, :] * S) / S) ** 2
+        dist2 = dist1 + _W_SIZE * size_pen + _W_BASE * base_pen
+        best = dist2.argmin(axis=1)
+        S_new = float(np.median(heights / np.maximum(bank.h_rel[best], 1e-6)))
+        if np.isfinite(S_new) and S_new > 0:
+            S = S_new
+        base_est = float(np.median(bottoms - bank.desc_rel[best] * S))
+    k = min(topk, dist2.shape[1])
+    part = np.argpartition(dist2, k - 1, axis=1)[:, :k]
+    part_d = np.take_along_axis(dist2, part, axis=1)
+    order = np.argsort(part_d, axis=1)
+    return (
+        np.take_along_axis(part, order, axis=1),
+        np.take_along_axis(part_d, order, axis=1),
+        S,
+    )
+
+
+# --- touching-glyph split refinement -----------------------------------------
+
+_SPLIT_TRY_W = 0.60  # try splitting ink runs wider than this many em
+_SPLIT_GAIN = 0.010  # accept a split only if it beats the whole by this
+_SPLIT_OK = 0.030  # a whole-glyph match at least this good never splits
+
+
+def _split_segments(
+    band: np.ndarray, c0: int, c1: int, S: float, bank: GlyphBank, depth: int = 3
+) -> List[Tuple[int, int]]:
+    """Recursively split one ink run at its weakest interior column when
+    the pieces match templates better than the whole (bold/serif type
+    frequently touches: 'fo', 'PA', ...). Guarded three ways so intact
+    glyphs ('a', 'm') don't shatter into stroke fragments: the whole
+    must match poorly, the cut column must carry near-minimum ink (a
+    touching junction is thin), and the pieces must win by a clear
+    margin."""
+    w = c1 - c0
+    if depth <= 0 or w < _SPLIT_TRY_W * S or w < 6:
+        return [(c0, c1)]
+
+    def seg_dist(a: int, b: int) -> float:
+        cell = band[:, a:b]
+        rows = np.where(cell.any(axis=1))[0]
+        if rows.size == 0:
+            return 0.0
+        crop = cell[rows[0] : rows[-1] + 1].astype(np.float64)
+        feats, _, _, aspect = _crop_feats([crop], [(a, rows[0], b, rows[-1] + 1)])
+        return float(_shape_dist(bank, feats, aspect).min())
+
+    whole = seg_dist(c0, c1)
+    if whole < _SPLIT_OK:  # already a confident single glyph
+        return [(c0, c1)]
+    ink = band[:, c0:c1].sum(axis=0)
+    lo = max(2, int(0.22 * S))
+    hi = w - lo
+    if hi <= lo:
+        return [(c0, c1)]
+    cut = int(np.argmin(ink[lo:hi])) + lo
+    # a real junction is thin: the cut column must be well below the
+    # run's typical stroke coverage (serif 'f'+'o' touch through the
+    # f-hood only; an intact 'a' has no such valley)
+    if ink[cut] > max(1.0, 0.5 * float(np.median(ink[ink > 0]))):
+        return [(c0, c1)]
+    left, right = seg_dist(c0, c0 + cut), seg_dist(c0 + cut, c1)
+    if max(left, right) + _SPLIT_GAIN < whole:
+        return _split_segments(band, c0, c0 + cut, S, bank, depth - 1) + _split_segments(
+            band, c0 + cut, c1, S, bank, depth - 1
+        )
+    return [(c0, c1)]
+
+
+# --- script / case candidate repair -------------------------------------------
+
+_LAT = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")
+_CYR = set("АБВГДЕЖЗИЙКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯабвгдежзийклмнопрстуфхцчшщъыьэюяЁё")
+_DIG = set("0123456789")
+_REPAIR_MARGIN = 0.03
+_DIGIT_MARGIN = 0.065  # О/0 and З/3 differ slightly in DejaVu — wider net
+_STEMS = frozenset("lI1|")
+_STEM_MARGIN = 0.25
+
+
+def _char_class(ch: str) -> str:
+    if ch in _LAT:
+        return "lat"
+    if ch in _CYR:
+        return "cyr"
+    if ch in _DIG:
+        return "dig"
+    return "other"
+
+
+def _unique_candidates(
+    bank: GlyphBank, idxs: np.ndarray, dists: np.ndarray
+) -> List[List[Tuple[str, float]]]:
+    """Per glyph: best-first (char, dist) with duplicate chars collapsed
+    (the bank holds every char once per FACE — six near-identical
+    entries would crowd the true alternatives out of any fixed top-k)."""
+    out: List[List[Tuple[str, float]]] = []
+    for g in range(idxs.shape[0]):
+        seen: Dict[str, float] = {}
+        row: List[Tuple[str, float]] = []
+        for j in range(idxs.shape[1]):
+            ch = bank.chars[idxs[g, j]]
+            if ch not in seen:
+                seen[ch] = float(dists[g, j])
+                row.append((ch, float(dists[g, j])))
+        out.append(row)
+    return out
+
+
+def _repair_word(
+    bank: GlyphBank, idxs: np.ndarray, dists: np.ndarray
+) -> Tuple[List[str], List[float]]:
+    """Resolve homoglyph ties inside one word by script and case voting.
+
+    DejaVu renders е/e, о/o, а/a, С/C, ... pixel-identically, so shape
+    distance TIES across scripts and argmin picks arbitrarily (the way
+    any single-glyph OCR would without a language model). Words are
+    rarely mixed-script: vote the word's script with its distinctive
+    glyphs, then re-pick each glyph's candidate within a small distance
+    margin to agree; digits stranded in letter words (g/9, O/0) and
+    letter case (I/l in sans are identical — an uppercase word wants I)
+    get the same treatment."""
+    cands = _unique_candidates(bank, idxs, dists)
+    m = len(cands)
+    chars = [c[0][0] for c in cands]
+    dist_out = [c[0][1] for c in cands]
+
+    # script vote with distinctive glyphs only (margin to the other
+    # letter script is real, not a tie)
+    votes: Dict[str, float] = {"lat": 0.0, "cyr": 0.0, "dig": 0.0}
+    for g in range(m):
+        best_cls = _char_class(chars[g])
+        if best_cls not in votes:
+            continue
+        other = {"lat": "cyr", "cyr": "lat"}.get(best_cls)
+        margin = _REPAIR_MARGIN
+        if other is not None:
+            for ch, d in cands[g]:
+                if _char_class(ch) == other:
+                    margin = d - cands[g][0][1]
+                    break
+        votes[best_cls] += 1.0 if margin >= _REPAIR_MARGIN else 0.25
+    letter_cls = max(("lat", "cyr"), key=lambda c: votes[c])
+    word_cls = "dig" if votes["dig"] > votes["lat"] + votes["cyr"] else letter_cls
+
+    def pick(g: int, want, margin: float = _REPAIR_MARGIN) -> None:
+        base = cands[g][0][1]
+        for ch, d in cands[g]:
+            if d - base > margin:
+                break
+            if want(ch):
+                chars[g] = ch
+                dist_out[g] = d
+                return
+        # bare stems (l / I / 1 / |) are inherently shape-ambiguous —
+        # the word vote may reach across a much wider distance gap, but
+        # ONLY to another member of the stem set (never to an arbitrary
+        # lookalike letter)
+        if chars[g] in _STEMS:
+            for ch, d in cands[g]:
+                if d - base > _STEM_MARGIN:
+                    break
+                if ch in _STEMS and want(ch):
+                    chars[g] = ch
+                    dist_out[g] = d
+                    return
+
+    for g in range(m):
+        cls = _char_class(chars[g])
+        if word_cls == "dig":
+            if cls != "dig":
+                pick(g, lambda ch: _char_class(ch) == "dig", _DIGIT_MARGIN)
+        elif cls in ("lat", "cyr") and cls != letter_cls:
+            pick(g, lambda ch: _char_class(ch) == letter_cls)
+        elif cls == "dig" and m >= 2:
+            # a digit stranded inside a letter word (dog -> do9)
+            pick(g, lambda ch: _char_class(ch) == letter_cls, _DIGIT_MARGIN)
+
+    # case vote among the letters now present
+    letters = [ch for ch in chars if _char_class(ch) in ("lat", "cyr")]
+    if len(letters) >= 2:
+        upper = sum(ch.isupper() for ch in letters)
+        frac = upper / len(letters)
+        want_upper = frac >= 0.7
+        want_lower = frac <= 0.3
+        if want_upper or want_lower:
+            for g in range(m):
+                ch = chars[g]
+                cls = _char_class(ch)
+                if cls not in ("lat", "cyr"):
+                    continue
+                if want_upper and ch.islower():
+                    pick(g, lambda c, k=cls: c.isupper() and _char_class(c) == k)
+                elif want_lower and ch.isupper():
+                    pick(g, lambda c, k=cls: c.islower() and _char_class(c) == k)
+
+    # ы is TWO ink components (ь + right stem): column-run segmentation
+    # always yields two glyphs, so fold the pair back inside Cyrillic
+    # words (the single-glyph template can never win on its own)
+    if letter_cls == "cyr":
+        i = 0
+        folded_chars: List[str] = []
+        folded_dists: List[float] = []
+        stems = {"I", "l", "1", "|", "І"}
+        while i < len(chars):
+            if i + 1 < len(chars) and chars[i] in ("ь", "Ь") and chars[i + 1] in stems:
+                folded_chars.append("ы" if chars[i] == "ь" else "Ы")
+                folded_dists.append(max(dist_out[i], dist_out[i + 1]))
+                i += 2
+            else:
+                folded_chars.append(chars[i])
+                folded_dists.append(dist_out[i])
+                i += 1
+        chars, dist_out = folded_chars, folded_dists
+    return chars, dist_out
+
+
+def _word_gap_threshold(
+    boxes: Sequence[Tuple[int, int, int, int]], S: float
+) -> float:
+    """Word-break gap for one band. Inter-glyph gaps are bimodal
+    (char gaps ≪ word gaps); when the band carries enough gaps, place
+    the threshold at the widest relative jump between the two clusters —
+    this adapts across proportional serif (tight) and mono (loose)
+    metrics. Sparse bands fall back to 0.24 em."""
+    gaps = [
+        boxes[i][0] - boxes[i - 1][2]
+        for i in range(1, len(boxes))
+        if boxes[i][0] - boxes[i - 1][2] > 0
+    ]
+    fallback = max(2.0, 0.24 * S)
+    if len(gaps) < 6:
+        return fallback
+    # most gaps are char gaps; their 75th percentile anchors the lower
+    # cluster, and word gaps sit far above it. The em-relative floor
+    # covers tight proportional faces, the percentile term loose mono
+    # metrics, and the cap keeps a words-only band from merging.
+    p75 = float(np.percentile(np.array(gaps, dtype=np.float64), 75))
+    return float(min(max(0.24 * S, 1.35 * p75), 0.55 * S))
+
+
+def clean_scan_mask(mask: np.ndarray) -> np.ndarray:
+    """Strip what real scans add on top of the text: page-spanning rules
+    and borders (a column/row whose ink covers most of the page is a
+    frame line, never a glyph) and salt noise (ink pixels with fewer
+    than two 8-neighbors). Rendered fixture pages pass through intact —
+    strokes keep their neighbors and have no page-long runs."""
+    m = mask.astype(bool).copy()
+    h, w = m.shape
+    if h < 8 or w < 8:
+        return m
+    col_frac = m.sum(axis=0) / h
+    row_frac = m.sum(axis=1) / w
+    m[:, col_frac > 0.6] = False
+    m[row_frac > 0.6, :] = False
+    # black scan edges: strips hugging the page margins whose ink is one
+    # CONTIGUOUS page-scale run (fax feeders leave them on every page).
+    # The contiguity test is what separates an edge from a glyph stem
+    # that happens to sit in the margin zone of a short page — stems
+    # break at every interline gap.
+    def _longest_run(v: np.ndarray) -> int:
+        idx = np.where(v)[0]
+        if idx.size == 0:
+            return 0
+        breaks = np.where(np.diff(idx) > 1)[0]
+        starts = np.concatenate([[0], breaks + 1])
+        ends = np.concatenate([breaks, [idx.size - 1]])
+        return int((idx[ends] - idx[starts]).max()) + 1
+
+    mx, my = max(1, round(0.04 * w)), max(1, round(0.04 * h))
+    for lo_, hi_ in ((0, mx), (w - mx, w)):
+        for c in np.where(col_frac[lo_:hi_] > 0.25)[0] + lo_:
+            if _longest_run(m[:, c]) > 0.5 * h:
+                m[:, c] = False
+    for lo_, hi_ in ((0, my), (h - my, h)):
+        for r in np.where(row_frac[lo_:hi_] > 0.25)[0] + lo_:
+            if _longest_run(m[r, :]) > 0.5 * w:
+                m[r, :] = False
+    # despeckle: drop ISOLATED ink pixels only (8-neighbor count via
+    # shifted sums). A >=2 threshold also shaved anti-aliased stroke
+    # fringes and measurably hurt bold serif shapes; 2-pixel specks that
+    # survive here are caught by the per-crop minimum-ink filter.
+    p = np.pad(m, 1).astype(np.uint8)
+    neigh = (
+        p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+        + p[1:-1, :-2] + p[1:-1, 2:]
+        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+    )
+    return m & (neigh >= 1)
+
+
+def _text_bands(mask: np.ndarray) -> List[Tuple[int, int]]:
+    """Line bands from the row-ink profile. Real scans leave residual
+    noise in every row, so `any()` banding collapses; rows count as text
+    when their ink clears a noise floor scaled to the page's inked
+    rows."""
+    rows = mask.sum(axis=1)
+    if not rows.any():
+        return []
+    positive = rows[rows > 0]
+    floor = max(2.0, 0.06 * float(np.percentile(positive, 90)))
+    h = len(rows)
+    core = _runs(rows > floor)
+    # extension stop: scaled to the measured inter-band noise — clean
+    # renders have inkless gaps (lo = 2 keeps sparse ascender rows
+    # attached), noisy scans keep residual ink between lines and need
+    # the extension to stop above it
+    in_core = np.zeros(h, dtype=bool)
+    for y0, y1 in core:
+        in_core[y0:y1] = True
+    off = rows[~in_core]
+    noise = float(np.median(off)) if off.size else 0.0
+    lo = max(2.0, 1.5 * noise + 1.0)
+    bands: List[Tuple[int, int]] = []
+    # hysteresis: a band needs a core above the noise floor, but extends
+    # to the near-zero gap so sparse ascender/descender rows (a lone
+    # 'h' top on a lowercase line) stay attached instead of fragmenting
+    # the line
+    for y0, y1 in core:
+        while y0 > 0 and rows[y0 - 1] > lo:
+            y0 -= 1
+        while y1 < h and rows[y1] > lo:
+            y1 += 1
+        if bands:
+            py0, py1 = bands[-1]
+            gap = y0 - py1
+            # a 1-2 row pinch at the descender waist is not an
+            # interline gap (those are >= ~1/4 of the line height);
+            # the absolute cap keeps noisy scans from snowball-merging
+            if gap <= min(3, max(1, round(0.2 * max(py1 - py0, y1 - y0)))):
+                bands[-1] = (py0, max(py1, y1))
+                continue
+        bands.append((y0, y1))
+    return bands
+
+
+def orientation_confidence(
+    mask: np.ndarray, language: str = "rus+eng",
+    max_bands: int = 3, max_glyphs: int = 60,
+) -> float:
+    """Mean match confidence of the first few bands — the glyph-engine
+    analogue of the scanfont orientation score (rotated/flipped real
+    type matches the bank far worse than upright type). Returns -0.5
+    when nothing segmentable is found."""
+    bank = _bank_for_language(language)
+    if bank is None:
+        return -0.5
+    m = clean_scan_mask(mask)
+    crops: List[np.ndarray] = []
+    boxes: List[Tuple[int, int, int, int]] = []
+    for y0, y1 in _text_bands(m)[:max_bands]:
+        band = m[y0:y1]
+        for c0, c1 in _runs(band.any(axis=0)):
+            cell = band[:, c0:c1]
+            rows = np.where(cell.any(axis=1))[0]
+            if rows.size == 0 or cell.sum() < 3:
+                continue
+            crops.append(cell[rows[0] : rows[-1] + 1].astype(np.float64))
+            boxes.append((c0, int(rows[0]), c1, int(rows[-1]) + 1))
+            if len(crops) >= max_glyphs:
+                break
+        if len(crops) >= max_glyphs:
+            break
+    if len(crops) < 3:
+        return -0.5
+    _, cand_dist, _ = _match_band(bank, crops, boxes, topk=1)
+    return float(np.mean(np.maximum(0.0, 1.0 - _CONF_SLOPE * cand_dist[:, 0])))
+
+
+def recognize_block(
+    mask: np.ndarray,
+    x_off: int,
+    y_off: int,
+    language: str = "rus+eng",
+) -> List[Tuple[Tuple[int, int, int, int], List, float]]:
+    """Same contract as core/ocr._recognize_block: one text block ->
+    [(line bbox, [OcrWordOut], mean glyph conf)] top-down."""
+    from dedoc_spark.core.ocr import OcrWordOut
+
+    bank = _bank_for_language(language)
+    if bank is None:
+        return []
+    mask = clean_scan_mask(mask)
+    out: List[Tuple[Tuple[int, int, int, int], List, float]] = []
+    for y0, y1 in _text_bands(mask):
+        band = mask[y0:y1]
+        col_runs = _runs(band.any(axis=0))
+        if not col_runs:
+            continue
+        # rough em from the band extent (ascender..descender ≈ 1.12 em)
+        # drives only the split-attempt gate; the matched S refines it
+        S_rough = max(4.0, (y1 - y0) / 1.12)
+        crops: List[np.ndarray] = []
+        boxes: List[Tuple[int, int, int, int]] = []
+        for c0, c1 in col_runs:
+            for s0, s1 in _split_segments(band, c0, c1, S_rough, bank):
+                cell = band[:, s0:s1]
+                rows = np.where(cell.any(axis=1))[0]
+                if rows.size == 0:
+                    continue
+                if cell.sum() < 3:  # residual speck, not a glyph
+                    continue
+                gy0, gy1 = int(rows[0]), int(rows[-1]) + 1
+                crops.append(cell[gy0:gy1].astype(np.float64))
+                boxes.append((s0, gy0, s1, gy1))
+        if not crops:
+            continue
+        cand_idx, cand_dist, S = _match_band(bank, crops, boxes, topk=24)
+        word_gap = _word_gap_threshold(boxes, S)
+
+        # group glyphs into words by gap, repair each word, emit
+        groups: List[List[int]] = [[0]]
+        for g in range(1, len(boxes)):
+            if boxes[g][0] - boxes[g - 1][2] > word_gap:
+                groups.append([g])
+            else:
+                groups[-1].append(g)
+        words: List = []
+        all_confs: List[float] = []
+        for grp in groups:
+            chars, dists = _repair_word(bank, cand_idx[grp], cand_dist[grp])
+            confs = [max(0.0, 1.0 - _CONF_SLOPE * max(d, 0.0)) for d in dists]
+            all_confs.extend(confs)
+            words.append(
+                OcrWordOut(
+                    "".join(chars),
+                    (
+                        x_off + boxes[grp[0]][0],
+                        y_off + y0,
+                        x_off + boxes[grp[-1]][2],
+                        y_off + y1,
+                    ),
+                    int(round(100 * float(np.mean(confs)))),
+                )
+            )
+        if not words:
+            continue
+        bbox = (
+            min(w.bbox[0] for w in words),
+            y_off + y0,
+            max(w.bbox[2] for w in words),
+            y_off + y1,
+        )
+        out.append((bbox, words, float(np.mean(all_confs))))
+    return out

@@ -366,7 +366,30 @@ def detect_orientation(
             return 0
         if score > best_score + 1e-9:
             best_k, best_score = k, score
+    if best_score < _SCANFONT_CONF_FLOOR:
+        # the page is not the fixture font — scanfont scores are noise
+        # there (sparse crops match sparse templates at ANY rotation);
+        # re-score with the real-font engine when its bank is present
+        from dedoc_spark.core import glyph_ocr
+
+        if glyph_ocr.bank_available():
+            scores = [
+                glyph_ocr.orientation_confidence(np.rot90(mask, k), language)
+                for k in range(4)
+            ]
+            best_k = int(np.argmax(scores))
+            # override upright only on a decisive margin: pages the bank
+            # cannot read (e.g. the procedural fixture font, photos)
+            # score junk at EVERY rotation and must stay unrotated
+            if best_k != 0 and scores[best_k] < scores[0] + 0.08:
+                best_k = 0
     return best_k * 90
+
+
+# scanfont template matches on the procedural fixture font score ~1.0;
+# anything below this means the page is NOT that font (a real scan) and
+# the real-font glyph engine should read it instead
+_SCANFONT_CONF_FLOOR = 0.92
 
 
 def recognize_page(
@@ -375,19 +398,28 @@ def recognize_page(
     is_one_column: Optional[bool] = None,
     ocr_conf_threshold: float = -1.0,
     mask: Optional[np.ndarray] = None,
+    engine: str = "auto",
 ) -> List[OcrLineOut]:
     """Full-page recognition: the split_image2lines contract
     (ocr_line_extractor.py:16-23). One-column pages read top-down (psm 4);
     two-column pages read left block then right block (psm 3 block
     order). Words below ``ocr_conf_threshold`` are dropped
-    (ocr_page/ocr_line.py:56 filter)."""
+    (ocr_page/ocr_line.py:56 filter).
+
+    ``engine``: "scanfont" = the procedural-font template matcher (the
+    fixture font), "glyph" = the real-font engine (core/glyph_ocr,
+    DejaVu-trained template bank), "auto" (default) = scanfont first,
+    and when its match confidence collapses below
+    ``_SCANFONT_CONF_FLOOR`` — i.e. the page is real type, not the
+    fixture font — the glyph engine reads the page instead. Fixture
+    pages match ~1.0 so their default output bytes never change."""
     if mask is None:
         mask = ink_mask(image)
     columns = detect_columns(mask) if is_one_column is None else (1 if is_one_column else 2)
-    raw: List[Tuple[Tuple[int, int, int, int], List[OcrWordOut], float]] = []
-    if columns == 1:
-        raw = _recognize_block(mask, 0, 0, language)
-    else:
+
+    def blocks_with(block_fn) -> List[Tuple[Tuple[int, int, int, int], List[OcrWordOut], float]]:
+        if columns == 1:
+            return block_fn(mask, 0, 0, language)
         col_ink = mask.any(axis=0)
         w = mask.shape[1]
         split = w // 2
@@ -395,9 +427,33 @@ def recognize_page(
         for s, e in _runs(~col_ink):
             if 0 < s and e < w and e - s > best and s > w // 4 and e < (3 * w) // 4:
                 best, split = e - s, (s + e) // 2
-        raw = _recognize_block(mask[:, :split], 0, 0, language) + _recognize_block(
+        return block_fn(mask[:, :split], 0, 0, language) + block_fn(
             mask[:, split:], split, 0, language
         )
+
+    use_glyph = engine == "glyph"
+    if engine == "auto":
+        # cheap probe: a few scanfont bands decide the engine without
+        # paying for a full-page pass of the loser. Two real-scan
+        # signals: the matches are poor, OR an ink-heavy page yields
+        # almost no glyph cells (noise fuses the projection bands —
+        # near-empty giant crops match sparse templates with spuriously
+        # HIGH confidence, so count beats confidence there).
+        probe = _recognize_block(mask, 0, 0, language, max_bands=4, max_glyphs=80)
+        n_glyphs = sum(len(w.text) for _, ws, _ in probe for w in ws)
+        if probe and n_glyphs >= 8:
+            use_glyph = float(np.mean([c for _, _, c in probe])) < _SCANFONT_CONF_FLOOR
+        else:
+            use_glyph = int(mask.sum()) >= 6400
+    raw: List[Tuple[Tuple[int, int, int, int], List[OcrWordOut], float]] = []
+    if use_glyph:
+        from dedoc_spark.core import glyph_ocr
+
+        if glyph_ocr.bank_available():
+            raw = blocks_with(glyph_ocr.recognize_block)
+        use_glyph = bool(raw)
+    if not use_glyph:
+        raw = blocks_with(_recognize_block)
     lines: List[OcrLineOut] = []
     order = 0
     for bbox, words, _ in raw:
@@ -924,6 +980,7 @@ def process_scanned_page(
         is_one_column=one_col,
         ocr_conf_threshold=float(params.get("ocr_conf_threshold", -1.0)),
         mask=mask,
+        engine=str(params.get("ocr_engine", "auto")),
     )
     ocr_lines = filter_lines_by_bbox(ocr_lines)
     lines = build_scan_lines(ocr_lines, image, page_num, page_seed=page_seed)

@@ -1,0 +1,187 @@
+"""Real-font OCR engine (core/glyph_ocr + core/ftrender): the committed
+DejaVu template bank, two-pass joint matching with script/case repair,
+touching-glyph splitting, scan-mask cleaning, auto engine selection in
+recognize_page, and the REAL corpus fax scan. Matching needs only the
+committed bank; page RENDERING for fixtures needs the system FreeType,
+so those tests gate on ft_available()."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dedoc_spark.core import glyph_ocr
+from dedoc_spark.core.ftrender import ft_available
+from dedoc_spark.core.ocr import ink_mask, recognize_page
+
+needs_ft = pytest.mark.skipif(not ft_available(), reason="freetype/fonts absent")
+
+FAX_PDF = "/root/reference/tests/data/laws/with_applications.pdf"
+
+LINES = [
+    "The quick brown fox jumps over the lazy dog 0123456789",
+    "PACK MY BOX WITH FIVE DOZEN LIQUOR JUGS",
+    "Съешь же ещё этих мягких французских булок, да выпей чаю.",
+    "Contract No. 17-42/B was signed on 2024-03-15 (see p. 4).",
+]
+
+
+def _accuracy(want_lines, got_lines):
+    total = hits = 0
+    for want, have in zip(want_lines, got_lines):
+        w = want.replace(" ", "")
+        h = have.replace(" ", "")
+        total += max(len(w), len(h))
+        hits += sum(a == b for a, b in zip(w, h))
+    return hits / max(total, 1)
+
+
+def _recognize_rendered(face, px):
+    from dedoc_spark.core.ftrender import render_text_page
+
+    page = render_text_page(LINES, face=face, px=px)
+    mask = ink_mask(np.repeat(page[:, :, None], 3, axis=2))
+    blocks = glyph_ocr.recognize_block(mask, 0, 0, "rus+eng")
+    return [" ".join(w.text for w in ws) for _, ws, _ in blocks]
+
+
+def test_bank_artifact_loads():
+    bank = glyph_ocr.load_bank()
+    assert bank is not None
+    assert len(bank.chars) > 900  # 6 faces x 2 sizes x ~160 chars
+    assert bank.grids.shape[1] == glyph_ocr.GRID * glyph_ocr.GRID
+
+
+@needs_ft
+@pytest.mark.parametrize("face", ["serif", "sans", "mono", "serif-bold"])
+def test_rendered_page_accuracy(face):
+    """300-dpi-scale type (32 px ≈ 10 pt at 300 dpi) reads at >= 93%
+    character accuracy across the DejaVu families, mixed Latin +
+    Cyrillic + digits + punctuation."""
+    got = _recognize_rendered(face, 32)
+    assert len(got) == len(LINES)
+    assert _accuracy(LINES, got) >= 0.93
+
+
+@needs_ft
+def test_script_and_case_repair():
+    """Homoglyph ties resolve by word context: the Latin sentence stays
+    Latin, the Cyrillic one Cyrillic, the digit run digits, and the
+    all-caps word keeps I (identical to l in sans)."""
+    got = _recognize_rendered("sans", 32)
+    assert "WITH" in got[1]
+    assert "булок, да выпей чаю" in got[2]
+    assert "0123456789" in got[0].replace(" ", "")
+
+
+@needs_ft
+def test_word_boundaries_preserved():
+    got = _recognize_rendered("serif", 32)
+    words = got[1].split()
+    assert words[:3] == ["PACK", "MY", "ВОХ"] or words[:3] == ["PACK", "MY", "BOX"]
+
+
+def test_clean_scan_mask_edges_and_specks():
+    """A page-long border column disappears; a glyph stem in the margin
+    zone of a short page survives (contiguity test); isolated specks
+    are dropped; connected strokes keep every pixel."""
+    m = np.zeros((100, 100), dtype=bool)
+    m[:, 2] = True  # full-height scan edge in the margin
+    m[10:20, 50] = True  # a 10-px stem
+    m[70, 70] = True  # isolated speck
+    out = glyph_ocr.clean_scan_mask(m)
+    assert not out[:, 2].any()
+    assert out[11:19, 50].all()
+    assert not out[70, 70]
+
+
+@needs_ft
+def test_auto_engine_selection():
+    """recognize_page(auto): a scanfont fixture page keeps the scanfont
+    matcher byte-for-byte; a FreeType-rendered page routes to the glyph
+    engine (identical to engine='glyph')."""
+    from dedoc_spark.core import scanfont
+    from dedoc_spark.core.ftrender import render_text_page
+
+    fixture = scanfont.render_scan_page(["Auto mode line"], scale=2)
+    rgb = np.repeat(fixture[:, :, None], 3, axis=2)
+    auto = recognize_page(rgb)
+    scan = recognize_page(rgb, engine="scanfont")
+    assert [w.text for l in auto for w in l.words] == [
+        w.text for l in scan for w in l.words
+    ]
+    assert "Auto mode line" == " ".join(w.text for w in auto[0].words)
+
+    real = render_text_page(["Real type line"], face="serif", px=32)
+    rgb2 = np.repeat(real[:, :, None], 3, axis=2)
+    auto2 = recognize_page(rgb2)
+    glyph2 = recognize_page(rgb2, engine="glyph")
+    assert [w.text for l in auto2 for w in l.words] == [
+        w.text for l in glyph2 for w in l.words
+    ]
+    assert "Real" in auto2[0].words[0].text
+
+
+@needs_ft
+def test_scanned_pdf_real_type_end_to_end():
+    """A scanned PDF whose raster is real proportional type extracts
+    readable text through the full document route (the case that
+    previously produced garbage)."""
+    from dedoc_spark.core.document import extract_document
+    from dedoc_spark.core.ftrender import render_text_page
+    from dedoc_spark.sources.pdf_fixture import build_scanned_pdf
+
+    raster = render_text_page(["Quarterly report 2024"], face="serif", px=32)
+    pdf = build_scanned_pdf([raster], image_filter="flate")
+    d = extract_document(
+        "real_type.pdf", pdf, None, params={"pdf_with_text_layer": "false"}
+    )
+    assert d.get("error") is None
+    assert "Quarterly report 2024" in d["text_extracted"]
+
+
+def test_missing_bank_falls_back_to_scanfont(monkeypatch):
+    from dedoc_spark.core import scanfont
+
+    monkeypatch.setattr(glyph_ocr, "_bank", None)
+    monkeypatch.setattr(glyph_ocr, "_bank_tried", True)
+    monkeypatch.setattr(glyph_ocr, "_subsets", {})
+    fixture = scanfont.render_scan_page(["Fallback line"], scale=2)
+    rgb = np.repeat(fixture[:, :, None], 3, axis=2)
+    lines = recognize_page(rgb, engine="glyph")  # bank gone -> scanfont
+    assert "Fallback line" == " ".join(w.text for w in lines[0].words)
+
+
+@pytest.mark.skipif(not os.path.exists(FAX_PDF), reason="corpus file absent")
+def test_real_fax_scan_reads_anchor_lines():
+    """The corpus's real 300-dpi G4 fax (laws/with_applications.pdf):
+    the glyph engine reads the document header — previously every
+    scanned page decoded pixels but matched garbage."""
+    from dedoc_spark.core.ocr import extract_pdf_page_images
+
+    with open(FAX_PDF, "rb") as f:
+        payload = f.read()
+    img = extract_pdf_page_images(payload)[0][0]
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    lines = recognize_page(rgb, mask=ink_mask(rgb))
+    text = "\n".join(" ".join(w.text for w in l.words) for l in lines)
+    assert "ПРИКАЗ" in text
+    assert "ФСТЭК России" in text
+
+
+@needs_ft
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_orientation_real_type(k):
+    """Rotated REAL-type pages are detected via the glyph-engine
+    re-score (the scanfont orientation scorer is noise on real fonts);
+    a decisive-margin rule keeps unreadable pages unrotated."""
+    from dedoc_spark.core.ftrender import render_text_page
+    from dedoc_spark.core.ocr import detect_orientation
+
+    page = render_text_page(
+        ["Rotated real type page", "with two text lines here"],
+        face="serif", px=32,
+    )
+    rgb = np.repeat(page[:, :, None], 3, axis=2)
+    rot = np.ascontiguousarray(np.rot90(rgb, -k))
+    assert detect_orientation(rot) == k * 90
