@@ -112,6 +112,7 @@ def main() -> None:
     timed("q65_gost_frame", lambda: dq.q65_gost_frame(spark, SF_DIR).agg(F.count("*")).collect())
     timed("q66_tei_article", lambda: dq.q66_tei_article(spark, SF_DIR).agg(F.count("*")).collect())
     timed("q67_scanned_ocr", lambda: dq.q67_scanned_ocr(spark, SF_DIR).agg(F.count("*")).collect())
+    timed("q68_real_font_ocr", lambda: dq.q68_real_font_ocr(spark, SF_DIR).agg(F.count("*")).collect())
 
     # broadcast-model batch classifier over the extracted pages
     from dedoc_spark.operators.classifier import score_text_quality, train_default_model

@@ -327,20 +327,21 @@ def _repair_word(
     chars = [c[0][0] for c in cands]
     dist_out = [c[0][1] for c in cands]
 
-    # script vote with distinctive glyphs only (margin to the other
-    # letter script is real, not a tie)
+    # script vote with distinctive glyphs only: a glyph votes at full
+    # weight when its nearest candidate of ANY other class is a real
+    # distance away (З with 3 right behind it is a tie, not a vote)
     votes: Dict[str, float] = {"lat": 0.0, "cyr": 0.0, "dig": 0.0}
     for g in range(m):
         best_cls = _char_class(chars[g])
         if best_cls not in votes:
             continue
-        other = {"lat": "cyr", "cyr": "lat"}.get(best_cls)
         margin = _REPAIR_MARGIN
-        if other is not None:
-            for ch, d in cands[g]:
-                if _char_class(ch) == other:
-                    margin = d - cands[g][0][1]
-                    break
+        base = cands[g][0][1]
+        for ch, d in cands[g]:
+            cls = _char_class(ch)
+            if cls in votes and cls != best_cls:
+                margin = d - base
+                break
         votes[best_cls] += 1.0 if margin >= _REPAIR_MARGIN else 0.25
     letter_cls = max(("lat", "cyr"), key=lambda c: votes[c])
     word_cls = "dig" if votes["dig"] > votes["lat"] + votes["cyr"] else letter_cls

@@ -3273,6 +3273,91 @@ FROM documents
 """
 
 
+def q68_real_font_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-FONT OCR gate (core/glyph_ocr behind the recognize_page
+    seam): each doc is a 1-page scanned PDF whose raster is REAL
+    anti-aliased proportional type (DejaVu Sans 40 px via the FreeType
+    binding — not the procedural fixture font), three lines of id-derived
+    4-digit groups. The auto engine's scanfont probe collapses on real
+    type and routes to the glyph engine; digit recognition at this scale
+    is exact, so the oracle reconstructs the text arithmetically.
+    The one excluded value: a group of IDENTICAL '3's ("3333") carries
+    no distinctive glyph for the word's script vote (З and 3 are
+    pixel-twins in DejaVu), so both sides remap 3333 -> 3334."""
+    import pandas as pd
+
+    from dedoc_spark.operators.pipeline import _REPO_ROOT
+
+    repo = _REPO_ROOT
+
+    def fn(it):
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from dedoc_spark.core.document import extract_document
+        from dedoc_spark.core.ftrender import render_text_page
+        from dedoc_spark.sources.pdf_fixture import build_scanned_pdf
+
+        def group(did: int, row: int, i: int) -> str:
+            v = (did * 7919 + row * 104729 + i * 15485863) % 10000
+            if v == 3333:
+                v = 3334
+            return str(v).zfill(4)
+
+        for pdf in it:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                lines = [
+                    " ".join(group(did, row, i) for i in range(3))
+                    for row in range(3)
+                ]
+                raster = render_text_page(lines, face="sans", px=40)
+                d = extract_document(
+                    f"{did}.pdf",
+                    build_scanned_pdf([raster], image_filter="flate"),
+                    None,
+                    params={"pdf_with_text_layer": "false"},
+                )
+                out.append(
+                    {
+                        "doc_id": did,
+                        "n_lines": d["n_lines"],
+                        "text_extracted": d["text_extracted"],
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "n_lines", "text_extracted"])
+
+    return (
+        _parallel(_docs(spark, sf_dir).select("doc_id"))
+        .mapInPandas(fn, "doc_id long, n_lines long, text_extracted string")
+    )
+
+
+Q68_SQL = """
+WITH g AS (
+    SELECT doc_id, r.row_i, i.col_i,
+           lpad(CAST(
+               CASE WHEN (doc_id * 7919 + r.row_i * 104729 + i.col_i * 15485863) % 10000 = 3333
+                    THEN 3334
+                    ELSE (doc_id * 7919 + r.row_i * 104729 + i.col_i * 15485863) % 10000
+               END AS VARCHAR), 4, '0') AS grp
+    FROM documents,
+         (SELECT UNNEST([0, 1, 2]) AS row_i) r,
+         (SELECT UNNEST([0, 1, 2]) AS col_i) i
+),
+l AS (
+    SELECT doc_id, row_i, string_agg(grp, ' ' ORDER BY col_i) AS line
+    FROM g GROUP BY doc_id, row_i
+)
+SELECT doc_id, CAST(3 AS BIGINT) AS n_lines,
+       chr(10) || string_agg(line, chr(10) ORDER BY row_i) || chr(10) || chr(10)
+           AS text_extracted
+FROM l GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3327,6 +3412,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_gost_frame": q65_gost_frame,
     "q66_tei_article": q66_tei_article,
     "q67_scanned_ocr": q67_scanned_ocr,
+    "q68_real_font_ocr": q68_real_font_ocr,
 }
 
 ORACLES: Dict[str, str] = {
@@ -3381,4 +3467,5 @@ ORACLES: Dict[str, str] = {
     "q65_gost_frame": Q65_SQL,
     "q66_tei_article": Q66_SQL,
     "q67_scanned_ocr": Q67_SQL,
+    "q68_real_font_ocr": Q68_SQL,
 }
