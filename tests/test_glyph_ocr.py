@@ -185,3 +185,80 @@ def test_orientation_real_type(k):
     rgb = np.repeat(page[:, :, None], 3, axis=2)
     rot = np.ascontiguousarray(np.rot90(rgb, -k))
     assert detect_orientation(rot) == k * 90
+
+
+@needs_ft
+@pytest.mark.parametrize("true_deg", [1.2, -2.4, 3.8])
+def test_skew_estimation_recovers_angle(true_deg):
+    """estimate_skew (projection-profile energy maximization) recovers a
+    known small rotation within 0.2 degrees."""
+    from dedoc_spark.core.ftrender import render_text_page
+    from dedoc_spark.core.ocr import estimate_skew, rotate_small
+
+    page = render_text_page(
+        ["Skew estimation test line one",
+         "and a second longer line of text here",
+         "third line with more content for profiles"],
+        face="serif", px=28,
+    )
+    rgb = np.repeat(page[:, :, None], 3, axis=2)
+    est = estimate_skew(ink_mask(rotate_small(rgb, true_deg)))
+    assert abs(est - true_deg) <= 0.2
+
+
+@needs_ft
+def test_skew_zero_on_straight_pages():
+    from dedoc_spark.core.ftrender import render_text_page
+    from dedoc_spark.core.ocr import estimate_skew
+
+    page = render_text_page(["perfectly straight line of text"], face="sans", px=28)
+    assert estimate_skew(ink_mask(np.repeat(page[:, :, None], 3, axis=2))) == 0.0
+    assert estimate_skew(np.zeros((50, 80), dtype=bool)) == 0.0
+
+
+REF_SKEW_DIR = "/root/reference/tests/data/skew_corrector"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_SKEW_DIR), reason="corpus absent")
+def test_reference_skew_corrector_images():
+    """The reference's own skew-corrector corpus: rotated_2.jpg carries
+    a real ~1 degree skew; rotated_1/3/4 are 90-degree-family rotations
+    whose small-angle skew is zero (the orientation classifier's job,
+    not the deskewer's)."""
+    from dedoc_spark.core.image_decode import decode_image
+    from dedoc_spark.core.ocr import estimate_skew
+
+    def est(name):
+        with open(f"{REF_SKEW_DIR}/{name}", "rb") as f:
+            _, _, rgb = decode_image(f.read())
+        return estimate_skew(ink_mask(rgb))
+
+    assert abs(est("rotated_2.jpg") - (-1.1)) <= 0.3
+    for name in ("rotated_1.jpg", "rotated_3.jpg", "rotated_4.jpg"):
+        assert est(name) == 0.0
+
+
+@needs_ft
+def test_skewed_scan_end_to_end():
+    """A 2.3-degree-skewed real-type scan extracts readable text and
+    reports the fractional angle in the rotated-angles warning."""
+    from dedoc_spark.core.document import extract_document
+    from dedoc_spark.core.ftrender import render_text_page
+    from dedoc_spark.core.ocr import rotate_small
+    from dedoc_spark.sources.pdf_fixture import build_scanned_pdf
+
+    page = render_text_page(
+        ["Skewed scan recovery test", "second line for the profile",
+         "third line of running text"], face="serif", px=32)
+    rgb = np.repeat(page[:, :, None], 3, axis=2)
+    skewed = rotate_small(rgb, 2.3)[:, :, 0]
+    d = extract_document(
+        "skewed.pdf",
+        build_scanned_pdf([skewed], image_filter="flate"),
+        None,
+        params={"pdf_with_text_layer": "false"},
+    )
+    assert d.get("error") is None
+    assert "third line of running text" in d["text_extracted"]
+    warn = next(w for w in d["warnings"] if w.startswith("rotated"))
+    assert "2.2" in warn or "2.3" in warn or "2.4" in warn
