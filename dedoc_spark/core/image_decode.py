@@ -95,23 +95,28 @@ def _decode_png(data: bytes) -> Tuple[int, int, np.ndarray]:
             break
     if width == 0 or height == 0:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8:
+    if bit_depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"unsupported PNG bit depth {bit_depth}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError(f"PNG bit depth {bit_depth} with color type {color_type}")
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        stride = width * channels
+        stride = (width * channels * bit_depth + 7) // 8
         if len(raw) < height * (stride + 1):
             raise ValueError("PNG pixel data truncated")
-        flat = _png_unfilter(raw, height, stride, channels)
-        arr = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(height, width, channels)
+        flat = _png_unfilter(raw, height, stride, max(1, channels * bit_depth // 8))
+        arr = _samples_from_rows(bytes(flat), height, width, channels, bit_depth)
     elif interlace == 1:
-        arr = _deinterlace_adam7(raw, width, height, channels)
+        arr = _deinterlace_adam7(raw, width, height, channels, bit_depth)
     else:
         raise ValueError(f"unknown PNG interlace method {interlace}")
     if color_type == 0:
+        if bit_depth < 8:
+            # expand sub-byte gray to full range (255 / max sample)
+            arr = arr * (255 // ((1 << bit_depth) - 1))
         rgb = np.repeat(arr, 3, axis=2)
     elif color_type == 2:
         rgb = arr
@@ -127,6 +132,26 @@ def _decode_png(data: bytes) -> Tuple[int, int, np.ndarray]:
     return width, height, np.ascontiguousarray(rgb)
 
 
+def _samples_from_rows(
+    flat: bytes, height: int, width: int, channels: int, depth: int
+) -> np.ndarray:
+    """Unfiltered scanline bytes -> (h, w, channels) uint8 samples.
+    Depth 1/2/4 unpacks MSB-first packed samples (PNG spec §7.2);
+    depth 16 keeps the high byte (the pipeline is 8-bit)."""
+    stride = (width * channels * depth + 7) // 8
+    rows = np.frombuffer(flat, dtype=np.uint8).reshape(height, stride)
+    if depth == 8:
+        return rows[:, : width * channels].reshape(height, width, channels)
+    if depth == 16:
+        wide = rows[:, : width * channels * 2].reshape(height, width * channels, 2)
+        return wide[:, :, 0].reshape(height, width, channels).copy()
+    bits = np.unpackbits(rows, axis=1)
+    per = bits[:, : (stride * 8 // depth) * depth].reshape(height, -1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    samples = (per * weights).sum(axis=2).astype(np.uint8)
+    return samples[:, : width * channels].reshape(height, width, channels)
+
+
 # Adam7 pass geometry: (x_start, y_start, x_step, y_step), PNG spec §8.2
 _ADAM7 = [
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -134,7 +159,9 @@ _ADAM7 = [
 ]
 
 
-def _deinterlace_adam7(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
+def _deinterlace_adam7(
+    raw: bytes, width: int, height: int, channels: int, depth: int = 8
+) -> np.ndarray:
     """Adam7: seven sub-images, each filtered independently, scattered back
     onto the full grid by the pass geometry."""
     out = np.zeros((height, width, channels), dtype=np.uint8)
@@ -144,14 +171,15 @@ def _deinterlace_adam7(raw: bytes, width: int, height: int, channels: int) -> np
         ph = (height - y0 + dy - 1) // dy
         if pw == 0 or ph == 0:
             continue
-        stride = pw * channels
+        stride = (pw * channels * depth + 7) // 8
         need = ph * (stride + 1)
         if pos + need > len(raw):
             raise ValueError("PNG pixel data truncated (interlaced)")
-        flat = _png_unfilter(raw[pos : pos + need], ph, stride, channels)
+        flat = _png_unfilter(
+            raw[pos : pos + need], ph, stride, max(1, channels * depth // 8)
+        )
         pos += need
-        sub = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(ph, pw, channels)
-        out[y0::dy, x0::dx] = sub
+        out[y0::dy, x0::dx] = _samples_from_rows(bytes(flat), ph, pw, channels, depth)
     return out
 
 

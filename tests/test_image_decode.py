@@ -302,3 +302,89 @@ def test_resize_nearest_integer_semantics():
     # upscale repeats source pixels
     up = resize_nearest(rgb[:2, :2], 4, 4)
     assert (up[0] == up[1]).all() and (up[:, 0] == up[:, 1]).all()
+
+
+def _png_chunks(w, h, depth, color_type, rows, palette=b""):
+    """Minimal PNG writer for fixtures: IHDR + optional PLTE + one IDAT
+    (filter 0 per scanline) + IEND. ``rows`` = packed scanline bytes."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(b"\x00" + r for r in rows))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette:
+        out += chunk(b"PLTE", palette)
+    return out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def test_png_gray_bit_depth_4():
+    """Samples 0..15 expand to 0..255 via the 17x scale (PNG §7.2
+    MSB-first packing)."""
+    import numpy as np
+
+    from dedoc_spark.core.image_decode import decode_image
+
+    rows = [bytes([0x0F, 0x73]), bytes([0xA5, 0xC0])]  # 2x4 samples
+    w, h, rgb = decode_image(_png_chunks(4, 2, 4, 0, rows))
+    assert (w, h) == (4, 2)
+    expect = np.array([[0, 15, 7, 3], [10, 5, 12, 0]]) * 17
+    assert np.array_equal(rgb[:, :, 0], expect.astype(np.uint8))
+
+
+def test_png_gray_bit_depth_1_and_2():
+    import numpy as np
+
+    from dedoc_spark.core.image_decode import decode_image
+
+    rgb1 = decode_image(_png_chunks(8, 1, 1, 0, [bytes([0b10110001])]))[2]
+    assert np.array_equal(rgb1[0, :, 0], np.array([1, 0, 1, 1, 0, 0, 0, 1]) * 255)
+    rgb2 = decode_image(_png_chunks(4, 1, 2, 0, [bytes([0b11011000])]))[2]
+    assert np.array_equal(rgb2[0, :, 0], np.array([3, 1, 2, 0]) * 85)
+
+
+def test_png_palette_bit_depth_4():
+    import numpy as np
+
+    from dedoc_spark.core.image_decode import decode_image
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    rgb = decode_image(_png_chunks(3, 1, 4, 3, [bytes([0x01, 0x20])], palette))[2]
+    assert np.array_equal(rgb[0], [[255, 0, 0], [0, 255, 0], [0, 0, 255]])
+
+
+def test_png_gray_bit_depth_16_keeps_high_byte():
+    import numpy as np
+
+    from dedoc_spark.core.image_decode import decode_image
+
+    rows = [bytes([0xAB, 0xCD, 0x12, 0x34])]  # two 16-bit samples
+    rgb = decode_image(_png_chunks(2, 1, 16, 0, rows))[2]
+    assert np.array_equal(rgb[0, :, 0], [0xAB, 0x12])
+
+
+def test_reference_short_lines_pngs_decode_and_are_straight():
+    """The reference's skew-corrector corpus short_lines-*.png are 4-bit
+    grayscale; its own unit test asserts rotated_angle == 0 on them
+    (test_module_skew_corrector.py) — same assertion here through our
+    decoder + estimator."""
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dedoc_spark.core.image_decode import decode_image
+    from dedoc_spark.core.ocr import estimate_skew, ink_mask
+
+    path = "/root/reference/tests/data/skew_corrector/short_lines-1.png"
+    if not os.path.exists(path):
+        _pytest.skip("corpus absent")
+    for i in range(1, 6):
+        with open(f"/root/reference/tests/data/skew_corrector/short_lines-{i}.png", "rb") as f:
+            w, h, rgb = decode_image(f.read())
+        assert (w, h) == (1654, 2339)
+        assert estimate_skew(ink_mask(rgb)) == 0.0
