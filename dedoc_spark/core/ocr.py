@@ -456,6 +456,37 @@ def rotate_small(image: np.ndarray, deg: float, fill: int = 255) -> np.ndarray:
 _SCANFONT_CONF_FLOOR = 0.92
 
 
+def choose_engine(mask: np.ndarray, language: str, engine: str = "auto") -> str:
+    """Resolve the OCR engine for a page mask: explicit values pass
+    through; "auto" probes a few scanfont bands and routes real pages
+    to the glyph engine. Two real-scan signals: the matches are poor,
+    OR an ink-heavy page yields almost no glyph cells (noise fuses the
+    projection bands — near-empty giant crops match sparse templates
+    with spuriously HIGH confidence, so count beats confidence there)."""
+    if engine != "auto":
+        return engine
+    probe = _recognize_block(mask, 0, 0, language, max_bands=4, max_glyphs=80)
+    # judge by the BEST substantial band: fixture pages always carry at
+    # least one ≈1.0 band, while a fused table/noise band would drag a
+    # mean below the floor even on a genuine scanfont page
+    band_confs = [c for _, ws, c in probe if sum(len(w.text) for w in ws) >= 4]
+    if band_confs:
+        use_glyph = max(band_confs) < _SCANFONT_CONF_FLOOR
+    else:
+        # measure ink AFTER stripping page-long rules/borders: a ruled
+        # table drawn around a handful of fixture glyphs is mostly rule
+        # ink and must not read as "ink-heavy real scan"
+        from dedoc_spark.core.glyph_ocr import clean_scan_mask
+
+        use_glyph = int(clean_scan_mask(mask).sum()) >= 6400
+    if use_glyph:
+        from dedoc_spark.core import glyph_ocr
+
+        if glyph_ocr.bank_available():
+            return "glyph"
+    return "scanfont"
+
+
 def recognize_page(
     image: np.ndarray,
     language: str = "rus+eng",
@@ -495,26 +526,12 @@ def recognize_page(
             mask[:, split:], split, 0, language
         )
 
-    use_glyph = engine == "glyph"
-    if engine == "auto":
-        # cheap probe: a few scanfont bands decide the engine without
-        # paying for a full-page pass of the loser. Two real-scan
-        # signals: the matches are poor, OR an ink-heavy page yields
-        # almost no glyph cells (noise fuses the projection bands —
-        # near-empty giant crops match sparse templates with spuriously
-        # HIGH confidence, so count beats confidence there).
-        probe = _recognize_block(mask, 0, 0, language, max_bands=4, max_glyphs=80)
-        n_glyphs = sum(len(w.text) for _, ws, _ in probe for w in ws)
-        if probe and n_glyphs >= 8:
-            use_glyph = float(np.mean([c for _, _, c in probe])) < _SCANFONT_CONF_FLOOR
-        else:
-            use_glyph = int(mask.sum()) >= 6400
+    use_glyph = choose_engine(mask, language, engine) == "glyph"
     raw: List[Tuple[Tuple[int, int, int, int], List[OcrWordOut], float]] = []
     if use_glyph:
         from dedoc_spark.core import glyph_ocr
 
-        if glyph_ocr.bank_available():
-            raw = blocks_with(glyph_ocr.recognize_block)
+        raw = blocks_with(glyph_ocr.recognize_block)
         use_glyph = bool(raw)
     if not use_glyph:
         raw = blocks_with(_recognize_block)
@@ -887,18 +904,24 @@ def _ocr_region(
     x1: int,
     y1: int,
     language: str,
+    engine: str = "scanfont",
 ) -> List[str]:
     """Recognize one rectangular region (a table cell crop) — the
     OCRCellExtractor analogue (psm 6 over the crop): returns the text of
-    each recognized band top-down, no trailing newlines."""
+    each recognized band top-down, no trailing newlines. ``engine`` is
+    resolved by the PAGE-level probe (a single cell is too small to
+    probe) so real-scan tables read through the glyph engine."""
     x0, y0 = max(0, x0), max(0, y0)
     crop = mask[y0:y1, x0:x1]
     if crop.size == 0 or not crop.any():
         return []
-    out = []
-    for _, words, _ in _recognize_block(crop, 0, 0, language):
-        out.append(" ".join(w.text for w in words))
-    return out
+    if engine == "glyph":
+        from dedoc_spark.core import glyph_ocr
+
+        blocks = glyph_ocr.recognize_block(crop, 0, 0, language)
+    else:
+        blocks = _recognize_block(crop, 0, 0, language)
+    return [" ".join(w.text for w in words) for _, words, _ in blocks]
 
 
 def recognize_tables_from_image(
@@ -908,6 +931,7 @@ def recognize_tables_from_image(
     language: str = "rus+eng",
     table_type: str = "",
     mask: Optional[np.ndarray] = None,
+    engine: str = "scanfont",
 ):
     """Table recognition on the scanned page (table_recognizer.py:34-63):
     ruled grids are detected from the pixel rules, every spanned-cell
@@ -950,7 +974,8 @@ def recognize_tables_from_image(
 
         def cell_lines(r0: int, r1: int, c0: int, c1: int) -> List[Line]:
             texts = _ocr_region(
-                mask, cb[c0] + inset, rb[r0] + inset, cb[c1 + 1] - inset, rb[r1 + 1] - inset, language
+                mask, cb[c0] + inset, rb[r0] + inset, cb[c1 + 1] - inset, rb[r1 + 1] - inset, language,
+                engine=engine,
             )
             return [Line(line=t, page_id=page_num) for t in texts]
 
@@ -1037,6 +1062,10 @@ def process_scanned_page(
         image = adaptive_binarize(image)
         mask = ink_mask(image)
 
+    # engine resolved ONCE per page (cell crops are too small to probe)
+    # and shared by the table and flow passes
+    engine = choose_engine(mask, language, str(params.get("ocr_engine", "auto")))
+
     # Step 3: tables first, flow OCR on the cleaned image
     # (pdf_image_reader.py:83-91 ordering)
     tables: List = []
@@ -1045,6 +1074,7 @@ def process_scanned_page(
             image, page_num, page_seed, language=language,
             table_type=str(params.get("table_type", "")),
             mask=mask,
+            engine=engine,
         )
     # Step 4: plain text recognition + metadata annotations
     ocr_lines = recognize_page(
@@ -1053,7 +1083,7 @@ def process_scanned_page(
         is_one_column=one_col,
         ocr_conf_threshold=float(params.get("ocr_conf_threshold", -1.0)),
         mask=mask,
-        engine=str(params.get("ocr_engine", "auto")),
+        engine=engine,
     )
     ocr_lines = filter_lines_by_bbox(ocr_lines)
     lines = build_scan_lines(ocr_lines, image, page_num, page_seed=page_seed)

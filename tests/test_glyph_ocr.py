@@ -262,3 +262,50 @@ def test_skewed_scan_end_to_end():
     assert "third line of running text" in d["text_extracted"]
     warn = next(w for w in d["warnings"] if w.startswith("rotated"))
     assert "2.2" in warn or "2.3" in warn or "2.4" in warn
+
+
+@needs_ft
+def test_real_type_ruled_table_cells():
+    """A scanned page of REAL type with a ruled 2x2 table: the page-level
+    engine probe routes the table-cell OCR through the glyph engine too
+    (cells are too small to probe individually), the table region leaves
+    the text flow, and every cell reads exactly."""
+    import json
+
+    from dedoc_spark.core.document import extract_document
+    from dedoc_spark.core.ftrender import render_text_page
+    from dedoc_spark.sources.pdf_fixture import build_scanned_pdf
+
+    cells = [["4017", "8253"], ["1946", "7302"]]
+    cw, ch = 160, 60
+    W, H = 2 * cw + 3, 2 * ch + 3 + 90
+    page = np.full((H, W), 255, np.uint8)
+    for r in range(3):
+        page[90 + r * (ch + 1), 0 : 2 * cw + 3] = 0
+    for c in range(3):
+        page[90 : 90 + 2 * ch + 3, c * (cw + 1)] = 0
+    body = render_text_page(["Body 5670 line"], face="sans", px=32, margin=4)
+    page[4 : 4 + body.shape[0], 4 : 4 + body.shape[1]] = np.minimum(
+        page[4 : 4 + body.shape[0], 4 : 4 + body.shape[1]], body
+    )
+    for r in range(2):
+        for c in range(2):
+            im = render_text_page([cells[r][c]], face="sans", px=32, margin=4)
+            y0, x0 = 90 + r * (ch + 1) + 8, c * (cw + 1) + 8
+            page[y0 : y0 + im.shape[0], x0 : x0 + im.shape[1]] = np.minimum(
+                page[y0 : y0 + im.shape[0], x0 : x0 + im.shape[1]], im
+            )
+    d = extract_document(
+        "rt.pdf",
+        build_scanned_pdf([page], image_filter="flate"),
+        None,
+        params={"pdf_with_text_layer": "false", "need_pdf_table_analysis": True},
+    )
+    assert d.get("error") is None
+    assert d["n_tables"] == 1
+    assert d["text_extracted"] == "\nBody 5670 line\n\n"
+    got = [
+        ["\n".join(l["line"] for l in c["lines"]) for c in row]
+        for row in json.loads(d["tables_json"])[0]["cells"]
+    ]
+    assert got == cells
