@@ -595,7 +595,12 @@ def detect_format(url: str, payload: Optional[bytes], text: Optional[str]) -> st
             if payload[:len(magic)] == magic:
                 return fmt
         if payload[4:8] == b"ftyp" and payload[8:12] in _FTYP_BRANDS:
-            return _FTYP_BRANDS[payload[8:12]]
+            # require a plausible big-endian box size so arbitrary bytes
+            # embedding "ftyp<brand>" at offset 4 don't misroute (same
+            # collision policy as the BM/RIFF exclusion above)
+            box = int.from_bytes(payload[0:4], "big")
+            if 8 <= box <= len(payload):
+                return _FTYP_BRANDS[payload[8:12]]
         if payload[:8] == _OLE2_MAGIC:
             # sniff the compound-file directory for the stream that names
             # the format; unrecognized OLE2 keeps the typed conversion row

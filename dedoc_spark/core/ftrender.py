@@ -148,6 +148,21 @@ def ft_available(face: str = "serif") -> bool:
     return _load() is not None and find_font(face) is not None
 
 
+_face_cache: Dict[Tuple[str, int], "FtFace"] = {}
+
+
+def get_face(face: str, px: int) -> "FtFace":
+    """Process-cached FtFace: FT_New_Face allocates a native face that
+    this module never frees, so per-call construction would leak in
+    long-lived workers (one render per corpus row). The cache is
+    bounded by the handful of (face, px) combinations in use."""
+    key = (face, px)
+    hit = _face_cache.get(key)
+    if hit is None:
+        hit = _face_cache[key] = FtFace(face, px)
+    return hit
+
+
 class FtFace:
     """One (font file, pixel size) renderer; glyphs are cached."""
 
@@ -199,7 +214,7 @@ def render_text_page(
 ) -> np.ndarray:
     """Anti-aliased text page -> HxW uint8 grayscale (255 paper, 0 ink).
     Simple left-to-right advance layout (no kerning — deterministic)."""
-    f = FtFace(face, px)
+    f = get_face(face, px)
     asc = int(np.ceil(f.ascender_px))
     desc = int(np.ceil(f.descender_px))
     gap = line_gap if line_gap is not None else max(2, px // 3)

@@ -134,13 +134,11 @@ def _bank_for_language(language: str) -> Optional[GlyphBank]:
 
 
 def _runs(profile: np.ndarray, min_gap: int = 1) -> List[Tuple[int, int]]:
-    idx = np.where(profile)[0]
-    if idx.size == 0:
-        return []
-    breaks = np.where(np.diff(idx) > min_gap)[0]
-    starts = np.concatenate([[idx[0]], idx[breaks + 1]])
-    ends = np.concatenate([idx[breaks] + 1, [idx[-1] + 1]])
-    return list(zip(starts.tolist(), ends.tolist()))
+    # single implementation lives in core.ocr (ocr imports THIS module
+    # only lazily, so the top-level import is cycle-free)
+    from dedoc_spark.core.ocr import _runs as runs
+
+    return runs(profile, min_gap)
 
 
 def _shape_dist(bank: GlyphBank, feats: np.ndarray, aspect: np.ndarray) -> np.ndarray:
@@ -190,7 +188,6 @@ def _match_band(
     # Two iterations: shape-only ties skew the first S/baseline estimate
     # when a band is homoglyph-heavy, and the second pass's own matches
     # correct it.
-    dist2 = dist1
     for _ in range(2):
         size_pen = (
             np.log(

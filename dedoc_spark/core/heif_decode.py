@@ -84,6 +84,8 @@ def _load() -> Optional[ctypes.CDLL]:
                  [P, ctypes.POINTER(P), ctypes.c_int, ctypes.c_int, P]),
                 ("heif_image_get_plane_readonly", ctypes.POINTER(ctypes.c_uint8),
                  [P, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]),
+                ("heif_image_get_width", ctypes.c_int, [P, ctypes.c_int]),
+                ("heif_image_get_height", ctypes.c_int, [P, ctypes.c_int]),
                 ("heif_image_release", None, [P]),
                 ("heif_context_get_encoder_for_format", _HeifError,
                  [P, ctypes.c_int, ctypes.POINTER(P)]),
@@ -158,6 +160,14 @@ def decode_heif(data: bytes) -> Tuple[int, int, np.ndarray]:
             ),
             "decode",
         )
+        # size the numpy view by the DECODED image, not the handle's
+        # ispe box — a crafted file can advertise dimensions larger than
+        # the coded frame, and reading handle-sized rows would run past
+        # the allocated plane
+        dw = lib.heif_image_get_width(img, _CHANNEL_INTERLEAVED)
+        dh = lib.heif_image_get_height(img, _CHANNEL_INTERLEAVED)
+        if dw < w or dh < h:
+            raise ValueError(f"heif: decoded frame {dw}x{dh} smaller than declared {w}x{h}")
         stride = ctypes.c_int(0)
         ptr = lib.heif_image_get_plane_readonly(
             img, _CHANNEL_INTERLEAVED, ctypes.byref(stride)

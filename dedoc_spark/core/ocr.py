@@ -403,7 +403,6 @@ def estimate_skew(mask: np.ndarray, limit: float = 5.0) -> float:
         ys, xs = ys[::step], xs[::step]
     ys = ys.astype(np.float64)
     xs = xs.astype(np.float64)
-    h = int(mask.shape[0])
 
     def score(deg: float) -> float:
         t = np.tan(np.radians(deg))
@@ -438,15 +437,20 @@ def rotate_small(image: np.ndarray, deg: float, fill: int = 255) -> np.ndarray:
     t = np.radians(deg)
     c, s = np.cos(t), np.sin(t)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    # inverse map: source = R(-deg) . (dst - center) + center
-    sx = c * (xx - cx) + s * (yy - cy) + cx
-    sy = -s * (xx - cx) + c * (yy - cy) + cy
-    sxi = np.rint(sx).astype(np.int64)
-    syi = np.rint(sy).astype(np.int64)
-    valid = (sxi >= 0) & (sxi < w) & (syi >= 0) & (syi < h)
     out = np.full_like(image, fill)
-    out[yy[valid], xx[valid]] = image[syi[valid], sxi[valid]]
+    xs = np.arange(w, dtype=np.float32) - cx
+    # row blocks bound transient memory: a full-page float map of a
+    # 300-dpi A4 (~8.7 Mpx) would transiently allocate hundreds of MB
+    block = max(1, (1 << 22) // max(w, 1))
+    for y0 in range(0, h, block):
+        y1 = min(h, y0 + block)
+        ys = (np.arange(y0, y1, dtype=np.float32) - cy)[:, None]
+        # inverse map: source = R(-deg) . (dst - center) + center
+        sxi = np.rint(c * xs[None, :] + s * ys + cx).astype(np.int32)
+        syi = np.rint(-s * xs[None, :] + c * ys + cy).astype(np.int32)
+        valid = (sxi >= 0) & (sxi < w) & (syi >= 0) & (syi < h)
+        vy, vx = np.nonzero(valid)
+        out[vy + y0, vx] = image[syi[vy, vx], sxi[vy, vx]]
     return out
 
 
