@@ -221,49 +221,89 @@ _SPLIT_GAIN = 0.010  # accept a split only if it beats the whole by this
 _SPLIT_OK = 0.030  # a whole-glyph match at least this good never splits
 
 
-def _split_segments(
-    band: np.ndarray, c0: int, c1: int, S: float, bank: GlyphBank, depth: int = 3
-) -> List[Tuple[int, int]]:
-    """Recursively split one ink run at its weakest interior column when
-    the pieces match templates better than the whole (bold/serif type
-    frequently touches: 'fo', 'PA', ...). Guarded three ways so intact
-    glyphs ('a', 'm') don't shatter into stroke fragments: the whole
-    must match poorly, the cut column must carry near-minimum ink (a
-    touching junction is thin), and the pieces must win by a clear
-    margin."""
-    w = c1 - c0
-    if depth <= 0 or w < _SPLIT_TRY_W * S or w < 6:
-        return [(c0, c1)]
-
-    def seg_dist(a: int, b: int) -> float:
+def _seg_dists(
+    band: np.ndarray, segs: Sequence[Tuple[int, int]], bank: GlyphBank
+) -> List[float]:
+    """Best shape distance for each [a, b) column segment — ONE batched
+    GEMM for the whole set (per-segment GEMMs were overhead-bound: the
+    split refinement of a fax page spent 1.8 s in ~600 tiny matmuls)."""
+    crops: List[np.ndarray] = []
+    boxes: List[Tuple[int, int, int, int]] = []
+    order: List[int] = []
+    dists = [0.0] * len(segs)
+    for i, (a, b) in enumerate(segs):
         cell = band[:, a:b]
         rows = np.where(cell.any(axis=1))[0]
         if rows.size == 0:
-            return 0.0
-        crop = cell[rows[0] : rows[-1] + 1].astype(np.float64)
-        feats, _, _, aspect = _crop_feats([crop], [(a, rows[0], b, rows[-1] + 1)])
-        return float(_shape_dist(bank, feats, aspect).min())
+            continue
+        crops.append(cell[rows[0] : rows[-1] + 1].astype(np.float64))
+        boxes.append((a, int(rows[0]), b, int(rows[-1]) + 1))
+        order.append(i)
+    if crops:
+        feats, _, _, aspect = _crop_feats(crops, boxes)
+        best = _shape_dist(bank, feats, aspect).min(axis=1)
+        for i, d in zip(order, best):
+            dists[i] = float(d)
+    return dists
 
-    whole = seg_dist(c0, c1)
-    if whole < _SPLIT_OK:  # already a confident single glyph
-        return [(c0, c1)]
-    ink = band[:, c0:c1].sum(axis=0)
-    lo = max(2, int(0.22 * S))
-    hi = w - lo
-    if hi <= lo:
-        return [(c0, c1)]
-    cut = int(np.argmin(ink[lo:hi])) + lo
-    # a real junction is thin: the cut column must be well below the
-    # run's typical stroke coverage (serif 'f'+'o' touch through the
-    # f-hood only; an intact 'a' has no such valley)
-    if ink[cut] > max(1.0, 0.5 * float(np.median(ink[ink > 0]))):
-        return [(c0, c1)]
-    left, right = seg_dist(c0, c0 + cut), seg_dist(c0 + cut, c1)
-    if max(left, right) + _SPLIT_GAIN < whole:
-        return _split_segments(band, c0, c0 + cut, S, bank, depth - 1) + _split_segments(
-            band, c0 + cut, c1, S, bank, depth - 1
-        )
-    return [(c0, c1)]
+
+def _refine_runs(
+    band: np.ndarray,
+    col_runs: Sequence[Tuple[int, int]],
+    S: float,
+    bank: GlyphBank,
+    depth: int = 3,
+) -> List[Tuple[int, int]]:
+    """Split touching-glyph ink runs at their weakest interior column
+    when the pieces match templates better than the whole (bold/serif
+    type frequently touches: 'fo', 'PA', ...). Guarded three ways so
+    intact glyphs ('a', 'm') don't shatter into stroke fragments: the
+    whole must match poorly, the cut column must carry near-minimum ink
+    (a touching junction is thin), and the pieces must win by a clear
+    margin. Each round batch-evaluates every pending segment and every
+    candidate piece in one GEMM apiece."""
+    final: List[Tuple[int, int]] = []
+    pending = list(col_runs)
+    for _ in range(depth):
+        if not pending:
+            break
+        whole_d = _seg_dists(band, pending, bank)
+        cuts: List[Optional[int]] = []
+        piece_segs: List[Tuple[int, int]] = []
+        piece_at: List[Optional[int]] = []
+        for i, (a, b) in enumerate(pending):
+            w = b - a
+            cut = None
+            if w >= max(6, _SPLIT_TRY_W * S) and whole_d[i] >= _SPLIT_OK:
+                ink = band[:, a:b].sum(axis=0)
+                lo = max(2, int(0.22 * S))
+                hi = w - lo
+                if hi > lo:
+                    c = int(np.argmin(ink[lo:hi])) + lo
+                    # a real junction is thin: the cut column must be
+                    # well below the run's typical stroke coverage
+                    # (serif 'f'+'o' touch through the f-hood only; an
+                    # intact 'a' has no such valley)
+                    if ink[c] <= max(1.0, 0.5 * float(np.median(ink[ink > 0]))):
+                        cut = c
+            cuts.append(cut)
+            if cut is not None:
+                piece_at.append(len(piece_segs))
+                piece_segs.extend([(a, a + cut), (a + cut, b)])
+            else:
+                piece_at.append(None)
+        piece_d = _seg_dists(band, piece_segs, bank)
+        nxt: List[Tuple[int, int]] = []
+        for i, (a, b) in enumerate(pending):
+            j = piece_at[i]
+            if j is not None and max(piece_d[j], piece_d[j + 1]) + _SPLIT_GAIN < whole_d[i]:
+                nxt.extend([piece_segs[j], piece_segs[j + 1]])
+            else:
+                final.append((a, b))
+        pending = nxt
+    final.extend(pending)
+    final.sort()
+    return final
 
 
 # --- script / case candidate repair -------------------------------------------
@@ -592,17 +632,16 @@ def recognize_block(
         S_rough = max(4.0, (y1 - y0) / 1.12)
         crops: List[np.ndarray] = []
         boxes: List[Tuple[int, int, int, int]] = []
-        for c0, c1 in col_runs:
-            for s0, s1 in _split_segments(band, c0, c1, S_rough, bank):
-                cell = band[:, s0:s1]
-                rows = np.where(cell.any(axis=1))[0]
-                if rows.size == 0:
-                    continue
-                if cell.sum() < 3:  # residual speck, not a glyph
-                    continue
-                gy0, gy1 = int(rows[0]), int(rows[-1]) + 1
-                crops.append(cell[gy0:gy1].astype(np.float64))
-                boxes.append((s0, gy0, s1, gy1))
+        for s0, s1 in _refine_runs(band, col_runs, S_rough, bank):
+            cell = band[:, s0:s1]
+            rows = np.where(cell.any(axis=1))[0]
+            if rows.size == 0:
+                continue
+            if cell.sum() < 3:  # residual speck, not a glyph
+                continue
+            gy0, gy1 = int(rows[0]), int(rows[-1]) + 1
+            crops.append(cell[gy0:gy1].astype(np.float64))
+            boxes.append((s0, gy0, s1, gy1))
         if not crops:
             continue
         cand_idx, cand_dist, S = _match_band(bank, crops, boxes, topk=24)
