@@ -377,12 +377,18 @@ def detect_orientation(
                 glyph_ocr.orientation_confidence(np.rot90(mask, k), language)
                 for k in range(4)
             ]
-            best_k = int(np.argmax(scores))
-            # override upright only on a decisive margin: pages the bank
-            # cannot read (e.g. the procedural fixture font, photos)
-            # score junk at EVERY rotation and must stay unrotated
-            if best_k != 0 and scores[best_k] < scores[0] + 0.08:
-                best_k = 0
+            g = int(np.argmax(scores))
+            # the bank must actually READ the winner before its vote
+            # replaces the scanfont one: pages the bank cannot read
+            # (the procedural fixture font, photos, ruled forms) score
+            # junk (<0.35 measured: fixture table page maxes 0.28 while
+            # a real 300-dpi fax reads 0.47 and FreeType type 0.84) at
+            # EVERY rotation — there the scanfont argmax stands (a
+            # fixture table page polluted by rules still peaks upright).
+            # A nonzero override additionally needs the decisive margin
+            # over upright.
+            if scores[g] >= 0.35 and (g == 0 or scores[g] >= scores[0] + 0.08):
+                best_k = g
     return best_k * 90
 
 
@@ -613,28 +619,42 @@ def _ward_two_clusters(vectors: np.ndarray) -> np.ndarray:
     n = len(vectors)
     if n <= 2:
         return np.arange(n) % 2 if n == 2 else np.zeros(n, dtype=int)
-    centers = [vectors[i].astype(np.float64) for i in range(n)]
+    centers = vectors.astype(np.float64).copy()
     sizes = [1] * n
     members: List[List[int]] = [[i] for i in range(n)]
-    active = list(range(n))
-    while len(active) > 2:
-        best = (np.inf, -1, -1)
-        for ai in range(len(active)):
-            for bi in range(ai + 1, len(active)):
-                a, b = active[ai], active[bi]
-                na, nb = sizes[a], sizes[b]
-                d = np.sum((centers[a] - centers[b]) ** 2) * (na * nb) / (na + nb)
-                if d < best[0]:
-                    best = (d, ai, bi)
-        _, ai, bi = best
-        a, b = active[ai], active[bi]
+    # full pairwise Ward matrix, maintained across merges (the previous
+    # python pair loop re-evaluated every pair every round — O(n^3)
+    # numpy-scalar calls, ~18 s on a 4-page fax). The active set stays
+    # ascending by original index, so the row-major argmin over the
+    # upper triangle reproduces the loop's first-strict-minimum
+    # tie-breaking exactly, and the per-pair arithmetic is unchanged.
+    diff = centers[:, None, :] - centers[None, :, :]
+    D = (diff**2).sum(axis=2) * 0.5  # (na*nb)/(na+nb) == 1/2 at size 1
+    D[np.tril_indices(n)] = np.inf
+    alive = np.ones(n, dtype=bool)
+    for _ in range(n - 2):
+        flat = int(np.argmin(D))
+        a, b = divmod(flat, n)
         na, nb = sizes[a], sizes[b]
         centers[a] = (centers[a] * na + centers[b] * nb) / (na + nb)
         sizes[a] = na + nb
         members[a].extend(members[b])
-        active.pop(bi)
+        alive[b] = False
+        D[b, :] = np.inf
+        D[:, b] = np.inf
+        others = np.where(alive)[0]
+        others = others[others != a]
+        if others.size:
+            d = ((centers[others] - centers[a]) ** 2).sum(axis=1)
+            na2 = sizes[a]
+            nsz = np.array([sizes[o] for o in others], dtype=np.float64)
+            d = d * (na2 * nsz) / (na2 + nsz)
+            lo_mask = others < a
+            D[others[lo_mask], a] = d[lo_mask]
+            D[a, others[~lo_mask]] = d[~lo_mask]
     labels = np.zeros(n, dtype=int)
-    labels[members[active[1]]] = 1
+    second = int(np.where(alive)[0][1])
+    labels[members[second]] = 1
     return labels
 
 
