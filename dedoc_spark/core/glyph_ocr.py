@@ -219,18 +219,23 @@ def _match_band(
 _SPLIT_TRY_W = 0.60  # try splitting ink runs wider than this many em
 _SPLIT_GAIN = 0.010  # accept a split only if it beats the whole by this
 _SPLIT_OK = 0.030  # a whole-glyph match at least this good never splits
+_SPLIT_VALLEY = 0.5  # a cut column's ink vs the run's median stroke ink
+_SPLIT_MAX_CUTS = 3  # candidate valleys evaluated per run per round
+_SPLIT_BAD = 0.12  # a whole-match this poor is no glyph: try any valley
 
 
 def _seg_dists(
     band: np.ndarray, segs: Sequence[Tuple[int, int]], bank: GlyphBank
-) -> List[float]:
-    """Best shape distance for each [a, b) column segment — ONE batched
-    GEMM for the whole set (per-segment GEMMs were overhead-bound: the
-    split refinement of a fax page spent 1.8 s in ~600 tiny matmuls)."""
+) -> Tuple[List[float], List[str]]:
+    """Best shape distance (and its char) for each [a, b) column
+    segment — ONE batched GEMM for the whole set (per-segment GEMMs
+    were overhead-bound: the split refinement of a fax page spent
+    1.8 s in ~600 tiny matmuls)."""
     crops: List[np.ndarray] = []
     boxes: List[Tuple[int, int, int, int]] = []
     order: List[int] = []
     dists = [0.0] * len(segs)
+    chars = [""] * len(segs)
     for i, (a, b) in enumerate(segs):
         cell = band[:, a:b]
         rows = np.where(cell.any(axis=1))[0]
@@ -241,10 +246,13 @@ def _seg_dists(
         order.append(i)
     if crops:
         feats, _, _, aspect = _crop_feats(crops, boxes)
-        best = _shape_dist(bank, feats, aspect).min(axis=1)
-        for i, d in zip(order, best):
-            dists[i] = float(d)
-    return dists
+        d = _shape_dist(bank, feats, aspect)
+        arg = d.argmin(axis=1)
+        best = d[np.arange(len(arg)), arg]
+        for i, dv, j in zip(order, best, arg):
+            dists[i] = float(dv)
+            chars[i] = bank.chars[int(j)]
+    return dists, chars
 
 
 def _refine_runs(
@@ -254,49 +262,79 @@ def _refine_runs(
     bank: GlyphBank,
     depth: int = 3,
 ) -> List[Tuple[int, int]]:
-    """Split touching-glyph ink runs at their weakest interior column
-    when the pieces match templates better than the whole (bold/serif
-    type frequently touches: 'fo', 'PA', ...). Guarded three ways so
-    intact glyphs ('a', 'm') don't shatter into stroke fragments: the
-    whole must match poorly, the cut column must carry near-minimum ink
-    (a touching junction is thin), and the pieces must win by a clear
-    margin. Each round batch-evaluates every pending segment and every
-    candidate piece in one GEMM apiece."""
+    """Split touching-glyph ink runs at interior valley columns when the
+    pieces match templates better than the whole (bold/serif type
+    frequently touches: 'fo', 'PA', ...). Guarded three ways so intact
+    glyphs ('a', 'm') don't shatter into stroke fragments: the whole
+    must match poorly, a cut column must carry near-minimum ink (a
+    touching junction is thin), and the pieces must win by a clear
+    margin. Up to _SPLIT_MAX_CUTS distinct valleys are tried per run
+    (the single-argmin variant cut 'fo' through the f-hood and missed
+    the true junction one valley over). Each round batch-evaluates
+    every pending segment and every candidate piece in one GEMM
+    apiece."""
     final: List[Tuple[int, int]] = []
     pending = list(col_runs)
     for _ in range(depth):
         if not pending:
             break
-        whole_d = _seg_dists(band, pending, bank)
-        cuts: List[Optional[int]] = []
+        whole_d, _ = _seg_dists(band, pending, bank)
         piece_segs: List[Tuple[int, int]] = []
-        piece_at: List[Optional[int]] = []
+        cand_slots: List[List[int]] = []
         for i, (a, b) in enumerate(pending):
             w = b - a
-            cut = None
+            slots: List[int] = []
             if w >= max(6, _SPLIT_TRY_W * S) and whole_d[i] >= _SPLIT_OK:
                 ink = band[:, a:b].sum(axis=0)
                 lo = max(2, int(0.22 * S))
                 hi = w - lo
                 if hi > lo:
-                    c = int(np.argmin(ink[lo:hi])) + lo
-                    # a real junction is thin: the cut column must be
-                    # well below the run's typical stroke coverage
-                    # (serif 'f'+'o' touch through the f-hood only; an
-                    # intact 'a' has no such valley)
-                    if ink[c] <= max(1.0, 0.5 * float(np.median(ink[ink > 0]))):
-                        cut = c
-            cuts.append(cut)
-            if cut is not None:
-                piece_at.append(len(piece_segs))
-                piece_segs.extend([(a, a + cut), (a + cut, b)])
-            else:
-                piece_at.append(None)
-        piece_d = _seg_dists(band, piece_segs, bank)
+                    # a real junction is thin: cut columns must be well
+                    # below the run's typical stroke coverage (serif
+                    # 'f'+'o' touch through the f-hood only; an intact
+                    # 'a' has no such valley). One candidate per
+                    # CONTIGUOUS qualifying valley, deepest-first.
+                    thr = max(1.0, _SPLIT_VALLEY * float(np.median(ink[ink > 0])))
+                    seg = ink[lo:hi]
+                    if whole_d[i] >= _SPLIT_BAD:
+                        # nothing in the bank matches the whole: it is
+                        # certainly touching glyphs, so the thin-valley
+                        # veto would only hide the true junction (serif
+                        # 'fo' touches through the f-hood ABOVE a
+                        # stroke-thick crossbar column); pieces still
+                        # must win by the margin
+                        thr = max(thr, float(np.min(seg)) if seg.size else thr)
+                    ok = np.where(seg <= thr)[0]
+                    if ok.size:
+                        groups = np.split(ok, np.where(np.diff(ok) > 1)[0] + 1)
+                        cands = sorted(
+                            (float(seg[g[int(np.argmin(seg[g]))]]),
+                             int(g[int(np.argmin(seg[g]))]) + lo)
+                            for g in groups
+                        )
+                        for _, c in cands[:_SPLIT_MAX_CUTS]:
+                            slots.append(len(piece_segs))
+                            piece_segs.extend([(a, a + c), (a + c, b)])
+            cand_slots.append(slots)
+        piece_d, piece_ch = _seg_dists(band, piece_segs, bank)
         nxt: List[Tuple[int, int]] = []
         for i, (a, b) in enumerate(pending):
-            j = piece_at[i]
-            if j is not None and max(piece_d[j], piece_d[j + 1]) + _SPLIT_GAIN < whole_d[i]:
+            best: Optional[Tuple[float, int]] = None
+            for j in cand_slots[i]:
+                cost = max(piece_d[j], piece_d[j + 1])
+                # a split that yields a bare-stem piece (l/I/1/|) needs
+                # a garbage whole to stand: м/ш/щ/и/п are stems joined
+                # by thin valleys and bold hinting shatters them into
+                # '111' otherwise (stems match d≈0 unconditionally)
+                if (
+                    whole_d[i] < _SPLIT_BAD
+                    and (piece_ch[j] in _STEMS or piece_ch[j + 1] in _STEMS)
+                ):
+                    continue
+                if best is None or cost < best[0]:
+                    best = (cost, j)
+            if best is not None and best[0] + _SPLIT_GAIN < whole_d[i]:
+                j = best[1]
                 nxt.extend([piece_segs[j], piece_segs[j + 1]])
             else:
                 final.append((a, b))
@@ -347,8 +385,11 @@ def _unique_candidates(
 
 
 def _repair_word(
-    bank: GlyphBank, idxs: np.ndarray, dists: np.ndarray
-) -> Tuple[List[str], List[float]]:
+    bank: GlyphBank,
+    idxs: np.ndarray,
+    dists: np.ndarray,
+    fallback_cls: Optional[str] = None,
+) -> Tuple[List[str], List[float], Dict[str, float]]:
     """Resolve homoglyph ties inside one word by script and case voting.
 
     DejaVu renders е/e, о/o, а/a, С/C, ... pixel-identically, so shape
@@ -366,22 +407,57 @@ def _repair_word(
 
     # script vote with distinctive glyphs only: a glyph votes at full
     # weight when its nearest candidate of ANY other class is a real
-    # distance away (З with 3 right behind it is a tie, not a vote)
-    votes: Dict[str, float] = {"lat": 0.0, "cyr": 0.0, "dig": 0.0}
+    # distance away (З with 3 right behind it is a tie, not a vote).
+    # full_* counts the decisive votes — they gate the band fallback.
+    votes: Dict[str, float] = {
+        "lat": 0.0, "cyr": 0.0, "dig": 0.0,
+        "full_lat": 0.0, "full_cyr": 0.0, "full_dig": 0.0,
+    }
     for g in range(m):
         best_cls = _char_class(chars[g])
-        if best_cls not in votes:
+        if best_cls not in ("lat", "cyr", "dig"):
             continue
         margin = _REPAIR_MARGIN
         base = cands[g][0][1]
         for ch, d in cands[g]:
             cls = _char_class(ch)
-            if cls in votes and cls != best_cls:
+            if cls in ("lat", "cyr", "dig") and cls != best_cls:
                 margin = d - base
                 break
-        votes[best_cls] += 1.0 if margin >= _REPAIR_MARGIN else 0.25
+        if margin >= _REPAIR_MARGIN:
+            votes[best_cls] += 1.0
+            votes["full_" + best_cls] += 1.0
+        else:
+            votes[best_cls] += 0.25
     letter_cls = max(("lat", "cyr"), key=lambda c: votes[c])
+    decisive_letters = votes["full_lat"] + votes["full_cyr"]
+    # a word whose letters are ALL cross-script ties ('BOX'/'ВОХ', a
+    # bare 'c'/'с') carries no script evidence of its own: inherit the
+    # band's dominant script instead of whatever argmin fell on
+    if (
+        fallback_cls in ("lat", "cyr")
+        and decisive_letters == 0
+        and votes["lat"] + votes["cyr"] > 0
+    ):
+        letter_cls = fallback_cls
     word_cls = "dig" if votes["dig"] > votes["lat"] + votes["cyr"] else letter_cls
+    # digit-dominant band + a word of nothing but class ties where every
+    # glyph has a digit candidate in reach ('ОООО', 'бOOб' on a digit
+    # grid) -> it is a digit run; a decisive letter anywhere vetoes
+    if (
+        fallback_cls == "dig"
+        and word_cls != "dig"
+        and decisive_letters == 0
+        and m >= 2
+        and all(
+            any(
+                _char_class(ch) == "dig" and d - c[0][1] <= _DIGIT_MARGIN
+                for ch, d in c
+            )
+            for c in cands
+        )
+    ):
+        word_cls = "dig"
 
     def pick(g: int, want, margin: float = _REPAIR_MARGIN) -> None:
         base = cands[g][0][1]
@@ -452,7 +528,7 @@ def _repair_word(
                 folded_dists.append(dist_out[i])
                 i += 1
         chars, dist_out = folded_chars, folded_dists
-    return chars, dist_out
+    return chars, dist_out, votes
 
 
 def _word_gap_threshold(
@@ -612,19 +688,45 @@ def recognize_block(
     x_off: int,
     y_off: int,
     language: str = "rus+eng",
+    gray: Optional[np.ndarray] = None,
 ) -> List[Tuple[Tuple[int, int, int, int], List, float]]:
     """Same contract as core/ocr._recognize_block: one text block ->
-    [(line bbox, [OcrWordOut], mean glyph conf)] top-down."""
+    [(line bbox, [OcrWordOut], mean glyph conf)] top-down.
+
+    ``gray``: optional float ink-coverage image (0..1, same shape as
+    ``mask``). The bank's templates are anti-aliased coverage grids, so
+    matching fractional coverage instead of the binarized mask keeps
+    the thin-stroke detail Otsu destroys at small sizes (measured:
+    broad accuracy gain at 14-24 px, no effect on bilevel fax scans
+    where coverage IS the mask)."""
     from dedoc_spark.core.ocr import OcrWordOut
 
     bank = _bank_for_language(language)
     if bank is None:
         return []
     mask = clean_scan_mask(mask)
+    if gray is not None and gray.shape == mask.shape:
+        # gate the coverage to the mask DILATED by one pixel: the
+        # anti-aliased fringe lives exactly in that ring, and clipping
+        # it thins every stroke relative to the bank's AA templates
+        # (measured: r->г style flips at 32 px with a hard mask gate)
+        p = np.pad(mask, 1)
+        ring = (
+            p[:-2, 1:-1] | p[2:, 1:-1] | p[1:-1, :-2] | p[1:-1, 2:]
+            | p[1:-1, 1:-1]
+            | p[:-2, :-2] | p[:-2, 2:] | p[2:, :-2] | p[2:, 2:]
+        )
+        cov_page = np.where(ring, np.clip(gray, 0.0, 1.0), 0.0)
+    else:
+        cov_page = mask.astype(np.float64)
     out: List[Tuple[Tuple[int, int, int, int], List, float]] = []
     for y0, y1 in _text_bands(mask):
-        band = mask[y0:y1]
-        col_runs = _runs(band.any(axis=0))
+        band = cov_page[y0:y1]
+        # glyph segmentation stays on the BINARY mask: the fringe ring
+        # would bridge 1-px inter-glyph gaps if runs were taken on the
+        # dilated coverage support
+        bcols = mask[y0:y1].any(axis=0)
+        col_runs = _runs(bcols)
         if not col_runs:
             continue
         # rough em from the band extent (ascender..descender ≈ 1.12 em)
@@ -632,41 +734,83 @@ def recognize_block(
         S_rough = max(4.0, (y1 - y0) / 1.12)
         crops: List[np.ndarray] = []
         boxes: List[Tuple[int, int, int, int]] = []
+        word_boxes: List[Tuple[int, int, int, int]] = []
         for s0, s1 in _refine_runs(band, col_runs, S_rough, bank):
-            cell = band[:, s0:s1]
-            rows = np.where(cell.any(axis=1))[0]
+            # reach one column past the run bounds for the AA fringe,
+            # then trim to the tight nonzero bbox (binary coverage
+            # trims straight back; FreeType template bboxes span their
+            # full AA extent, so matching crops must too). Expand only
+            # into binary-EMPTY columns — an adjacent run or split
+            # piece starts right at the bound and must not bleed in.
+            e0 = s0 - 1 if s0 > 0 and not bcols[s0 - 1] else s0
+            e1 = s1 + 1 if s1 < len(bcols) and not bcols[s1] else s1
+            inner = band[:, s0:s1]
+            # row extent from the run's OWN columns: a 1-px gap column
+            # is shared with the neighbor's fringe ring, and letting it
+            # set the rows gave 'm' the descender fringe of the 'p'
+            # next door (matched 'щ')
+            rows = np.where(inner.any(axis=1))[0]
             if rows.size == 0:
                 continue
-            if cell.sum() < 3:  # residual speck, not a glyph
+            if np.count_nonzero(inner) < 3:  # residual speck, not a glyph
                 continue
             gy0, gy1 = int(rows[0]), int(rows[-1]) + 1
-            crops.append(cell[gy0:gy1].astype(np.float64))
-            boxes.append((s0, gy0, s1, gy1))
+            cell = band[gy0:gy1, e0:e1]
+            cols = np.where(cell.any(axis=0))[0]
+            gx0, gx1 = int(cols[0]), int(cols[-1]) + 1
+            crops.append(cell[:, gx0:gx1].astype(np.float64))
+            boxes.append((e0 + gx0, gy0, e0 + gx1, gy1))
+            # word grouping and emitted coordinates use the BINARY run
+            # bounds: fringe-padded bboxes shrink inter-glyph gaps by
+            # up to 2 px, which pushed tight serif word gaps under the
+            # threshold and fused whole lines
+            word_boxes.append((s0, gy0, s1, gy1))
         if not crops:
             continue
         cand_idx, cand_dist, S = _match_band(bank, crops, boxes, topk=24)
-        word_gap = _word_gap_threshold(boxes, S)
+        word_gap = _word_gap_threshold(word_boxes, S)
 
         # group glyphs into words by gap, repair each word, emit
         groups: List[List[int]] = [[0]]
-        for g in range(1, len(boxes)):
-            if boxes[g][0] - boxes[g - 1][2] > word_gap:
+        for g in range(1, len(word_boxes)):
+            if word_boxes[g][0] - word_boxes[g - 1][2] > word_gap:
                 groups.append([g])
             else:
                 groups[-1].append(g)
+        # two passes: the first collects per-word script votes, the
+        # second re-repairs all-tie words ('BOX'/'ВОХ', bare 'c') with
+        # the BAND's dominant script as the fallback — a word made only
+        # of cross-script homoglyphs has no evidence of its own
+        repaired = [
+            _repair_word(bank, cand_idx[grp], cand_dist[grp]) for grp in groups
+        ]
+        lat_total = sum(v["lat"] for _, _, v in repaired)
+        cyr_total = sum(v["cyr"] for _, _, v in repaired)
+        dig_total = sum(v["dig"] for _, _, v in repaired)
+        band_cls: Optional[str] = None
+        if dig_total > lat_total + cyr_total:
+            band_cls = "dig"
+        elif lat_total != cyr_total:
+            band_cls = "lat" if lat_total > cyr_total else "cyr"
         words: List = []
         all_confs: List[float] = []
-        for grp in groups:
-            chars, dists = _repair_word(bank, cand_idx[grp], cand_dist[grp])
+        for grp, (chars, dists, votes) in zip(groups, repaired):
+            if (
+                band_cls is not None
+                and votes["full_lat"] + votes["full_cyr"] == 0
+            ):
+                chars, dists, _ = _repair_word(
+                    bank, cand_idx[grp], cand_dist[grp], fallback_cls=band_cls
+                )
             confs = [max(0.0, 1.0 - _CONF_SLOPE * max(d, 0.0)) for d in dists]
             all_confs.extend(confs)
             words.append(
                 OcrWordOut(
                     "".join(chars),
                     (
-                        x_off + boxes[grp[0]][0],
+                        x_off + word_boxes[grp[0]][0],
                         y_off + y0,
-                        x_off + boxes[grp[-1]][2],
+                        x_off + word_boxes[grp[-1]][2],
                         y_off + y1,
                     ),
                     int(round(100 * float(np.mean(confs)))),

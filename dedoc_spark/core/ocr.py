@@ -522,9 +522,14 @@ def recognize_page(
         mask = ink_mask(image)
     columns = detect_columns(mask) if is_one_column is None else (1 if is_one_column else 2)
 
-    def blocks_with(block_fn) -> List[Tuple[Tuple[int, int, int, int], List[OcrWordOut], float]]:
+    def blocks_with(block_fn, gray=None) -> List[Tuple[Tuple[int, int, int, int], List[OcrWordOut], float]]:
+        def call(m, x, g):
+            if g is None:
+                return block_fn(m, x, 0, language)
+            return block_fn(m, x, 0, language, gray=g)
+
         if columns == 1:
-            return block_fn(mask, 0, 0, language)
+            return call(mask, 0, gray)
         col_ink = mask.any(axis=0)
         w = mask.shape[1]
         split = w // 2
@@ -532,16 +537,22 @@ def recognize_page(
         for s, e in _runs(~col_ink):
             if 0 < s and e < w and e - s > best and s > w // 4 and e < (3 * w) // 4:
                 best, split = e - s, (s + e) // 2
-        return block_fn(mask[:, :split], 0, 0, language) + block_fn(
-            mask[:, split:], split, 0, language
-        )
+        gl, gr = (None, None) if gray is None else (gray[:, :split], gray[:, split:])
+        return call(mask[:, :split], 0, gl) + call(mask[:, split:], split, gr)
 
     use_glyph = choose_engine(mask, language, engine) == "glyph"
     raw: List[Tuple[Tuple[int, int, int, int], List[OcrWordOut], float]] = []
     if use_glyph:
         from dedoc_spark.core import glyph_ocr
 
-        raw = blocks_with(glyph_ocr.recognize_block)
+        # the glyph bank holds anti-aliased coverage templates: feed the
+        # engine fractional ink coverage when the page carries gray
+        # detail (bilevel scans reduce to the mask and change nothing)
+        g8 = to_gray(image)
+        cov = None
+        if g8.max() > 1 and g8.shape == mask.shape:
+            cov = 1.0 - g8.astype(np.float64) / 255.0
+        raw = blocks_with(glyph_ocr.recognize_block, gray=cov)
         use_glyph = bool(raw)
     if not use_glyph:
         raw = blocks_with(_recognize_block)
@@ -929,6 +940,7 @@ def _ocr_region(
     y1: int,
     language: str,
     engine: str = "scanfont",
+    gray: Optional[np.ndarray] = None,
 ) -> List[str]:
     """Recognize one rectangular region (a table cell crop) — the
     OCRCellExtractor analogue (psm 6 over the crop): returns the text of
@@ -942,7 +954,8 @@ def _ocr_region(
     if engine == "glyph":
         from dedoc_spark.core import glyph_ocr
 
-        blocks = glyph_ocr.recognize_block(crop, 0, 0, language)
+        g = gray[y0:y1, x0:x1] if gray is not None else None
+        blocks = glyph_ocr.recognize_block(crop, 0, 0, language, gray=g)
     else:
         blocks = _recognize_block(crop, 0, 0, language)
     return [" ".join(w.text for w in words) for _, words, _ in blocks]
@@ -974,6 +987,11 @@ def recognize_tables_from_image(
 
     if mask is None:
         mask = ink_mask(image)
+    cov = None
+    if engine == "glyph":
+        g8 = to_gray(image)
+        if g8.max() > 1 and g8.shape == mask.shape:
+            cov = 1.0 - g8.astype(np.float64) / 255.0
     segs = detect_image_rules(mask)
     grids = detect_ruled_tables(
         segs,
@@ -999,7 +1017,7 @@ def recognize_tables_from_image(
         def cell_lines(r0: int, r1: int, c0: int, c1: int) -> List[Line]:
             texts = _ocr_region(
                 mask, cb[c0] + inset, rb[r0] + inset, cb[c1 + 1] - inset, rb[r1 + 1] - inset, language,
-                engine=engine,
+                engine=engine, gray=cov,
             )
             return [Line(line=t, page_id=page_num) for t in texts]
 

@@ -21,9 +21,13 @@ from dedoc_spark.core.ftrender import FACE_FILES, FtFace, ft_available  # noqa: 
 from dedoc_spark.core.glyph_ocr import BANK_PATH, GRID, grid_features  # noqa: E402
 from dedoc_spark.core.scanfont import charset_for_language  # noqa: E402
 
-# two render sizes: 32 px matches 300-dpi scans (10 pt ≈ 40 px caps),
-# 16 px captures the hinted thin-stroke rendering small text produces
-RENDER_SIZES = (32, 16)
+# render-size ladder: 32 px matches 300-dpi scans (10 pt ≈ 40 px caps),
+# 16 px the hinted thin-stroke rendering of small text, and 26/20 px
+# the intermediate hinting regimes (grid-swept against the rendered-page
+# accuracy harness: (32,26,20,16) beat (32,16), (32,24,16), (32,20,16),
+# (32,24,20,16) and (32,24,18,14) on mean accuracy with the corpus fax
+# anchors all intact)
+RENDER_SIZES = (32, 26, 20, 16)
 
 
 def build(out_path: str = BANK_PATH) -> int:

@@ -41,7 +41,10 @@ def _recognize_rendered(face, px):
 
     page = render_text_page(LINES, face=face, px=px)
     mask = ink_mask(np.repeat(page[:, :, None], 3, axis=2))
-    blocks = glyph_ocr.recognize_block(mask, 0, 0, "rus+eng")
+    # production path (recognize_page) feeds the engine fractional ink
+    # coverage whenever the page carries gray detail; match it here
+    cov = 1.0 - page.astype(np.float64) / 255.0
+    blocks = glyph_ocr.recognize_block(mask, 0, 0, "rus+eng", gray=cov)
     return [" ".join(w.text for w in ws) for _, ws, _ in blocks]
 
 
@@ -61,6 +64,35 @@ def test_rendered_page_accuracy(face):
     got = _recognize_rendered(face, 32)
     assert len(got) == len(LINES)
     assert _accuracy(LINES, got) >= 0.93
+
+
+@needs_ft
+def test_small_size_grid_mean():
+    """Regression floor for the faces x sizes accuracy grid (14-32 px,
+    five DejaVu families). Measured 0.817 after the r6 gray-coverage /
+    multi-valley-split / band-script-fallback work (was 0.714); the
+    floor leaves noise headroom but catches any structural backslide."""
+    total = n = 0
+    for face in ["serif", "sans", "mono", "serif-bold", "sans-bold"]:
+        for px in [14, 16, 18, 20, 24, 32]:
+            got = _recognize_rendered(face, px)
+            got += [""] * (len(LINES) - len(got))
+            total += _accuracy(LINES, got)
+            n += 1
+    assert total / n >= 0.79
+
+
+@needs_ft
+def test_binary_path_still_reads():
+    """Bilevel pages (fax scans) have no gray detail: the binary path
+    must keep reading 300-dpi-scale type on its own."""
+    from dedoc_spark.core.ftrender import render_text_page
+
+    page = render_text_page(LINES, face="sans", px=32)
+    mask = ink_mask(np.repeat(page[:, :, None], 3, axis=2))
+    blocks = glyph_ocr.recognize_block(mask, 0, 0, "rus+eng")
+    got = [" ".join(w.text for w in ws) for _, ws, _ in blocks]
+    assert _accuracy(LINES, got) >= 0.90
 
 
 @needs_ft
