@@ -217,10 +217,8 @@ def _match_band(
 # --- touching-glyph split refinement -----------------------------------------
 
 _SPLIT_TRY_W = 0.60  # try splitting ink runs wider than this many em
-_SPLIT_GAIN = 0.010  # accept a split only if it beats the whole by this
 _SPLIT_OK = 0.030  # a whole-glyph match at least this good never splits
 _SPLIT_VALLEY = 0.5  # a cut column's ink vs the run's median stroke ink
-_SPLIT_MAX_CUTS = 3  # candidate valleys evaluated per run per round
 _SPLIT_BAD = 0.12  # a whole-match this poor is no glyph: try any valley
 
 
@@ -255,93 +253,240 @@ def _seg_dists(
     return dists, chars
 
 
+_SEG_PRIOR = 0.010  # per-segment cost: each extra cut must pay for itself
+_STEM_COST = 0.010  # surcharge on bare-stem segments (l/I/1/| match ~0
+#                     unconditionally — м/ш/щ would shatter into '111')
+_SPLIT_MAX_NODES = 10  # interior cut candidates per run (deepest first)
+
+
+def _seam_split(
+    cell: np.ndarray,
+) -> Optional[Tuple[np.ndarray, np.ndarray, float]]:
+    """Min-ink CONNECTED seam (moves: down / down-left / down-right)
+    through an HxW coverage cell — the cut for glyph pairs that overlap
+    horizontally, where no straight column separates them (the serif
+    f-hood reaches over the following 'o', so every vertical line
+    crosses one of the two). Returns (left, right, mean seam ink) with
+    the other side zeroed in each copy, or None when the cell is too
+    small. Vectorized per row; O(h*w)."""
+    h, w = cell.shape
+    if w < 6 or h < 3:
+        return None
+    inf = 1e18
+    cost = cell[0].astype(np.float64).copy()
+    cost[0] = inf  # outermost columns would leave one side empty
+    cost[-1] = inf
+    back = np.zeros((h, w), dtype=np.int8)
+    for r in range(1, h):
+        from_left = np.concatenate([[inf], cost[:-1]])
+        from_right = np.concatenate([cost[1:], [inf]])
+        stack = np.stack([from_left, cost, from_right])
+        choice = np.argmin(stack, axis=0)
+        cost = stack[choice, np.arange(w)] + cell[r]
+        cost[0] = inf
+        cost[-1] = inf
+        back[r] = choice
+    c = int(np.argmin(cost))
+    total = float(cost[c])
+    if not np.isfinite(total):
+        return None
+    seam = np.empty(h, dtype=np.int64)
+    for r in range(h - 1, -1, -1):
+        seam[r] = c
+        if r:
+            c += int(back[r, c]) - 1
+    cols = np.arange(w)[None, :]
+    left = np.where(cols < seam[:, None], cell, 0.0)
+    right = np.where(cols >= seam[:, None], cell, 0.0)
+    return left, right, total / h
+
+
 def _refine_runs(
     band: np.ndarray,
     col_runs: Sequence[Tuple[int, int]],
     S: float,
     bank: GlyphBank,
-    depth: int = 3,
-) -> List[Tuple[int, int]]:
-    """Split touching-glyph ink runs at interior valley columns when the
-    pieces match templates better than the whole (bold/serif type
-    frequently touches: 'fo', 'PA', ...). Guarded three ways so intact
-    glyphs ('a', 'm') don't shatter into stroke fragments: the whole
-    must match poorly, a cut column must carry near-minimum ink (a
-    touching junction is thin), and the pieces must win by a clear
-    margin. Up to _SPLIT_MAX_CUTS distinct valleys are tried per run
-    (the single-argmin variant cut 'fo' through the f-hood and missed
-    the true junction one valley over). Each round batch-evaluates
-    every pending segment and every candidate piece in one GEMM
-    apiece."""
-    final: List[Tuple[int, int]] = []
-    pending = list(col_runs)
-    for _ in range(depth):
-        if not pending:
-            break
-        whole_d, _ = _seg_dists(band, pending, bank)
-        piece_segs: List[Tuple[int, int]] = []
-        cand_slots: List[List[int]] = []
-        for i, (a, b) in enumerate(pending):
-            w = b - a
-            slots: List[int] = []
-            if w >= max(6, _SPLIT_TRY_W * S) and whole_d[i] >= _SPLIT_OK:
-                ink = band[:, a:b].sum(axis=0)
-                lo = max(2, int(0.22 * S))
-                hi = w - lo
-                if hi > lo:
-                    # a real junction is thin: cut columns must be well
-                    # below the run's typical stroke coverage (serif
-                    # 'f'+'o' touch through the f-hood only; an intact
-                    # 'a' has no such valley). One candidate per
-                    # CONTIGUOUS qualifying valley, deepest-first.
-                    thr = max(1.0, _SPLIT_VALLEY * float(np.median(ink[ink > 0])))
-                    seg = ink[lo:hi]
-                    if whole_d[i] >= _SPLIT_BAD:
-                        # nothing in the bank matches the whole: it is
-                        # certainly touching glyphs, so the thin-valley
-                        # veto would only hide the true junction (serif
-                        # 'fo' touches through the f-hood ABOVE a
-                        # stroke-thick crossbar column); pieces still
-                        # must win by the margin
-                        thr = max(thr, float(np.min(seg)) if seg.size else thr)
-                    ok = np.where(seg <= thr)[0]
-                    if ok.size:
-                        groups = np.split(ok, np.where(np.diff(ok) > 1)[0] + 1)
-                        cands = sorted(
-                            (float(seg[g[int(np.argmin(seg[g]))]]),
-                             int(g[int(np.argmin(seg[g]))]) + lo)
-                            for g in groups
-                        )
-                        for _, c in cands[:_SPLIT_MAX_CUTS]:
-                            slots.append(len(piece_segs))
-                            piece_segs.extend([(a, a + c), (a + c, b)])
-            cand_slots.append(slots)
-        piece_d, piece_ch = _seg_dists(band, piece_segs, bank)
-        nxt: List[Tuple[int, int]] = []
-        for i, (a, b) in enumerate(pending):
-            best: Optional[Tuple[float, int]] = None
-            for j in cand_slots[i]:
-                cost = max(piece_d[j], piece_d[j + 1])
-                # a split that yields a bare-stem piece (l/I/1/|) needs
-                # a garbage whole to stand: м/ш/щ/и/п are stems joined
-                # by thin valleys and bold hinting shatters them into
-                # '111' otherwise (stems match d≈0 unconditionally)
+) -> List[Tuple[int, int, Optional[np.ndarray]]]:
+    """Split touching-glyph ink runs by OPTIMAL segmentation over the
+    run's valley columns (bold/serif type frequently touches: 'fo',
+    'PA', and bold Cyrillic chains 'ещё' fuse 3+ glyphs into one run —
+    the previous greedy binary splitter mis-cut chains it could only
+    halve). Shortest-path DP over cut nodes: each candidate segment
+    costs its best template distance plus a per-segment prior (an
+    extra cut must pay for itself — the whole run is always one of the
+    paths) plus a bare-stem surcharge. Cut candidates are thin-valley
+    columns (one per contiguous valley, the thin-junction evidence);
+    a run the bank cannot match at all (>= _SPLIT_BAD) may cut at any
+    local ink minimum. Every candidate segment of every run is scored
+    in ONE batched GEMM.
+
+    Returns (x0, x1, piece_or_None) triples: None = a plain column
+    range of ``band``; otherwise the piece's own coverage cell for
+    columns [x0, x1) — produced by the SEAM fallback for pairs that
+    overlap horizontally (the serif f-hood reaches over 'o', so no
+    straight column separates them; a min-ink connected seam does)."""
+    whole_d, _ = _seg_dists(band, col_runs, bank)
+    # page-quality noise floor: on a degraded scan EVERY distance is
+    # inflated by a shared offset, which double-counts in a sum-cost
+    # comparison (two pieces pay it twice, the whole once) and made the
+    # DP refuse splits the fax needs. Subtract a robust low quantile of
+    # the band's whole-run distances; clean renders have floor ≈ 0.
+    floor = 0.0
+    if len(col_runs) >= 4:
+        floor = min(0.08, float(np.percentile(np.array(whole_d), 25)))
+    out: List[Tuple[int, int, Optional[np.ndarray]]] = []
+    batch: List[Tuple[int, int]] = []
+    seg_index: Dict[Tuple[int, int], int] = {}
+    todo: List[Tuple[List[int], List[Tuple[int, int, Tuple[int, int]]], float]] = []
+    seam_try: List[Tuple[int, int, float]] = []
+    wmin = max(3, int(0.14 * S))
+    wmax = int(1.5 * S) + 2
+    for i, (a, b) in enumerate(col_runs):
+        w = b - a
+        if w < max(6, _SPLIT_TRY_W * S) or whole_d[i] < _SPLIT_OK:
+            out.append((a, b, None))
+            continue
+        ink = band[:, a:b].sum(axis=0)
+        lo = max(2, int(0.18 * S))
+        hi = w - lo
+        if hi <= lo:
+            out.append((a, b, None))
+            continue
+        # a real junction is thin: cut columns must be well below the
+        # run's typical stroke coverage (serif 'f'+'o' touch through
+        # the f-hood only; an intact 'a' has no such valley)
+        thr = max(1.0, _SPLIT_VALLEY * float(np.median(ink[ink > 0])))
+        seg = ink[lo:hi]
+        if whole_d[i] >= _SPLIT_BAD:
+            # nothing in the bank matches the whole: certainly touching
+            # glyphs, so the thin-valley veto would only hide the true
+            # junction (serif 'fo' touches through the f-hood ABOVE a
+            # stroke-thick crossbar column). Admit every near-minimum
+            # valley, not just the single deepest column — the true
+            # junction under an overlapping hood is a SECONDARY plateau
+            thr = max(thr, 1.6 * float(np.min(seg)) + 0.5)
+        ok = np.where(seg <= thr)[0]
+        if ok.size == 0:
+            if whole_d[i] >= _SPLIT_BAD:
+                seam_try.append((a, b, whole_d[i]))
+            else:
+                out.append((a, b, None))
+            continue
+        groups = np.split(ok, np.where(np.diff(ok) > 1)[0] + 1)
+        # one candidate per contiguous valley, PLUS the ends of wide
+        # valley plateaus: glyphs that overlap horizontally (the serif
+        # f-hood reaching over 'o') leave an extended low plateau whose
+        # correct cut is at an EDGE, not the argmin
+        by_depth: List[Tuple[float, int]] = []
+        for g in groups:
+            c = int(g[int(np.argmin(seg[g]))])
+            by_depth.append((float(seg[c]), c + lo + a))
+            if len(g) >= max(2, int(0.12 * S)):
+                for e in (int(g[0]), int(g[-1])):
+                    if e != c:
+                        by_depth.append((float(seg[e]), e + lo + a))
+        by_depth.sort()
+        cuts = sorted({c for _, c in by_depth[:_SPLIT_MAX_NODES]})
+        nodes = [a] + cuts + [b]
+        n = len(nodes)
+        cand: List[Tuple[int, int, Tuple[int, int]]] = []
+        for x in range(n - 1):
+            for y in range(x + 1, n):
+                s0, s1 = nodes[x], nodes[y]
+                whole = x == 0 and y == n - 1
+                if not whole and not (wmin <= s1 - s0 <= wmax):
+                    continue
+                key = (s0, s1)
+                if key not in seg_index:
+                    seg_index[key] = len(batch)
+                    batch.append(key)
+                cand.append((x, y, key))
+        todo.append((nodes, cand, whole_d[i]))
+    d_all, ch_all = _seg_dists(band, batch, bank)
+    for nodes, cand, run_whole_d in todo:
+        n = len(nodes)
+        best = [np.inf] * n
+        best[0] = 0.0
+        back = [0] * n
+        cost: Dict[Tuple[int, int], float] = {}
+        for x, y, key in cand:
+            idx = seg_index[key]
+            c = max(d_all[idx] - floor, 0.0) + _SEG_PRIOR
+            if ch_all[idx] in _STEMS:
+                c += _STEM_COST
+            prev = cost.get((x, y))
+            if prev is None or c < prev:
+                cost[(x, y)] = c
+        for y in range(1, n):
+            for x in range(y):
+                c = cost.get((x, y))
+                if c is not None and best[x] + c < best[y]:
+                    best[y] = best[x] + c
+                    back[y] = x
+        if not np.isfinite(best[n - 1]):
+            out.append((nodes[0], nodes[-1], None))
+            continue
+        path: List[Tuple[int, int]] = []
+        y = n - 1
+        while y > 0:
+            x = back[y]
+            path.append((nodes[x], nodes[y]))
+            y = x
+        if len(path) == 1 and run_whole_d >= _SPLIT_BAD:
+            # the DP kept a whole the bank cannot read: no straight
+            # column separates the pair — try the connected seam
+            seam_try.append((nodes[0], nodes[-1], run_whole_d))
+        else:
+            out.extend((s0, s1, None) for s0, s1 in reversed(path))
+
+    # seam fallback: score every candidate pair of seam pieces in one
+    # batched GEMM and accept when the pieces beat the unreadable whole
+    if seam_try:
+        pieces: List[Tuple[int, np.ndarray, int, int]] = []
+        crops: List[np.ndarray] = []
+        boxes: List[Tuple[int, int, int, int]] = []
+        for k, (a, b, _) in enumerate(seam_try):
+            res = _seam_split(band[:, a:b])
+            if res is None:
+                continue
+            for side in res[:2]:
+                cols = np.where(side.any(axis=0))[0]
+                rows = np.where(side.any(axis=1))[0]
                 if (
-                    whole_d[i] < _SPLIT_BAD
-                    and (piece_ch[j] in _STEMS or piece_ch[j + 1] in _STEMS)
+                    cols.size < wmin
+                    or rows.size == 0
+                    or np.count_nonzero(side) < 3
                 ):
                     continue
-                if best is None or cost < best[0]:
-                    best = (cost, j)
-            if best is not None and best[0] + _SPLIT_GAIN < whole_d[i]:
-                j = best[1]
-                nxt.extend([piece_segs[j], piece_segs[j + 1]])
-            else:
-                final.append((a, b))
-        pending = nxt
-    final.extend(pending)
-    final.sort()
-    return final
+                c0, c1 = int(cols[0]), int(cols[-1]) + 1
+                r0, r1 = int(rows[0]), int(rows[-1]) + 1
+                pieces.append((k, side[:, c0:c1], a + c0, a + c1))
+                crops.append(side[r0:r1, c0:c1].astype(np.float64))
+                boxes.append((a + c0, r0, a + c1, r1))
+        per_run: Dict[int, List[int]] = {}
+        if crops:
+            feats, _, _, aspect = _crop_feats(crops, boxes)
+            dmat = _shape_dist(bank, feats, aspect)
+            arg = dmat.argmin(axis=1)
+            dbest = dmat[np.arange(len(arg)), arg]
+            for j, (k, _, _, _) in enumerate(pieces):
+                per_run.setdefault(k, []).append(j)
+        for k, (a, b, wd) in enumerate(seam_try):
+            idxs = per_run.get(k, [])
+            if len(idxs) == 2:
+                cost = 0.0
+                for j in idxs:
+                    cost += max(float(dbest[j]) - floor, 0.0) + _SEG_PRIOR
+                    if bank.chars[int(arg[j])] in _STEMS:
+                        cost += _STEM_COST
+                if cost < max(wd - floor, 0.0) + _SEG_PRIOR:
+                    for j in idxs:
+                        _, sub, x0, x1 = pieces[j]
+                        out.append((x0, x1, sub))
+                    continue
+            out.append((a, b, None))
+    out.sort(key=lambda t: (t[0], t[1]))
+    return out
 
 
 # --- script / case candidate repair -------------------------------------------
@@ -720,11 +865,23 @@ def recognize_block(
     else:
         cov_page = mask.astype(np.float64)
     out: List[Tuple[Tuple[int, int, int, int], List, float]] = []
-    for y0, y1 in _text_bands(mask):
-        band = cov_page[y0:y1]
-        # glyph segmentation stays on the BINARY mask: the fringe ring
-        # would bridge 1-px inter-glyph gaps if runs were taken on the
-        # dilated coverage support
+    bands = _text_bands(mask)
+    h_page = mask.shape[0]
+    for bi, (y0, y1) in enumerate(bands):
+        # extend the band slice toward the neighbors: the band-level
+        # hysteresis stops at sparse rows, which truncates descenders
+        # at small sizes ('p' at 16 px read as 'n'). Column runs still
+        # come from the CORE rows; each glyph then grows its own row
+        # extent contiguously into the extension zone.
+        prev_end = bands[bi - 1][1] if bi else 0
+        next_start = bands[bi + 1][0] if bi + 1 < len(bands) else h_page
+        pad_up = max(prev_end, y0 - max(1, round(0.25 * (y1 - y0))))
+        pad_dn = min(next_start, y1 + max(2, round(0.4 * (y1 - y0))))
+        band = cov_page[pad_up:pad_dn]
+        core0, core1 = y0 - pad_up, y1 - pad_up
+        # glyph segmentation stays on the BINARY mask of the CORE rows:
+        # the fringe ring would bridge 1-px inter-glyph gaps, and the
+        # extension rows may carry stray inter-line ink
         bcols = mask[y0:y1].any(axis=0)
         col_runs = _runs(bcols)
         if not col_runs:
@@ -735,7 +892,18 @@ def recognize_block(
         crops: List[np.ndarray] = []
         boxes: List[Tuple[int, int, int, int]] = []
         word_boxes: List[Tuple[int, int, int, int]] = []
-        for s0, s1 in _refine_runs(band, col_runs, S_rough, bank):
+        for s0, s1, sub in _refine_runs(band, col_runs, S_rough, bank):
+            if sub is not None:
+                # a seam piece carries its own side-masked coverage
+                # (columns [s0, s1) of the band, other side zeroed)
+                rows = np.where(sub.any(axis=1))[0]
+                if rows.size == 0 or np.count_nonzero(sub) < 3:
+                    continue
+                gy0, gy1 = int(rows[0]), int(rows[-1]) + 1
+                crops.append(sub[gy0:gy1].astype(np.float64))
+                boxes.append((s0, gy0, s1, gy1))
+                word_boxes.append((s0, gy0, s1, gy1))
+                continue
             # reach one column past the run bounds for the AA fringe,
             # then trim to the tight nonzero bbox (binary coverage
             # trims straight back; FreeType template bboxes span their
@@ -748,14 +916,24 @@ def recognize_block(
             # row extent from the run's OWN columns: a 1-px gap column
             # is shared with the neighbor's fringe ring, and letting it
             # set the rows gave 'm' the descender fringe of the 'p'
-            # next door (matched 'щ')
-            rows = np.where(inner.any(axis=1))[0]
-            if rows.size == 0:
+            # next door (matched 'щ'). Start from the CORE rows and
+            # grow contiguously into the extension zone, so descenders
+            # rejoin their glyph but stray inter-line ink cannot.
+            rows_any = inner.any(axis=1)
+            idx = np.where(rows_any[core0:core1])[0]
+            if idx.size == 0:
                 continue
-            if np.count_nonzero(inner) < 3:  # residual speck, not a glyph
-                continue
-            gy0, gy1 = int(rows[0]), int(rows[-1]) + 1
+            gy0, gy1 = core0 + int(idx[0]), core0 + int(idx[-1]) + 1
+            while gy1 < len(rows_any) and rows_any[gy1]:
+                gy1 += 1
+            while gy0 > 0 and rows_any[gy0 - 1]:
+                gy0 -= 1
             cell = band[gy0:gy1, e0:e1]
+            # speck filter counts the fringe-expanded cell: a real
+            # period at 16 px is 1-2 mask pixels but carries its AA
+            # fringe; an isolated binarized speck does not
+            if np.count_nonzero(cell) < 3:
+                continue
             cols = np.where(cell.any(axis=0))[0]
             gx0, gx1 = int(cols[0]), int(cols[-1]) + 1
             crops.append(cell[:, gx0:gx1].astype(np.float64))

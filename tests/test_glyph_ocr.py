@@ -69,8 +69,8 @@ def test_rendered_page_accuracy(face):
 @needs_ft
 def test_small_size_grid_mean():
     """Regression floor for the faces x sizes accuracy grid (14-32 px,
-    five DejaVu families). Measured 0.817 after the r6 gray-coverage /
-    multi-valley-split / band-script-fallback work (was 0.714); the
+    five DejaVu families). Measured 0.881 after the r6 gray-coverage /
+    DP-segmentation / seam-cut / band-fallback work (was 0.714); the
     floor leaves noise headroom but catches any structural backslide."""
     total = n = 0
     for face in ["serif", "sans", "mono", "serif-bold", "sans-bold"]:
@@ -79,7 +79,7 @@ def test_small_size_grid_mean():
             got += [""] * (len(LINES) - len(got))
             total += _accuracy(LINES, got)
             n += 1
-    assert total / n >= 0.79
+    assert total / n >= 0.86
 
 
 @needs_ft
