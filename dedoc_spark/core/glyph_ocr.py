@@ -662,7 +662,9 @@ def _repair_word(
         i = 0
         folded_chars: List[str] = []
         folded_dists: List[float] = []
-        stems = {"I", "l", "1", "|", "І"}
+        # '!' and ']' are what a noisy right stem with a base serif
+        # matches when the true stems tie below it
+        stems = {"I", "l", "1", "|", "І", "!", "]"}
         while i < len(chars):
             if i + 1 < len(chars) and chars[i] in ("ь", "Ь") and chars[i + 1] in stems:
                 folded_chars.append("ы" if chars[i] == "ь" else "Ы")
