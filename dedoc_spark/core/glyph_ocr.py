@@ -286,7 +286,11 @@ def _seam_split(
         cost[0] = inf
         cost[-1] = inf
         back[r] = choice
-    c = int(np.argmin(cost))
+    # tie-break toward the cell center: a cell with several zero-ink
+    # seams (wide gap) should cut at the gap, not hug an edge and
+    # leave one side degenerate
+    w_idx = np.arange(w, dtype=np.float64)
+    c = int(np.argmin(cost + 1e-6 * np.abs(w_idx - (w - 1) / 2.0)))
     total = float(cost[c])
     if not np.isfinite(total):
         return None

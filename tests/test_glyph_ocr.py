@@ -113,6 +113,49 @@ def test_word_boundaries_preserved():
     assert words[:3] == ["PACK", "MY", "ВОХ"] or words[:3] == ["PACK", "MY", "BOX"]
 
 
+def test_seam_split_edges_and_shape():
+    """_seam_split: degenerate cells refuse; a two-blob cell with a
+    clean diagonal gap separates with zero seam ink; the sides
+    partition the cell exactly."""
+    assert glyph_ocr._seam_split(np.ones((2, 20))) is None
+    assert glyph_ocr._seam_split(np.ones((20, 4))) is None
+    cell = np.zeros((12, 16))
+    cell[:, 2:6] = 1.0  # left blob
+    cell[:, 10:14] = 1.0  # right blob
+    res = glyph_ocr._seam_split(cell)
+    assert res is not None
+    left, right, mean_ink = res
+    assert mean_ink == 0.0
+    assert np.array_equal(left + right, cell)
+    assert left[:, 2:6].all() and not left[:, 10:14].any()
+    assert right[:, 10:14].all() and not right[:, 2:6].any()
+    # solid ink: the seam must still return a partition, never raise
+    res2 = glyph_ocr._seam_split(np.ones((10, 10)))
+    assert res2 is not None
+    l2, r2, m2 = res2
+    assert m2 > 0
+    assert np.array_equal(l2 + r2, np.ones((10, 10)))
+
+
+@needs_ft
+def test_refine_runs_seam_reads_overlapping_pair():
+    """The serif 'fo' pair at 24 px touches through the f-hood ABOVE a
+    stroke-thick column — no vertical cut separates it; the seam path
+    must, and the word must read 'fox' (this exact page read 'Ox'
+    before the seam fallback)."""
+    from dedoc_spark.core.ftrender import render_text_page
+
+    page = render_text_page(
+        ["The quick brown fox jumps over the lazy dog"],
+        face="serif", px=24,
+    )
+    mask = ink_mask(np.repeat(page[:, :, None], 3, axis=2))
+    cov = 1.0 - page.astype(np.float64) / 255.0
+    blocks = glyph_ocr.recognize_block(mask, 0, 0, "rus+eng", gray=cov)
+    words = [w.text for _, ws, _ in blocks for w in ws]
+    assert "fox" in words
+
+
 def test_clean_scan_mask_edges_and_specks():
     """A page-long border column disappears; a glyph stem in the margin
     zone of a short page survives (contiguity test); isolated specks
