@@ -55,17 +55,30 @@ _W_BASE = 0.45
 _CONF_SLOPE = 2.2
 
 
+_grid_bounds_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _grid_bounds(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Cached (reduceat boundaries, per-cell counts) for one crop extent —
+    crops within a band share a handful of heights/widths, and the arange/
+    diff/maximum chain was ~1/3 of grid_features' cost per crop."""
+    hit = _grid_bounds_cache.get(n)
+    if hit is None:
+        b = (np.arange(GRID) * n) // GRID
+        counts = np.maximum(np.diff(np.concatenate([b, [n]])), 1)
+        hit = _grid_bounds_cache[n] = (b, counts)
+    return hit
+
+
 def grid_features(crop: np.ndarray) -> np.ndarray:
     """Float HxW coverage crop (0..1, tight bbox) -> flattened GRIDxGRID
     area-mean vector. Mirrors core/ocr._cell_means at GRID resolution."""
     h, w = crop.shape
-    rb = (np.arange(GRID) * h) // GRID
-    cb = (np.arange(GRID) * w) // GRID
+    rb, rcounts = _grid_bounds(h)
+    cb, ccounts = _grid_bounds(w)
     summed = np.add.reduceat(
         np.add.reduceat(crop.astype(np.float64), rb, axis=0), cb, axis=1
     )
-    rcounts = np.maximum(np.diff(np.concatenate([rb, [h]])), 1)
-    ccounts = np.maximum(np.diff(np.concatenate([cb, [w]])), 1)
     return (summed / np.outer(rcounts, ccounts)).reshape(-1)
 
 
@@ -142,13 +155,22 @@ def _runs(profile: np.ndarray, min_gap: int = 1) -> List[Tuple[int, int]]:
 
 
 def _shape_dist(bank: GlyphBank, feats: np.ndarray, aspect: np.ndarray) -> np.ndarray:
-    """(m, n_templates) pass-1 distance: grid MSE + aspect penalty."""
-    d2 = (
-        (feats**2).sum(axis=1)[:, None]
-        - 2.0 * feats @ bank.grids.T
-        + bank._sq[None, :]
-    ) / (GRID * GRID)
-    return d2 + _W_ASPECT * (aspect[:, None] - bank.aspect[None, :]) ** 2
+    """(m, n_templates) pass-1 distance: grid MSE + aspect penalty.
+
+    Fused in place (one GEMM output buffer + one penalty buffer instead of
+    six (m, n) temporaries — the expression was memory-traffic-bound, not
+    FLOP-bound); every element still runs the exact original formula
+    ((a − 2g) + s)/G² + w·(x−y)², so values are bit-identical."""
+    d2 = feats @ bank.grids.T
+    d2 *= -2.0
+    d2 += (feats**2).sum(axis=1)[:, None]
+    d2 += bank._sq[None, :]
+    d2 /= GRID * GRID
+    pen = aspect[:, None] - bank.aspect[None, :]
+    np.square(pen, out=pen)
+    pen *= _W_ASPECT
+    d2 += pen
+    return d2
 
 
 def _crop_feats(crops: Sequence[np.ndarray], boxes: Sequence[Tuple[int, int, int, int]]):
@@ -157,6 +179,50 @@ def _crop_feats(crops: Sequence[np.ndarray], boxes: Sequence[Tuple[int, int, int
     widths = np.array([x1 - x0 for x0, _, x1, _ in boxes], dtype=np.float64)
     aspect = np.log(np.maximum(widths, 1) / np.maximum(heights, 1))
     return feats, heights, widths, aspect
+
+
+def _initial_scale(
+    bank: GlyphBank, dist1: np.ndarray, heights: np.ndarray, bottoms: np.ndarray
+) -> Tuple[float, float]:
+    """(band em scale S, baseline estimate) from the pass-1 best matches:
+    S such that h = h_rel * S; bottom = baseline + desc_rel * S."""
+    best1 = dist1.argmin(axis=1)
+    scales = heights / np.maximum(bank.h_rel[best1], 1e-6)
+    S = float(np.median(scales))
+    if not np.isfinite(S) or S <= 0:
+        S = float(np.median(heights))
+    base_est = float(np.median(bottoms - bank.desc_rel[best1] * S))
+    return S, base_est
+
+
+def _pass2_rows(
+    bank: GlyphBank,
+    dist1_rows: np.ndarray,
+    hs_rows: np.ndarray,
+    bottoms_rows: np.ndarray,
+    S: float,
+    base_est: float,
+) -> np.ndarray:
+    """Full-bank pass-2 distances for a subset of glyph rows."""
+    size_pen = np.log(hs_rows / np.maximum(bank.h_rel[None, :] * S, 1e-6)) ** 2
+    base_pen = (
+        (bottoms_rows[:, None] - base_est - bank.desc_rel[None, :] * S) / S
+    ) ** 2
+    return dist1_rows + _W_SIZE * size_pen + _W_BASE * base_pen
+
+
+def _topk_stable_row(row: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact lexicographic (distance, template index) top-k of one full
+    row — ties at the k-th value resolve to the lower template index."""
+    n = row.shape[0]
+    if k >= n:
+        order = np.argsort(row, kind="stable")
+        return order, row[order]
+    kthv = np.partition(row, k - 1)[k - 1]
+    cand = np.nonzero(row <= kthv)[0]  # ascending index
+    vals = row[cand]
+    o = np.argsort(vals, kind="stable")[:k]
+    return cand[o], vals[o]
 
 
 def _match_band(
@@ -168,50 +234,93 @@ def _match_band(
     """Two-pass joint match of one band's glyphs.
 
     Returns (cand_idx (m, topk) template indices best-first,
-    cand_dist (m, topk), band em scale S)."""
+    cand_dist (m, topk), band em scale S). Ties (pixel-twin templates at
+    the exact same distance) order by ascending template index — a
+    defined deterministic rule on every path below.
+
+    Pass 2 adds size + baseline-position penalties — this separates c/C,
+    o/O, x/X, '.'/'\\'' that pure shape cannot. Two iterations:
+    shape-only ties skew the first S/baseline estimate when a band is
+    homoglyph-heavy, and the second pass's own matches correct it.
+
+    The penalties are non-negative, so dist2 >= dist1 elementwise; pass 2
+    therefore evaluates only each glyph's top-P pass-1 candidates, and
+    PROVES each glyph's result exact against that glyph's (P+1)-th
+    smallest pass-1 distance (every template outside the candidate set
+    has dist2 >= dist1 >= that bound). Only the glyphs that fail the
+    proof (junk crops whose distances cluster) re-evaluate over the full
+    bank — identical maths, just evaluated over all templates. The
+    second iteration is skipped when the first left (S, base) exactly
+    unchanged: the same inputs would reproduce the same distances."""
     feats, heights, _, aspect = _crop_feats(crops, boxes)
     bottoms = np.array([y1 for _, _, _, y1 in boxes], dtype=np.float64)
 
     dist1 = _shape_dist(bank, feats, aspect)
-    best1 = dist1.argmin(axis=1)
+    m, n = dist1.shape
+    rows = np.arange(m)
+    k = min(topk, n)
+    S, base_est = _initial_scale(bank, dist1, heights, bottoms)
+    hs = np.maximum(heights, 1)[:, None]
 
-    # band em scale from the agreeing matches: S such that h = h_rel * S
-    scales = heights / np.maximum(bank.h_rel[best1], 1e-6)
-    S = float(np.median(scales))
-    if not np.isfinite(S) or S <= 0:
-        S = float(np.median(heights))
-    # baseline from predicted descents: bottom = baseline + desc_rel * S
-    base_est = float(np.median(bottoms - bank.desc_rel[best1] * S))
+    P = min(n - 1, max(4 * k, 64))
+    prune = n > 2 * P
+    if prune:
+        part = np.argpartition(dist1, P, axis=1)
+        cand = np.sort(part[:, :P], axis=1)  # ascending template index
+        d_bound = dist1[rows, part[:, P]]  # min pass-1 dist OUTSIDE cand
+        d1c = np.take_along_axis(dist1, cand, axis=1)
+        hr = bank.h_rel[cand]
+        dr = bank.desc_rel[cand]
 
-    # pass 2: add size + baseline-position penalties over ALL templates —
-    # this separates c/C, o/O, x/X, '.'/'\'' that pure shape cannot.
-    # Two iterations: shape-only ties skew the first S/baseline estimate
-    # when a band is homoglyph-heavy, and the second pass's own matches
-    # correct it.
+    dist2c = full_rows = full_d2 = None
     for _ in range(2):
-        size_pen = (
-            np.log(
-                np.maximum(heights, 1)[:, None]
-                / np.maximum(bank.h_rel[None, :] * S, 1e-6)
-            )
-            ** 2
-        )
-        base_pen = ((bottoms[:, None] - base_est - bank.desc_rel[None, :] * S) / S) ** 2
-        dist2 = dist1 + _W_SIZE * size_pen + _W_BASE * base_pen
-        best = dist2.argmin(axis=1)
+        S_in, base_in = S, base_est
+        if prune:
+            size_pen = np.log(hs / np.maximum(hr * S, 1e-6)) ** 2
+            base_pen = ((bottoms[:, None] - base_est - dr * S) / S) ** 2
+            dist2c = d1c + _W_SIZE * size_pen + _W_BASE * base_pen
+            loc = dist2c.argmin(axis=1)
+            best = cand[rows, loc]
+            bad = ~(dist2c[rows, loc] < d_bound)
+            full_rows = np.nonzero(bad)[0]
+            if full_rows.size:
+                full_d2 = _pass2_rows(
+                    bank, dist1[full_rows], hs[full_rows], bottoms[full_rows], S, base_est
+                )
+                best[full_rows] = full_d2.argmin(axis=1)
+            else:
+                full_d2 = None
+        else:
+            dist2c = _pass2_rows(bank, dist1, hs, bottoms, S, base_est)
+            best = dist2c.argmin(axis=1)
+            full_rows, full_d2 = None, None
         S_new = float(np.median(heights / np.maximum(bank.h_rel[best], 1e-6)))
         if np.isfinite(S_new) and S_new > 0:
             S = S_new
         base_est = float(np.median(bottoms - bank.desc_rel[best] * S))
-    k = min(topk, dist2.shape[1])
-    part = np.argpartition(dist2, k - 1, axis=1)[:, :k]
-    part_d = np.take_along_axis(dist2, part, axis=1)
-    order = np.argsort(part_d, axis=1)
-    return (
-        np.take_along_axis(part, order, axis=1),
-        np.take_along_axis(part_d, order, axis=1),
-        S,
-    )
+        if S == S_in and base_est == base_in:
+            break  # iteration 2 would recompute identical distances
+
+    if not prune:
+        out_i = np.empty((m, k), dtype=np.int64)
+        out_d = np.empty((m, k), dtype=np.float64)
+        for i in range(m):
+            out_i[i], out_d[i] = _topk_stable_row(dist2c[i], k)
+        return out_i, out_d, S
+
+    order = np.argsort(dist2c, axis=1, kind="stable")[:, :k]
+    out_d = np.take_along_axis(dist2c, order, axis=1)
+    out_i = np.take_along_axis(cand, order, axis=1)
+    need_full = ~(out_d[:, -1] < d_bound)
+    if full_rows is not None:
+        need_full[full_rows] = True
+    for i in np.nonzero(need_full)[0]:
+        if full_rows is not None and full_d2 is not None and i in full_rows:
+            row = full_d2[np.nonzero(full_rows == i)[0][0]]
+        else:
+            row = _pass2_rows(bank, dist1[i : i + 1], hs[i : i + 1], bottoms[i : i + 1], S_in, base_in)[0]
+        out_i[i], out_d[i] = _topk_stable_row(row, k)
+    return out_i, out_d, S
 
 
 # --- touching-glyph split refinement -----------------------------------------

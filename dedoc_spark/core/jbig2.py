@@ -309,7 +309,10 @@ def decode_generic(
         m1, m2 = rows[-1], rows[-2]
         if fast:
             # sliding 5/7/4-bit windows over rows y-2 / y-1 / y,
-            # seeded for x = 0 (out-of-range reads are the pad zeros)
+            # seeded for x = 0 (out-of-range reads are the pad zeros);
+            # the T.88 E.3 DECODE/RENORMD/BYTEIN bodies are inlined in
+            # the pixel loop (the per-pixel method call plus attribute
+            # traffic dominated the arithmetic — measured ~2.5x)
             r2 = 0
             r1 = 0
             for k in range(-2, 1):
@@ -318,14 +321,120 @@ def decode_generic(
             for k in range(-3, 4):
                 r1 = (r1 << 1) | m1[pad + k]
             r0 = 0
-            d = dec.decode
-            for x in range(width):
-                ctx = (r2 << 11) | (r1 << 4) | r0
-                b = d(icx, mps, ctx)
+            a, c, ct, bp = dec.a, dec.c, dec.ct, dec.bp
+            data, nd = dec.data, dec.n
+            qe_t, nmps_t, nlps_t, sw_t = _QE, _NMPS, _NLPS, _SWITCH
+            x = 0
+            while x < width:
+                if r0 == 0 and r1 == 0 and r2 == 0 and mps[0] == 0:
+                    # blank stretch: while the context stays 0 (no ink in
+                    # either upper-row window and none decoded), k MPS
+                    # decodes with no renormalization are exactly
+                    # a -= k*qe, c_high -= k*qe — skip them in O(1).
+                    # The stretch ends at the next ink byte in the upper
+                    # rows (bytearray.find = memchr) or at the next
+                    # renormalization boundary, whichever is first.
+                    q1 = m1.find(1, pad + x + 4)
+                    if q1 < 0:
+                        q1 = width + pad + 8
+                    q2 = m2.find(1, pad + x + 3)
+                    if q2 < 0:
+                        q2 = width + pad + 8
+                    lend = q1 - pad - 3
+                    t = q2 - pad - 2
+                    if t < lend:
+                        lend = t
+                    if lend > width:
+                        lend = width
+                    if lend > x:
+                        qe = qe_t[icx[0]]
+                        k = (a - 0x8000) // qe
+                        t = ((c >> 16) & 0xFFFF) // qe
+                        if t < k:
+                            k = t
+                        if k > lend - x:
+                            k = lend - x
+                        if k > 0:
+                            kq = k * qe
+                            a -= kq
+                            c -= kq << 16
+                            x += k
+                            if x < width:
+                                # rebuild the windows for the next pixel:
+                                # a batch that ran up to the ink boundary
+                                # leaves the slid-in neighbor bits nonzero
+                                p = pad + x
+                                r2 = (
+                                    (m2[p - 2] << 4) | (m2[p - 1] << 3)
+                                    | (m2[p] << 2) | (m2[p + 1] << 1) | m2[p + 2]
+                                )
+                                r1 = (
+                                    (m1[p - 3] << 6) | (m1[p - 2] << 5)
+                                    | (m1[p - 1] << 4) | (m1[p] << 3)
+                                    | (m1[p + 1] << 2) | (m1[p + 2] << 1)
+                                    | m1[p + 3]
+                                )
+                            continue
+                cx = (r2 << 11) | (r1 << 4) | r0
+                i = icx[cx]
+                qe = qe_t[i]
+                a -= qe
+                if ((c >> 16) & 0xFFFF) < qe:
+                    # LPS exchange path
+                    if a < qe:
+                        b = mps[cx]
+                        icx[cx] = nmps_t[i]
+                    else:
+                        b = 1 - mps[cx]
+                        if sw_t[i]:
+                            mps[cx] ^= 1
+                        icx[cx] = nlps_t[i]
+                    a = qe
+                else:
+                    c -= qe << 16
+                    if a & 0x8000:
+                        b = mps[cx]
+                        cur[pad + x] = b
+                        r2 = ((r2 << 1) | m2[pad + x + 3]) & 0x1F
+                        r1 = ((r1 << 1) | m1[pad + x + 4]) & 0x7F
+                        r0 = ((r0 << 1) | b) & 0x0F
+                        x += 1
+                        continue
+                    if a < qe:
+                        b = 1 - mps[cx]
+                        if sw_t[i]:
+                            mps[cx] ^= 1
+                        icx[cx] = nlps_t[i]
+                    else:
+                        b = mps[cx]
+                        icx[cx] = nmps_t[i]
+                while True:  # RENORMD
+                    if ct == 0:  # BYTEIN
+                        b0 = data[bp] if bp < nd else 0xFF
+                        if b0 == 0xFF:
+                            b1 = data[bp + 1] if bp + 1 < nd else 0xFF
+                            if b1 > 0x8F:
+                                c += 0xFF00
+                                ct = 8
+                            else:
+                                bp += 1
+                                c += b1 << 9
+                                ct = 7
+                        else:
+                            bp += 1
+                            c += (data[bp] if bp < nd else 0xFF) << 8
+                            ct = 8
+                    a = (a << 1) & 0xFFFF
+                    c = (c << 1) & 0xFFFFFFFF
+                    ct -= 1
+                    if a & 0x8000:
+                        break
                 cur[pad + x] = b
                 r2 = ((r2 << 1) | m2[pad + x + 3]) & 0x1F
                 r1 = ((r1 << 1) | m1[pad + x + 4]) & 0x7F
                 r0 = ((r0 << 1) | b) & 0x0F
+                x += 1
+            dec.a, dec.c, dec.ct, dec.bp = a, c, ct, bp
         else:
             d = dec.decode
             grid = {-2: m2, -1: m1, 0: cur}
@@ -352,7 +461,16 @@ def encode_generic(
     """Fixture-side generic-region MQ encoder (no TPGDON), the exact
     mirror of decode_generic — round-trip tested. With an external
     ``encoder`` the bits join its stream (symbol-dictionary use) and
-    None is returned; standalone, the flushed bytes come back."""
+    None is returned; standalone, the flushed bytes come back.
+
+    Unlike the decoder, the encoder knows every pixel up front, so the
+    per-pixel context values are computed for the WHOLE region with a
+    handful of shifted-array adds (every JBIG2 template is causal:
+    dy < 0, or dy == 0 and dx < 0), and the remaining Python loop runs
+    only the sequential MQ state machine, inlined — the per-pixel
+    method call plus sliding-window bookkeeping was ~4x the cost of the
+    arithmetic itself. Emitted bytes are identical: same context
+    sequence, same T.88 E.2 operations."""
     if template not in _TEMPLATES:
         raise Jbig2Error(f"jbig2: bad template {template}")
     at = list(at) if at else list(_NOMINAL_AT[template])
@@ -362,40 +480,108 @@ def encode_generic(
     n_ctx = 1 << 16
     icx = icx if icx is not None else bytearray(n_ctx)
     mps = mps if mps is not None else bytearray(n_ctx)
-    pad = 4
-    rows: List[bytearray] = [bytearray(w + 8) for _ in range(2)]
-    fast = template == 0 and at == _NOMINAL_AT[0]
-    pos = None if fast else _sorted_template(template, at)
-    e = enc.encode
-    for y in range(h):
-        cur = bytearray(w + 8)
-        m1, m2 = rows[-1], rows[-2]
-        line = bitmap[y]
-        if fast:  # same 5/7/4-bit sliding windows as the decoder
-            r2 = (m2[pad - 2] << 4) | (m2[pad - 1] << 3) | (m2[pad] << 2) \
-                | (m2[pad + 1] << 1) | m2[pad + 2]
-            r1 = 0
-            for k in range(-3, 4):
-                r1 = (r1 << 1) | m1[pad + k]
-            r0 = 0
-            for x in range(w):
-                b = int(line[x]) & 1
-                e(icx, mps, (r2 << 11) | (r1 << 4) | r0, b)
-                cur[pad + x] = b
-                r2 = ((r2 << 1) | m2[pad + x + 3]) & 0x1F
-                r1 = ((r1 << 1) | m1[pad + x + 4]) & 0x7F
-                r0 = ((r0 << 1) | b) & 0x0F
-        else:
-            grid = {-2: m2, -1: m1, 0: cur}
-            for x in range(w):
-                ctx = 0
-                for dy, dx in pos:
-                    ctx = (ctx << 1) | grid[dy][pad + x + dx]
-                b = int(line[x]) & 1
-                e(icx, mps, ctx, b)
-                cur[pad + x] = b
-        rows.append(cur)
-        rows.pop(0)
+    pos = _sorted_template(template, at)
+    for dy, dx in pos:
+        if dy > 0 or (dy == 0 and dx >= 0):
+            raise Jbig2Error(f"jbig2: non-causal template pixel {(dy, dx)}")
+
+    bits = (np.asarray(bitmap) != 0).astype(np.uint32)
+    pad_top = max(-dy for dy, _ in pos)
+    pad_l = max(0, max(-dx for _, dx in pos))
+    pad_r = max(0, max(dx for _, dx in pos))
+    pb = np.pad(bits, ((pad_top, 0), (pad_l, pad_r)))
+    ctx = np.zeros((h, w), dtype=np.uint32)
+    nbits = len(pos)
+    for k, (dy, dx) in enumerate(pos):
+        shift = np.uint32(nbits - 1 - k)
+        ctx += pb[pad_top + dy : pad_top + dy + h, pad_l + dx : pad_l + dx + w] << shift
+
+    # inlined T.88 E.2 over the precomputed (context, bit) stream. The
+    # stream is mostly (ctx=0, bit=0) — blank paper — and a run of k MPS
+    # symbols at one context with no renormalization is exactly
+    # a -= k*qe, c += k*qe (no state-table traffic), so only the
+    # "events" (ink or an inked context neighborhood) and the
+    # renormalization boundaries run the full per-symbol body.
+    flat_ctx = ctx.ravel()
+    flat_bits = bits.ravel()
+    n_px = flat_ctx.shape[0]
+    events = np.nonzero((flat_ctx | flat_bits) != 0)[0].tolist()
+    a = enc.a
+    c = enc.c
+    ct = enc.ct
+    out = enc.out
+    qe_t, nmps_t, nlps_t, sw_t = _QE, _NMPS, _NLPS, _SWITCH
+
+    def _symbol(cx: int, d: int) -> None:
+        nonlocal a, c, ct
+        i = icx[cx]
+        qe = qe_t[i]
+        if d == mps[cx]:  # CODEMPS
+            a -= qe
+            if a & 0x8000:
+                c += qe
+                return
+            if a < qe:
+                a = qe
+            else:
+                c += qe
+            icx[cx] = nmps_t[i]
+        else:  # CODELPS
+            a -= qe
+            if a < qe:
+                c += qe
+            else:
+                a = qe
+            if sw_t[i]:
+                mps[cx] ^= 1
+            icx[cx] = nlps_t[i]
+        while True:  # RENORME
+            if ct == 0:  # BYTEOUT
+                if out[-1] == 0xFF:
+                    out.append((c >> 20) & 0xFF)
+                    c &= 0xFFFFF
+                    ct = 7
+                elif c < 0x8000000:
+                    out.append((c >> 19) & 0xFF)
+                    c &= 0x7FFFF
+                    ct = 8
+                else:
+                    out[-1] += 1
+                    if out[-1] == 0xFF:
+                        c &= 0x7FFFFFF
+                        out.append((c >> 20) & 0xFF)
+                        c &= 0xFFFFF
+                        ct = 7
+                    else:
+                        out.append((c >> 19) & 0xFF)
+                        c &= 0x7FFFF
+                        ct = 8
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFF
+            ct -= 1
+            if a & 0x8000:
+                break
+
+    idx = 0
+    for eidx in events + [n_px]:
+        gap = eidx - idx
+        while gap > 0:  # blank stretch: all (ctx=0, bit=0)
+            if mps[0] == 0:
+                qe = qe_t[icx[0]]
+                k = (a - 0x8000) // qe
+                if k > gap:
+                    k = gap
+                if k > 0:
+                    a -= k * qe
+                    c += k * qe
+                    gap -= k
+                    continue
+            _symbol(0, 0)  # renormalization step (or flipped-MPS state)
+            gap -= 1
+        if eidx < n_px:
+            _symbol(int(flat_ctx[eidx]), int(flat_bits[eidx]))
+        idx = eidx + 1
+    enc.a, enc.c, enc.ct = a, c, ct
     return enc.flush() if standalone else None
 
 

@@ -62,8 +62,15 @@ def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
 
 
 def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
-    """Fixture-side LZW writer (round-trip tests only)."""
-    table: Dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    """Fixture-side LZW writer (round-trip tests only).
+
+    The dictionary keys on (prefix code, next byte) pairs — the classic
+    LZW automaton — instead of the byte-string prefixes themselves:
+    byte-for-byte the same code stream, but hashing a 2-int tuple is
+    O(1) where hashing ever-longer prefix strings made the encoder
+    quadratic in the length of repetitive runs (a flat scan raster is
+    exactly that)."""
+    table: Dict[int, int] = {}  # (prefix_code << 8 | byte) -> code
     next_code = 258
     width = 9
     chunks = bytearray()
@@ -80,28 +87,32 @@ def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
         acc &= (1 << nacc) - 1
 
     emit(256)
-    seq = b""
+    seq_code = -1  # code of the current prefix; single bytes are their own code
     for byte in bytes(data):
-        cand = seq + bytes([byte])
-        if cand in table:
-            seq = cand
+        if seq_code < 0:
+            seq_code = byte
             continue
-        emit(table[seq])
+        key = (seq_code << 8) | byte
+        hit = table.get(key)
+        if hit is not None:
+            seq_code = hit
+            continue
+        emit(seq_code)
         if next_code + early_change >= (1 << 12):
             # table full: Clear before any code could outgrow 12 bits
             emit(256)
-            table = {bytes([i]): i for i in range(256)}
+            table.clear()
             next_code = 258
             width = 9
         else:
-            table[cand] = next_code
+            table[key] = next_code
             next_code += 1
             # one behind the decoder's check (its table lags one entry)
             if next_code + early_change - 1 >= (1 << width) and width < 12:
                 width += 1
-        seq = bytes([byte])
-    if seq:
-        emit(table[seq])
+        seq_code = byte
+    if seq_code >= 0:
+        emit(seq_code)
     # the decoder adds one last entry after the final data code and
     # re-checks its width before reading EOD — mirror that exactly
     if next_code + early_change >= (1 << width) and width < 12:
