@@ -256,6 +256,16 @@ def _match_band(
     bottoms = np.array([y1 for _, _, _, y1 in boxes], dtype=np.float64)
 
     dist1 = _shape_dist(bank, feats, aspect)
+    return _match_from_dist1(bank, dist1, heights, bottoms, topk)
+
+
+def _match_from_dist1(
+    bank: GlyphBank,
+    dist1: np.ndarray,
+    heights: np.ndarray,
+    bottoms: np.ndarray,
+    topk: int,
+) -> Tuple[np.ndarray, np.ndarray, float]:
     m, n = dist1.shape
     rows = np.arange(m)
     k = min(topk, n)
@@ -910,17 +920,11 @@ def _text_bands(mask: np.ndarray) -> List[Tuple[int, int]]:
     return bands
 
 
-def orientation_confidence(
-    mask: np.ndarray, language: str = "rus+eng",
-    max_bands: int = 3, max_glyphs: int = 60,
-) -> float:
-    """Mean match confidence of the first few bands — the glyph-engine
-    analogue of the scanfont orientation score (rotated/flipped real
-    type matches the bank far worse than upright type). Returns -0.5
-    when nothing segmentable is found."""
-    bank = _bank_for_language(language)
-    if bank is None:
-        return -0.5
+def _orient_crops(
+    mask: np.ndarray, max_bands: int, max_glyphs: int
+) -> Tuple[List[np.ndarray], List[Tuple[int, int, int, int]]]:
+    """The segmentation half of the orientation score: glyph crops of
+    the first few bands of the cleaned mask."""
     m = clean_scan_mask(mask)
     crops: List[np.ndarray] = []
     boxes: List[Tuple[int, int, int, int]] = []
@@ -937,10 +941,58 @@ def orientation_confidence(
                 break
         if len(crops) >= max_glyphs:
             break
-    if len(crops) < 3:
-        return -0.5
-    _, cand_dist, _ = _match_band(bank, crops, boxes, topk=1)
-    return float(np.mean(np.maximum(0.0, 1.0 - _CONF_SLOPE * cand_dist[:, 0])))
+    return crops, boxes
+
+
+def orientation_confidence(
+    mask: np.ndarray, language: str = "rus+eng",
+    max_bands: int = 3, max_glyphs: int = 60,
+) -> float:
+    """Mean match confidence of the first few bands — the glyph-engine
+    analogue of the scanfont orientation score (rotated/flipped real
+    type matches the bank far worse than upright type). Returns -0.5
+    when nothing segmentable is found."""
+    return orientation_confidences([mask], language, max_bands, max_glyphs)[0]
+
+
+def orientation_confidences(
+    masks: Sequence[np.ndarray], language: str = "rus+eng",
+    max_bands: int = 3, max_glyphs: int = 60,
+) -> List[float]:
+    """orientation_confidence for several page rotations at once: one
+    bank GEMM over the union of all rotations' glyph crops instead of
+    one per rotation (the template matrix is the expensive operand; the
+    rotations' crop sets are small). Each rotation's band matching then
+    runs on its own slice of the distance matrix."""
+    bank = _bank_for_language(language)
+    if bank is None:
+        return [-0.5] * len(masks)
+    all_crops: List[np.ndarray] = []
+    all_boxes: List[Tuple[int, int, int, int]] = []
+    slices: List[Tuple[int, int]] = []
+    for mask in masks:
+        crops, boxes = _orient_crops(mask, max_bands, max_glyphs)
+        if len(crops) < 3:
+            slices.append((-1, -1))
+            continue
+        slices.append((len(all_crops), len(all_crops) + len(crops)))
+        all_crops.extend(crops)
+        all_boxes.extend(boxes)
+    if not all_crops:
+        return [-0.5] * len(masks)
+    feats, heights, _, aspect = _crop_feats(all_crops, all_boxes)
+    bottoms = np.array([y1 for _, _, _, y1 in all_boxes], dtype=np.float64)
+    dist1 = _shape_dist(bank, feats, aspect)
+    out: List[float] = []
+    for lo, hi in slices:
+        if lo < 0:
+            out.append(-0.5)
+            continue
+        _, cand_dist, _ = _match_from_dist1(
+            bank, dist1[lo:hi], heights[lo:hi], bottoms[lo:hi], 1
+        )
+        out.append(float(np.mean(np.maximum(0.0, 1.0 - _CONF_SLOPE * cand_dist[:, 0]))))
+    return out
 
 
 def recognize_block(

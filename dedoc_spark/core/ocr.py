@@ -208,6 +208,21 @@ def _runs(profile: np.ndarray, min_gap: int = 1) -> List[Tuple[int, int]]:
     return list(zip(starts.tolist(), ends.tolist()))
 
 
+_cell_bounds_cache: dict = {}
+
+
+def _cell_bounds(n: int):
+    """Cached (reduceat boundaries, per-cell counts) for one crop
+    extent — glyph crops within a band repeat a handful of sizes, and
+    the arange/diff/maximum chain dominated small-crop block-means."""
+    hit = _cell_bounds_cache.get(n)
+    if hit is None:
+        b = (np.arange(GLYPH) * n) // GLYPH
+        counts = np.maximum(np.diff(np.concatenate([b, [n]])), 1)
+        hit = _cell_bounds_cache[n] = (b, counts)
+    return hit
+
+
 def _cell_means(crop: np.ndarray) -> np.ndarray:
     """Block-mean a crop down to the GLYPH x GLYPH grid (exact inverse of
     the renderer's np.kron upscale for integer scales)."""
@@ -219,13 +234,11 @@ def _cell_means(crop: np.ndarray) -> np.ndarray:
             crop.reshape(GLYPH, h // GLYPH, GLYPH, w // GLYPH)
             .mean(axis=(1, 3))
         )
-    rb = (np.arange(GLYPH) * h) // GLYPH
-    cb = (np.arange(GLYPH) * w) // GLYPH
-    summed = np.add.reduceat(np.add.reduceat(crop.astype(np.float64), rb, axis=0), cb, axis=1)
     # crops shorter than GLYPH rows repeat reduceat boundaries (count 0 but
     # value = the single row at that index): clamp to 1 row/col
-    rcounts = np.maximum(np.diff(np.concatenate([rb, [h]])), 1)
-    ccounts = np.maximum(np.diff(np.concatenate([cb, [w]])), 1)
+    rb, rcounts = _cell_bounds(h)
+    cb, ccounts = _cell_bounds(w)
+    summed = np.add.reduceat(np.add.reduceat(crop.astype(np.float64), rb, axis=0), cb, axis=1)
     return summed / np.outer(rcounts, ccounts)
 
 
@@ -373,10 +386,9 @@ def detect_orientation(
         from dedoc_spark.core import glyph_ocr
 
         if glyph_ocr.bank_available():
-            scores = [
-                glyph_ocr.orientation_confidence(np.rot90(mask, k), language)
-                for k in range(4)
-            ]
+            scores = glyph_ocr.orientation_confidences(
+                [np.rot90(mask, k) for k in range(4)], language
+            )
             g = int(np.argmax(scores))
             # the bank must actually READ the winner before its vote
             # replaces the scanfont one: pages the bank cannot read

@@ -146,22 +146,47 @@ def runlength_decode(data: bytes) -> bytes:
 
 
 def runlength_encode(data: bytes) -> bytes:
-    """Fixture-side RunLength writer (round-trip tests only)."""
-    out = bytearray()
-    i = 0
+    """Fixture-side RunLength writer (round-trip tests only).
+
+    Byte-identical to the original greedy per-byte scanner, but driven
+    by the maximal-run list (one numpy diff over the buffer) so cost is
+    O(runs), not O(bytes) — a scan raster is a few ink transitions per
+    row. Greedy semantics preserved exactly: runs emit in 128-chunks, a
+    length-129-mod-128 leftover single byte joins the following literal
+    stretch, literal stretches chunk at 128."""
+    import numpy as np
+
     n = len(data)
-    while i < n:
-        run = 1
-        while i + run < n and run < 128 and data[i + run] == data[i]:
-            run += 1
-        if run >= 2:
-            out += bytes([257 - run, data[i]])
-            i += run
-            continue
-        j = i + 1
-        while j < n and (j + 1 >= n or data[j] != data[j + 1]) and j - i < 128:
-            j += 1
-        out += bytes([j - i - 1]) + data[i:j]
-        i = j
+    if n == 0:
+        return b"\x80"
+    arr = np.frombuffer(data, dtype=np.uint8)
+    starts = np.concatenate(([0], np.nonzero(np.diff(arr))[0] + 1))
+    lengths = np.diff(np.concatenate((starts, [n]))).tolist()
+    starts = starts.tolist()
+    out = bytearray()
+    lit = bytearray()
+
+    def flush_lit() -> None:
+        nonlocal out
+        o = 0
+        while o < len(lit):
+            chunk = lit[o : o + 128]
+            out.append(len(chunk) - 1)
+            out += chunk
+            o += 128
+        lit.clear()
+
+    for s, L in zip(starts, lengths):
+        v = data[s]
+        while L >= 2:
+            r = L if L < 128 else 128
+            if r < 2:
+                break
+            flush_lit()
+            out += bytes((257 - r, v))
+            L -= r
+        if L == 1:
+            lit.append(v)
+    flush_lit()
     out.append(128)
     return bytes(out)
