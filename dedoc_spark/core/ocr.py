@@ -182,9 +182,10 @@ class OcrLineOut:
 
 @lru_cache(maxsize=8)
 def _templates(language: str) -> Tuple[np.ndarray, str]:
-    """(n_templates, 64) bool matrix + parallel char string. Regular and
-    bold variants both map to the character — boldness is decided by the
-    pixel classifier, not the matcher (as with Tesseract + BoldClassifier)."""
+    """(n_templates, 8) bit-packed uint8 matrix + parallel char string
+    (8 bytes = the 64 grid cells). Regular and bold variants both map to
+    the character — boldness is decided by the pixel classifier, not the
+    matcher (as with Tesseract + BoldClassifier)."""
     chars = charset_for_language(language)
     mats: List[np.ndarray] = []
     labels: List[str] = []
@@ -193,7 +194,10 @@ def _templates(language: str) -> Tuple[np.ndarray, str]:
         labels.append(ch)
         mats.append(BOLD_GLYPHS[ch].reshape(-1))
         labels.append(ch)
-    return np.stack(mats), "".join(labels)
+    return np.packbits(np.stack(mats), axis=1), "".join(labels)
+
+
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def _runs(profile: np.ndarray, min_gap: int = 1) -> List[Tuple[int, int]]:
@@ -243,10 +247,16 @@ def _cell_means(crop: np.ndarray) -> np.ndarray:
 
 
 def _match_glyphs(bitmaps: np.ndarray, language: str) -> Tuple[str, np.ndarray]:
-    """bitmaps: (G, 64) bool -> (string of G chars, per-char conf in [0,1])."""
+    """bitmaps: (G, 64) bool -> (string of G chars, per-char conf in [0,1]).
+
+    Hamming distance via XOR + byte popcount over bit-packed rows — the
+    same integer distances as the former (G, T, 64) bool broadcast at
+    1/8 the memory traffic."""
     tm, labels = _templates(language)
-    # hamming distance per (glyph, template)
-    dist = (bitmaps[:, None, :] != tm[None, :, :]).sum(axis=2)
+    packed = np.packbits(bitmaps, axis=1)  # (G, 8)
+    dist = _POPCOUNT[packed[:, None, :] ^ tm[None, :, :]].sum(
+        axis=2, dtype=np.int64
+    )
     best = dist.argmin(axis=1)
     conf = 1.0 - dist[np.arange(len(bitmaps)), best] / 64.0
     return "".join(labels[b] for b in best), conf
