@@ -687,24 +687,25 @@ def duplicated_ngram_spans(
       (id, n_windows, n_dup_windows, dup_fraction rounded to 6)
 
     Scale shape: shingle_rows emits one row per span occurrence with NO
-    self-join; the duplicate flag is a groupBy on the 32-bit span hash
-    (uniform key, map-side partial agg) joined back on the same key, then
-    one groupBy on the doc id. Every shuffle keys on a uniform value (doc
-    id for the shingle window and the final rollup, span hash for the
-    count and both join sides — 5 exchanges in the audited plan, 0
-    CartesianProduct); cost linear in total token count, never
-    quadratic."""
+    self-join; the duplicate flag is an unordered COUNT window over the
+    32-bit span hash (uniform key), then one groupBy on the doc id.
+    The former groupBy(h)+join-back shape evaluated the whole
+    shingle+hash subtree TWICE (Spark does no common-subplan
+    elimination across join sides) and shuffled it twice; the window
+    needs the subtree once and one exchange on h (3 exchanges total in
+    the audited plan, 0 CartesianProduct). Cost linear in total token
+    count, never quadratic."""
+    from pyspark.sql.window import Window
+
     from dedoc_spark.functions import shingle_rows
 
     spans = shingle_rows(df, text_col, id_col, window).select(
         F.col(id_col), hash32(F.col("shingle"), hash_seed).alias("h")
     )
-    dup_hashes = (
-        spans.groupBy("h")
-        .agg(F.count("*").alias("occ"))
-        .select("h", (F.col("occ") > 1).alias("is_dup"))
+    flagged = spans.select(
+        F.col(id_col),
+        (F.count("*").over(Window.partitionBy("h")) > 1).alias("is_dup"),
     )
-    flagged = spans.join(dup_hashes, "h")
     return flagged.groupBy(id_col).agg(
         F.count("*").alias("n_windows"),
         F.sum(F.col("is_dup").cast("long")).alias("n_dup_windows"),
@@ -783,13 +784,27 @@ def remove_duplicated_spans(
     )
     # canonical = lexicographic min of (id, pos) — struct ordering, so any
     # orderable id type works and nothing overflows (an id*2^31+pos
-    # encoding would throw under ANSI for 64-bit ids)
-    agg = spans.groupBy("h").agg(
-        F.count("*").alias("occ"),
-        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("canon"),
-    )
-    dups = spans.join(agg.filter(F.col("occ") > 1), "h").filter(
-        ~((F.col(id_col) == F.col("canon.i")) & (F.col("pos") == F.col("canon.p")))
+    # encoding would throw under ANSI for 64-bit ids). Occurrence count
+    # and canonical occurrence come from unordered windows over the span
+    # hash: the former groupBy(h)+join-back computed the whole
+    # posexplode+lead+md5 span subtree twice (no cross-join-side CSE)
+    # and shuffled it twice; the windows share one exchange on h.
+    from pyspark.sql.window import Window as _W
+
+    wh = _W.partitionBy("h")
+    dups = (
+        spans.select(
+            F.col(id_col),
+            "pos",
+            F.count("*").over(wh).alias("occ"),
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p")))
+            .over(wh)
+            .alias("canon"),
+        )
+        .filter(F.col("occ") > 1)
+        .filter(
+            ~((F.col(id_col) == F.col("canon.i")) & (F.col("pos") == F.col("canon.p")))
+        )
     )
     removed = dups.select(
         F.col(id_col),

@@ -165,7 +165,9 @@ def _extract_batches(
         if "rendered" in columns:
             for d in out:  # error rows carry no rendering — explicit null
                 d.setdefault("rendered", None)
-        yield pd.DataFrame(out, columns=columns)
+        # column-wise construction: pandas builds each column in one
+        # pass instead of per-cell dict probing over a row list
+        yield pd.DataFrame({c: [d.get(c) for d in out] for c in columns}, columns=columns)
 
 
 def extract_stage(

@@ -212,13 +212,25 @@ def gopher_repetition_flags(df: DataFrame, text_col: str = "text", id_col: str =
       the document) and top-bigram token coverage ≤ 0.20 (tokens claimed
       by the single most frequent word 2-gram).
 
-    Two shuffles, both keyed by doc id. Returns the fractions (rounded 6)
-    plus rep_pass; q35 mirrors it."""
-    from dedoc_spark.functions import shingle_rows
+    One doc-id exchange per side, established UP FRONT by an explicit
+    repartition: every downstream aggregation groups on the doc id or a
+    superset of it, so the id partitioning satisfies all of them and
+    the (id, line)/(id, shingle) partial-agg exchanges, the second-level
+    id exchanges, and the outer join's exchanges all disappear
+    (audited: 10 -> 2 Exchange). Bigrams are built with an array
+    transform over the MATERIALIZED token array — the repartition is an
+    optimizer boundary, so the lambda indexes the computed array
+    instead of re-evaluating the tokenizer per element (the documented
+    word_shingles trap). Returns the fractions (rounded 6) plus
+    rep_pass; q35 mirrors it."""
+    from dedoc_spark.functions import word_tokens
 
-    lines = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("line")
-    ).filter(F.length(F.trim("line")) > 0)
+    lines = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+        .filter(F.length(F.trim("line")) > 0)
+    )
     line_stats = (
         lines.groupBy(id_col, "line")
         .agg(F.count("*").alias("cnt"))
@@ -232,7 +244,20 @@ def gopher_repetition_flags(df: DataFrame, text_col: str = "text", id_col: str =
             F.round(F.col("dup_lines") / F.col("n_lines"), 6).alias("dup_line_frac"),
         )
     )
-    bigrams = shingle_rows(df, text_col, id_col, 2)
+    # same shingle semantics as shingle_rows(n=2): docs with < 2 tokens
+    # contribute ONE shingle of all their tokens
+    toks = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    ).repartition(F.col(id_col))
+    shingles = F.when(
+        F.size("__toks") < 2, F.array(F.concat_ws(" ", "__toks"))
+    ).otherwise(
+        F.expr(
+            "transform(sequence(1, size(__toks) - 1),"
+            " i -> concat(__toks[i-1], ' ', __toks[i]))"
+        )
+    )
+    bigrams = toks.select(F.col(id_col), F.explode(shingles).alias("shingle"))
     bigram_stats = (
         bigrams.groupBy(id_col, "shingle")
         .agg(F.count("*").alias("cnt"))

@@ -324,15 +324,35 @@ def q07_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingles as rows (posexplode + window lead — codegen; the
     higher-order-function formulation measured O(tokens²) interpreted) →
     groupBy(doc) with 4 partial-aggregated minima. min is idempotent, so
-    no distinct pass is needed."""
+    no distinct pass is needed.
+
+    The minima aggregate over the NUMERIC value of the 8-hex-char hash,
+    not the hex string: fixed-width lowercase hex is order-isomorphic to
+    its value, so the result is identical after re-formatting — but a
+    long agg buffer keeps the plan on HashAggregate where a string min
+    buffer forced SortAggregate (two full sorts of the shingle stream,
+    audited in plans/r07/q07_minhash_before.txt)."""
     from dedoc_spark.functions import shingle_rows
 
     sh = shingle_rows(_docs(spark, sf_dir), "text", "doc_id", 3)
-    return sh.groupBy("doc_id").agg(
+    agg = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}"))), 1, 8)).alias(f"h{j}")
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}"))), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+            ).alias(f"__m{j}")
             for j in range(4)
         ]
+    )
+    return agg.select(
+        "doc_id",
+        *[
+            F.lower(F.lpad(F.conv(F.col(f"__m{j}"), 10, 16), 8, "0")).alias(f"h{j}")
+            for j in range(4)
+        ],
     )
 
 
