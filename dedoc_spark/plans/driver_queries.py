@@ -730,7 +730,11 @@ def _synth_html(docs: DataFrame) -> DataFrame:
 def q17_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedoc_spark.operators.pipeline import extract_stage
 
-    src = _synth_html(_docs(spark, sf_dir))
+    # the driver table is ONE parquet file -> 1-2 scan partitions; the
+    # per-row extraction must not run on two cores of 32 (_parallel
+    # docstring) — one narrow shuffle of the synthesized rows buys full
+    # task parallelism exactly like the other synthesize+extract gates
+    src = _parallel(_synth_html(_docs(spark, sf_dir)))
     out = extract_stage(src)
     return out.select(
         F.col("url").cast("long").alias("doc_id"),
@@ -759,11 +763,11 @@ def q18_txt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedoc_spark.operators.pipeline import extract_stage
 
     docs = _docs(spark, sf_dir)
-    src = docs.select(
+    src = _parallel(docs.select(
         F.col("doc_id").cast("string").alias("url"),
         F.lit(None).cast("binary").alias("html"),
         F.col("text"),
-    )
+    ))
     out = extract_stage(src)
     return out.select(
         F.col("url").cast("long").alias("doc_id"),
@@ -792,11 +796,11 @@ def q19_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.lit("</td></tr></table></body></html>"),
     )
-    src = docs.select(
+    src = _parallel(docs.select(
         F.col("doc_id").cast("string").alias("url"),
         F.encode(html, "UTF-8").alias("html"),
         F.lit("").alias("text"),
-    )
+    ))
     out = extract_stage(src)
     tables = F.from_json(
         "tables_json",
