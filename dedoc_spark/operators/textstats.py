@@ -225,9 +225,10 @@ def gopher_repetition_flags(df: DataFrame, text_col: str = "text", id_col: str =
     rep_pass; q35 mirrors it."""
     from dedoc_spark.functions import word_tokens
 
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     lines = (
         df.select(F.col(id_col), F.col(text_col))
-        .repartition(F.col(id_col))
+        .repartition(n_part, F.col(id_col))
         .select(F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("line"))
         .filter(F.length(F.trim("line")) > 0)
     )
@@ -248,7 +249,7 @@ def gopher_repetition_flags(df: DataFrame, text_col: str = "text", id_col: str =
     # contribute ONE shingle of all their tokens
     toks = df.select(
         F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
-    ).repartition(F.col(id_col))
+    ).repartition(n_part, F.col(id_col))
     shingles = F.when(
         F.size("__toks") < 2, F.array(F.concat_ws(" ", "__toks"))
     ).otherwise(
@@ -306,8 +307,13 @@ def winnow_fingerprints(
     from pyspark.sql import functions as F
 
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^0-9a-zа-яё]+", "")
-    base = df.select(F.col(id_col), norm.alias("__norm")).filter(
-        F.length("__norm") >= k
+    # id-partition BEFORE the per-char explode: the gram/min windows need
+    # id-clustering either way, and shuffling one (id, norm) row per
+    # document moves ~20x fewer bytes than the exploded per-char rows
+    base = (
+        df.select(F.col(id_col), norm.alias("__norm"))
+        .filter(F.length("__norm") >= k)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     )
     # "(?!^)" splits BETWEEN every pair of chars — no empty lead/tail cells
     chars = base.select(
