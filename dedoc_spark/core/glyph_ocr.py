@@ -265,7 +265,16 @@ def _match_from_dist1(
     heights: np.ndarray,
     bottoms: np.ndarray,
     topk: int,
+    approx: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """``approx=True`` skips the exactness fallback: pass 2 is evaluated
+    on the top-P pass-1 candidates only, and a glyph whose bound check
+    fails keeps the best candidate IN THAT SET instead of re-scoring the
+    whole bank. Deterministic, and identical to exact whenever the bound
+    holds (every clean match); only junk crops — rotated pages scored by
+    orientation_confidences, where the result is a threshold decision
+    with a 0.08+ margin, never text — can differ, by at most the pass-2
+    penalty spread inside the candidate set."""
     m, n = dist1.shape
     rows = np.arange(m)
     k = min(topk, n)
@@ -291,15 +300,18 @@ def _match_from_dist1(
             dist2c = d1c + _W_SIZE * size_pen + _W_BASE * base_pen
             loc = dist2c.argmin(axis=1)
             best = cand[rows, loc]
-            bad = ~(dist2c[rows, loc] < d_bound)
-            full_rows = np.nonzero(bad)[0]
-            if full_rows.size:
-                full_d2 = _pass2_rows(
-                    bank, dist1[full_rows], hs[full_rows], bottoms[full_rows], S, base_est
-                )
-                best[full_rows] = full_d2.argmin(axis=1)
+            if approx:
+                full_rows = full_d2 = None
             else:
-                full_d2 = None
+                bad = ~(dist2c[rows, loc] < d_bound)
+                full_rows = np.nonzero(bad)[0]
+                if full_rows.size:
+                    full_d2 = _pass2_rows(
+                        bank, dist1[full_rows], hs[full_rows], bottoms[full_rows], S, base_est
+                    )
+                    best[full_rows] = full_d2.argmin(axis=1)
+                else:
+                    full_d2 = None
         else:
             dist2c = _pass2_rows(bank, dist1, hs, bottoms, S, base_est)
             best = dist2c.argmin(axis=1)
@@ -321,6 +333,8 @@ def _match_from_dist1(
     order = np.argsort(dist2c, axis=1, kind="stable")[:, :k]
     out_d = np.take_along_axis(dist2c, order, axis=1)
     out_i = np.take_along_axis(cand, order, axis=1)
+    if approx:
+        return out_i, out_d, S
     need_full = ~(out_d[:, -1] < d_bound)
     if full_rows is not None:
         need_full[full_rows] = True
@@ -988,6 +1002,9 @@ def orientation_confidences(
         if lo < 0:
             out.append(-0.5)
             continue
+        # exact matching here: orientation compares JUNK scores against
+        # each other on non-text pages (ruled tables), and the top-P
+        # approximation measurably flipped a table page 0 -> 270
         _, cand_dist, _ = _match_from_dist1(
             bank, dist1[lo:hi], heights[lo:hi], bottoms[lo:hi], 1
         )
@@ -1034,6 +1051,10 @@ def recognize_block(
     out: List[Tuple[Tuple[int, int, int, int], List, float]] = []
     bands = _text_bands(mask)
     h_page = mask.shape[0]
+    # phase 1 segments every band; phase 2 matches ALL bands' crops
+    # against the bank in one GEMM (the template matrix is the expensive
+    # operand), then runs each band's pass-2 on its slice
+    pending: List[Tuple[List[np.ndarray], List[Tuple[int, int, int, int]], List[Tuple[int, int, int, int]], int, int]] = []
     for bi, (y0, y1) in enumerate(bands):
         # extend the band slice toward the neighbors: the band-level
         # hysteresis stops at sparse rows, which truncates descenders
@@ -1112,7 +1133,25 @@ def recognize_block(
             word_boxes.append((s0, gy0, s1, gy1))
         if not crops:
             continue
-        cand_idx, cand_dist, S = _match_band(bank, crops, boxes, topk=24)
+        pending.append((crops, boxes, word_boxes, y0, y1))
+    if not pending:
+        return out
+    all_crops = [c for p in pending for c in p[0]]
+    all_boxes = [b for p in pending for b in p[1]]
+    feats, heights_all, _, aspect = _crop_feats(all_crops, all_boxes)
+    bottoms_all = np.array([b[3] for b in all_boxes], dtype=np.float64)
+    dist1_all = _shape_dist(bank, feats, aspect)
+    off = 0
+    for crops, boxes, word_boxes, y0, y1 in pending:
+        m_band = len(crops)
+        cand_idx, cand_dist, S = _match_from_dist1(
+            bank,
+            dist1_all[off : off + m_band],
+            heights_all[off : off + m_band],
+            bottoms_all[off : off + m_band],
+            24,
+        )
+        off += m_band
         word_gap = _word_gap_threshold(word_boxes, S)
 
         # group glyphs into words by gap, repair each word, emit
