@@ -132,23 +132,30 @@ class CcittError(ValueError):
 
 
 class _BitReader:
-    """MSB-first bit cursor over bytes; peeks stay byte-local (no bigint)."""
+    """MSB-first bit cursor over bytes. Peeks read a precomputed 24-bit
+    window per byte offset (the old per-peek bytes slice +
+    int.from_bytes pair allocated on every one of the ~70k peeks a page
+    decode makes); codes are at most 14 bits, so one window always
+    covers a peek."""
 
-    __slots__ = ("data", "pos", "nbits")
+    __slots__ = ("data", "pos", "nbits", "win")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
         self.nbits = len(data) * 8
+        import numpy as np
+
+        a = np.frombuffer(data + b"\x00\x00\x00", dtype=np.uint8).astype(np.uint32)
+        self.win = (
+            (a[:-3] << 24) | (a[1:-2] << 16) | (a[2:-1] << 8) | a[3:]
+        ).tolist()
 
     def peek(self, n: int) -> int:
         pos = self.pos
         if pos + n > self.nbits:
             raise CcittError("bit stream exhausted")
-        start = pos >> 3
-        end = (pos + n + 7) >> 3
-        chunk = int.from_bytes(self.data[start:end], "big")
-        return (chunk >> ((end - start) * 8 - (pos - start * 8) - n)) & ((1 << n) - 1)
+        return (self.win[pos >> 3] >> (32 - (pos & 7) - n)) & ((1 << n) - 1)
 
     def skip(self, n: int) -> None:
         self.pos += n
@@ -156,15 +163,25 @@ class _BitReader:
 
 def _read_run(r: _BitReader, white: bool) -> int:
     """One complete run length: make-up codes accumulate until a
-    terminating (<64) code arrives (T.4 §2.1.2)."""
+    terminating (<64) code arrives (T.4 §2.1.2). One windowed peek per
+    code, sliced per candidate length — same prefix-decode order as
+    peeking each length separately (codes are prefix-free)."""
     table = _WHITE_DECODE if white else _BLACK_DECODE
     lengths = _WHITE_LENGTHS if white else _BLACK_LENGTHS
     total = 0
+    win = r.win
     while True:
+        pos = r.pos
+        avail = r.nbits - pos
+        if avail <= 0:
+            raise CcittError("bit stream exhausted")
+        bits = (win[pos >> 3] >> (18 - (pos & 7))) & 0x3FFF  # next 14 bits
         for n in lengths:
-            run = table.get((n, r.peek(n)))
+            if n > avail:
+                raise CcittError("bit stream exhausted")
+            run = table.get((n, bits >> (14 - n)))
             if run is not None:
-                r.skip(n)
+                r.pos = pos + n
                 total += run
                 if run < 64:
                     return total
@@ -444,6 +461,22 @@ def _transitions(row: np.ndarray) -> List[int]:
     return out
 
 
+def _all_transitions(img: np.ndarray) -> List[List[int]]:
+    """Per-row changing elements for a whole 0/255 image in ONE numpy
+    pass (the per-row diff/nonzero chain cost ~20 us of numpy-call
+    overhead per row). Identical values to _transitions row by row."""
+    h, _ = img.shape
+    black = img == 0
+    padded = np.zeros((h, black.shape[1] + 2), dtype=np.int8)
+    padded[:, 1:-1] = black
+    d = np.diff(padded, axis=1)
+    rows_idx, cols = np.nonzero(d)
+    out: List[List[int]] = [[] for _ in range(h)]
+    for r, c in zip(rows_idx.tolist(), cols.tolist()):
+        out[r].append(c)
+    return out
+
+
 def _encode_2d_row(w: _BitWriter, cur: List[int], ref: List[int], columns: int) -> None:
     """2-D code one row's changing elements against ``ref``: standard
     mode choice — vertical when |a1-b1| <= 3, else pass when b2 < a1,
@@ -510,8 +543,9 @@ def encode_g4(image: np.ndarray) -> bytes:
     h, columns = img.shape
     w = _BitWriter()
     ref: List[int] = [columns, columns]
+    all_cur = _all_transitions(img)
     for y in range(h):
-        cur = _transitions(img[y])
+        cur = all_cur[y]
         _encode_2d_row(w, cur, ref, columns)
         ref = cur + [columns, columns]
     w.write(0b000000000001, 12)
@@ -527,10 +561,11 @@ def encode_g3(image: np.ndarray, k: int = 0, byte_align: bool = False) -> bytes:
     h, columns = img.shape
     w = _BitWriter()
     ref: List[int] = [columns, columns]
+    all_cur = _all_transitions(img)
     for y in range(h):
         if byte_align and w.nacc:
             w.write(0, 8 - w.nacc)
-        cur = _transitions(img[y])
+        cur = all_cur[y]
         if k <= 0:
             _encode_1d_row(w, cur, columns)
         else:

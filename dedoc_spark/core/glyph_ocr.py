@@ -215,6 +215,9 @@ def _topk_stable_row(row: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     """Exact lexicographic (distance, template index) top-k of one full
     row — ties at the k-th value resolve to the lower template index."""
     n = row.shape[0]
+    if k == 1:
+        j = int(row.argmin())  # first occurrence = lowest index
+        return np.array([j], dtype=np.int64), row[j : j + 1]
     if k >= n:
         order = np.argsort(row, kind="stable")
         return order, row[order]
