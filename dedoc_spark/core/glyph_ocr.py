@@ -941,19 +941,40 @@ def _orient_crops(
     mask: np.ndarray, max_bands: int, max_glyphs: int
 ) -> Tuple[List[np.ndarray], List[Tuple[int, int, int, int]]]:
     """The segmentation half of the orientation score: glyph crops of
-    the first few bands of the cleaned mask."""
+    the first few bands of the cleaned mask. Per-run row extents and
+    ink counts come from reduceat over the band's per-column profiles
+    (the former per-cell any/where/sum chain was ~5 numpy calls per
+    glyph); values are identical."""
     m = clean_scan_mask(mask)
     crops: List[np.ndarray] = []
     boxes: List[Tuple[int, int, int, int]] = []
     for y0, y1 in _text_bands(m)[:max_bands]:
         band = m[y0:y1]
-        for c0, c1 in _runs(band.any(axis=0)):
-            cell = band[:, c0:c1]
-            rows = np.where(cell.any(axis=1))[0]
-            if rows.size == 0 or cell.sum() < 3:
+        runs = _runs(band.any(axis=0))
+        if not runs:
+            continue
+        h = band.shape[0]
+        ink = band != 0
+        col_any = ink.any(axis=0)
+        first = ink.argmax(axis=0)  # first ink row per column (0 if none)
+        last = h - 1 - ink[::-1].argmax(axis=0)
+        col_sum = ink.sum(axis=0)
+        # one neutral pad column so a run ending at the band edge keeps
+        # its end boundary a valid reduceat index
+        top_prof = np.concatenate([np.where(col_any, first, h), [h]])
+        bot_prof = np.concatenate([np.where(col_any, last, -1), [-1]])
+        col_sum = np.concatenate([col_sum, [0]])
+        bounds = np.array([b for r in runs for b in r], dtype=np.int64)
+        r0s = np.minimum.reduceat(top_prof, bounds)[::2]
+        r1s = np.maximum.reduceat(bot_prof, bounds)[::2]
+        sums = np.add.reduceat(col_sum, bounds)[::2]
+        for (c0, c1), r0, r1, tot in zip(
+            runs, r0s.tolist(), r1s.tolist(), sums.tolist()
+        ):
+            if r1 < r0 or tot < 3:
                 continue
-            crops.append(cell[rows[0] : rows[-1] + 1].astype(np.float64))
-            boxes.append((c0, int(rows[0]), c1, int(rows[-1]) + 1))
+            crops.append(band[r0 : r1 + 1, c0:c1].astype(np.float64))
+            boxes.append((c0, int(r0), c1, int(r1) + 1))
             if len(crops) >= max_glyphs:
                 break
         if len(crops) >= max_glyphs:
