@@ -283,7 +283,10 @@ def decode_generic(
     n_ctx = 1 << 16
     icx = icx if icx is not None else bytearray(n_ctx)
     mps = mps if mps is not None else bytearray(n_ctx)
-    bitmap = np.zeros((height, width), dtype=np.uint8)
+    # decoded rows collect as bytes and assemble into the bitmap ONCE at
+    # the end — a per-row frombuffer/assign pair was ~1/3 of the cost of
+    # decoding the tiny symbol-dictionary bitmaps
+    out_rows: List[bytes] = []
     rows: List[bytearray] = [bytearray(width + 8) for _ in range(2)]
     pad = 4  # row buffers are padded by 4 on each side
     ltp = 0
@@ -298,10 +301,11 @@ def decode_generic(
                 ltp ^= 1
             if ltp:  # typical row: copy the previous one
                 if y:
-                    bitmap[y] = bitmap[y - 1]
+                    out_rows.append(out_rows[-1])
                     rows.append(rows[-1][:])
                     rows.pop(0)
                 else:
+                    out_rows.append(bytes(width))
                     rows.append(bytearray(width + 8))
                     rows.pop(0)
                 continue
@@ -444,10 +448,13 @@ def decode_generic(
                     ctx = (ctx << 1) | grid[dy][pad + x + dx]
                 b = d(icx, mps, ctx)
                 cur[pad + x] = b
-        bitmap[y] = np.frombuffer(bytes(cur[pad : pad + width]), dtype=np.uint8)
+        out_rows.append(bytes(cur[pad : pad + width]))
         rows.append(cur)
         rows.pop(0)
-    return bitmap
+    buf = bytearray(b"".join(out_rows))
+    if len(buf) < height * width:  # stream ended early: zero-fill like np.zeros did
+        buf.extend(bytes(height * width - len(buf)))
+    return np.frombuffer(buf, dtype=np.uint8).reshape(height, width)
 
 
 def encode_generic(
