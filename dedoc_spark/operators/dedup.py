@@ -692,8 +692,10 @@ def duplicated_ngram_spans(
     The former groupBy(h)+join-back shape evaluated the whole
     shingle+hash subtree TWICE (Spark does no common-subplan
     elimination across join sides) and shuffled it twice; the window
-    needs the subtree once and one exchange on h (3 exchanges total in
-    the audited plan, 0 CartesianProduct). Cost linear in total token
+    needs the subtree once and one exchange on h (4 exchanges total in
+    the audited r7 plan — two branch repartitions that together carry
+    each document once, the h window, the final rollup — 0
+    CartesianProduct). Cost linear in total token
     count, never quadratic."""
     from pyspark.sql.window import Window
 

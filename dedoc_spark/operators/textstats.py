@@ -217,7 +217,7 @@ def gopher_repetition_flags(df: DataFrame, text_col: str = "text", id_col: str =
     superset of it, so the id partitioning satisfies all of them and
     the (id, line)/(id, shingle) partial-agg exchanges, the second-level
     id exchanges, and the outer join's exchanges all disappear
-    (audited: 10 -> 2 Exchange). Bigrams are built with an array
+    (audited: 5 -> 2 Exchange). Bigrams are built with an array
     transform over the MATERIALIZED token array — the repartition is an
     optimizer boundary, so the lambda indexes the computed array
     instead of re-evaluating the tokenizer per element (the documented
