@@ -246,22 +246,16 @@ def shingle_rows(df, text_col: str, id_col: str, n: int = 3):
     Tokenize once per row, posexplode, then a window lead() builds each
     n-gram in codegen; documents with < n tokens contribute one shingle of
     all their tokens (same semantics as word_shingles / the DuckDB oracle
-    CASE). One shuffle, partitioned by the document id — taken BEFORE the
-    explode: the window needs id-clustering either way, and shuffling one
-    (id, token-array) row per document moves a fraction of the bytes of
-    the exploded (id, pos, token) rows (and un-serializes single-file
-    scans). Both branches derive from the same repartitioned frame, so
-    the physical plan reuses one exchange.
+    CASE). One shuffle, partitioned by the document id, taken AFTER the
+    explode — measured at sf1.0: a pre-explode repartition of the
+    (id, token-array) rows was 1.2-1.4 s SLOWER for q07/q43 than letting
+    the window's own exchange move the exploded rows (the per-CHAR winnow
+    stream is the opposite and keeps its pre-explode exchange; decide per
+    operator by measurement, not by byte-count intuition).
     """
     from pyspark.sql.window import Window
 
-    # explicit partition count: AQE would coalesce a tiny pre-explode
-    # shuffle of (id, array) rows to one partition and serialize the
-    # expensive explode+window downstream (REPARTITION_BY_NUM is exempt)
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    toks_df = df.select(
-        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
-    ).repartition(n_part, F.col(id_col))
+    toks_df = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
     small = toks_df.filter(F.size("__toks") < n).select(
         F.col(id_col), F.concat_ws(" ", "__toks").alias("shingle")
     )
