@@ -98,6 +98,26 @@ class GlyphBank:
         self.h_rel = np.array([e["h"] for e in t], dtype=np.float64)
         self.desc_rel = np.array([e["d"] for e in t], dtype=np.float64)
         self._sq = (self.grids**2).sum(axis=1)
+        self._pairs: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
+
+    def pair_index(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(unique h_rel values, unique desc_rel values, template -> pair
+        row) for the joint (h_rel, desc_rel) pairs. The full bank has
+        3840 templates but only ~158 distinct metric pairs (cap-height
+        letters share heights, baseline letters share descents), so the
+        pass-2 penalties — functions of the template ONLY through these
+        two metrics — can be evaluated once per pair and gathered."""
+        if self._pairs is None:
+            pairs, inv = np.unique(
+                np.stack([self.h_rel, self.desc_rel], axis=1),
+                axis=0, return_inverse=True,
+            )
+            self._pairs = (
+                np.ascontiguousarray(pairs[:, 0]),
+                np.ascontiguousarray(pairs[:, 1]),
+                inv.astype(np.intp),
+            )
+        return self._pairs
 
     def subset(self, charset: str) -> "GlyphBank":
         keep = np.array([c in charset for c in self.chars])
@@ -108,6 +128,7 @@ class GlyphBank:
         sub.h_rel = self.h_rel[keep]
         sub.desc_rel = self.desc_rel[keep]
         sub._sq = self._sq[keep]
+        sub._pairs = None
         return sub
 
 
@@ -203,12 +224,20 @@ def _pass2_rows(
     S: float,
     base_est: float,
 ) -> np.ndarray:
-    """Full-bank pass-2 distances for a subset of glyph rows."""
-    size_pen = np.log(hs_rows / np.maximum(bank.h_rel[None, :] * S, 1e-6)) ** 2
-    base_pen = (
-        (bottoms_rows[:, None] - base_est - bank.desc_rel[None, :] * S) / S
-    ) ** 2
-    return dist1_rows + _W_SIZE * size_pen + _W_BASE * base_pen
+    """Full-bank pass-2 distances for a subset of glyph rows.
+
+    The penalties depend on the template only through (h_rel, desc_rel),
+    and the bank holds ~24x fewer distinct metric pairs than templates —
+    so evaluate each penalty once per unique pair and gather per
+    template. Same scalar formula per element and the same left-to-right
+    addition order as the direct form, so every value is bit-identical;
+    the log/divide/square work drops from (m, n) to (m, n_pairs)."""
+    uh, ud, inv = bank.pair_index()
+    size_pen = np.log(hs_rows / np.maximum(uh[None, :] * S, 1e-6)) ** 2
+    base_pen = ((bottoms_rows[:, None] - base_est - ud[None, :] * S) / S) ** 2
+    su = _W_SIZE * size_pen
+    bu = _W_BASE * base_pen
+    return dist1_rows + su[:, inv] + bu[:, inv]
 
 
 def _topk_stable_row(row: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:

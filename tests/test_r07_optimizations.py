@@ -162,3 +162,127 @@ def test_jbig2_blank_stretch_roundtrip():
     for fill in (0, 1):
         bm2 = np.full((16, 300), fill, dtype=np.uint8)
         assert np.array_equal(decode_generic(encode_generic(bm2), 300, 16), bm2)
+
+
+# --- LZW encoder: run-chain fast path vs the per-byte automaton ---------------
+
+
+def _lzw_encode_per_byte(data: bytes, early_change: int = 1) -> bytes:
+    """The pre-fast-path per-byte automaton (kept as the behavioral
+    reference for the run-chain encoder)."""
+    table = {}
+    next_code = 258
+    width = 9
+    chunks = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            chunks.append((acc >> nacc) & 0xFF)
+        acc &= (1 << nacc) - 1
+
+    emit(256)
+    seq = -1
+    for byte in bytes(data):
+        if seq < 0:
+            seq = byte
+            continue
+        key = (seq << 8) | byte
+        hit = table.get(key)
+        if hit is not None:
+            seq = hit
+            continue
+        emit(seq)
+        if next_code + early_change >= (1 << 12):
+            emit(256)
+            table.clear()
+            next_code = 258
+            width = 9
+        else:
+            table[key] = next_code
+            next_code += 1
+            if next_code + early_change - 1 >= (1 << width) and width < 12:
+                width += 1
+        seq = byte
+    if seq >= 0:
+        emit(seq)
+    if next_code + early_change >= (1 << width) and width < 12:
+        width += 1
+    emit(257)
+    if nacc:
+        chunks.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(chunks)
+
+
+def test_lzw_run_chain_matches_per_byte_automaton():
+    from dedoc_spark.core.pdf_filters import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(23)
+    cases = [b"", b"A", b"AA", b"AAA", bytes(50000), b"\xff" * 50000]
+    for trial in range(60):
+        n = int(rng.integers(1, 20000))
+        style = trial % 4
+        if style == 0:
+            data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        elif style == 1:  # run-heavy: the fast-path target
+            pieces = []
+            total = 0
+            while total < n:
+                run = bytes([int(rng.integers(0, 4)) * 85]) * int(rng.integers(1, 3000))
+                pieces.append(run)
+                total += len(run)
+            data = b"".join(pieces)[:n]
+        elif style == 2:  # raster-like: sparse specks on paper
+            a = np.zeros(n, dtype=np.uint8)
+            idx = rng.integers(0, n, max(1, n // 40))
+            a[idx] = rng.integers(1, 256, idx.size, dtype=np.uint8)
+            data = bytes(a)
+        else:  # short alternating runs (chain/table interleaving)
+            data = b"".join(
+                bytes([int(rng.integers(0, 3))]) * int(rng.integers(1, 9))
+                for _ in range(max(1, n // 4))
+            )
+        cases.append(data)
+    # long enough to force the 12-bit table Clear with live run chains
+    a = np.zeros(300000, dtype=np.uint8)
+    a[rng.integers(0, 300000, 25000)] = 7
+    cases.append(bytes(a))
+    for data in cases:
+        enc = lzw_encode(data)
+        assert enc == _lzw_encode_per_byte(data)
+        assert lzw_decode(enc) == data
+
+
+# --- glyph pass-2: unique-metric-pair gather vs the direct form ---------------
+
+
+def test_pass2_rows_unique_pair_gather_bit_identical():
+    from dedoc_spark.core import glyph_ocr as g
+
+    bank = g._bank_for_language("rus+eng")
+    if bank is None:
+        pytest.skip("glyph bank not built")
+
+    def direct(dist1_rows, hs_rows, bottoms_rows, S, base_est):
+        size_pen = np.log(hs_rows / np.maximum(bank.h_rel[None, :] * S, 1e-6)) ** 2
+        base_pen = (
+            (bottoms_rows[:, None] - base_est - bank.desc_rel[None, :] * S) / S
+        ) ** 2
+        return dist1_rows + g._W_SIZE * size_pen + g._W_BASE * base_pen
+
+    rng = np.random.default_rng(31)
+    for _ in range(10):
+        m = int(rng.integers(1, 50))
+        dist1 = rng.random((m, bank.grids.shape[0]))
+        hs = np.maximum(rng.integers(1, 60, m).astype(np.float64), 1)[:, None]
+        bottoms = rng.integers(0, 500, m).astype(np.float64)
+        S = float(rng.random() * 50 + 0.01)
+        base = float(rng.random() * 400)
+        a = direct(dist1, hs, bottoms, S, base)
+        b = g._pass2_rows(bank, dist1, hs, bottoms, S, base)
+        assert np.array_equal(a, b)
