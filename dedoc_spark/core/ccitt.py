@@ -119,6 +119,40 @@ for _run, (_v, _n) in _EXT_CODES.items():
 _WHITE_LENGTHS = sorted({n for n, _ in _WHITE_DECODE})
 _BLACK_LENGTHS = sorted({n for n, _ in _BLACK_DECODE})
 
+
+def _build_run_lut(decode: Dict[Tuple[int, int], int]) -> List[Optional[Tuple[int, int]]]:
+    """14-bit window -> (run, code length) for the unique prefix match
+    (the T.4 tables are prefix-free per color, so the windows a code
+    covers never overlap another's); None = no code matches. Replaces
+    the per-length probe loop in _read_run with one list index."""
+    lut: List[Optional[Tuple[int, int]]] = [None] * (1 << 14)
+    for (n, v), run in decode.items():
+        lo = v << (14 - n)
+        for w in range(lo, lo + (1 << (14 - n))):
+            lut[w] = (run, n)
+    return lut
+
+
+_WHITE_LUT = _build_run_lut(_WHITE_DECODE)
+_BLACK_LUT = _build_run_lut(_BLACK_DECODE)
+_WHITE_MAXLEN = _WHITE_LENGTHS[-1]
+_BLACK_MAXLEN = _BLACK_LENGTHS[-1]
+
+# 7-bit window -> (mode, dv, code length); None = EOL candidate (both
+# 12-bit EOLs start 0000000/0000001) or garbage — resolved by peek(12)
+_MODE_LUT: List[Optional[Tuple[str, int, int]]] = [None] * 128
+for _v7, _entry in (
+    [(v, ("v", 0, 1)) for v in range(0b1000000, 0b10000000)]
+    + [(v, ("v", 1, 3)) for v in range(0b0110000, 0b1000000)]
+    + [(v, ("v", -1, 3)) for v in range(0b0100000, 0b0110000)]
+    + [(v, ("h", 0, 3)) for v in range(0b0010000, 0b0100000)]
+    + [(v, ("p", 0, 4)) for v in range(0b0001000, 0b0010000)]
+    + [(v, ("v", 2, 6)) for v in (0b0000110, 0b0000111)]
+    + [(v, ("v", -2, 6)) for v in (0b0000100, 0b0000101)]
+    + [(0b0000011, ("v", 3, 7)), (0b0000010, ("v", -3, 7))]
+):
+    _MODE_LUT[_v7] = _entry
+
 # two-dimensional mode codes (T.4 table 4): value is read MSB-first
 _M_V0 = (0b1, 1)
 _M_VR = {1: (0b011, 3), 2: (0b000011, 6), 3: (0b0000011, 7)}
@@ -163,35 +197,57 @@ class _BitReader:
 
 def _read_run(r: _BitReader, white: bool) -> int:
     """One complete run length: make-up codes accumulate until a
-    terminating (<64) code arrives (T.4 §2.1.2). One windowed peek per
-    code, sliced per candidate length — same prefix-decode order as
-    peeking each length separately (codes are prefix-free)."""
-    table = _WHITE_DECODE if white else _BLACK_DECODE
-    lengths = _WHITE_LENGTHS if white else _BLACK_LENGTHS
+    terminating (<64) code arrives (T.4 §2.1.2). One windowed 14-bit
+    peek indexes the per-color prefix LUT — the unique prefix-free
+    match, same result (and same exhausted/invalid error split) as
+    probing each candidate length in ascending order."""
+    lut = _WHITE_LUT if white else _BLACK_LUT
+    maxlen = _WHITE_MAXLEN if white else _BLACK_MAXLEN
     total = 0
     win = r.win
+    nbits = r.nbits
     while True:
         pos = r.pos
-        avail = r.nbits - pos
+        avail = nbits - pos
         if avail <= 0:
             raise CcittError("bit stream exhausted")
-        bits = (win[pos >> 3] >> (18 - (pos & 7))) & 0x3FFF  # next 14 bits
-        for n in lengths:
-            if n > avail:
+        hit = lut[(win[pos >> 3] >> (18 - (pos & 7))) & 0x3FFF]  # next 14 bits
+        if hit is None:
+            # the ascending-length probe would have hit its first
+            # length > avail before exhausting the candidates
+            if avail < maxlen:
                 raise CcittError("bit stream exhausted")
-            run = table.get((n, bits >> (14 - n)))
-            if run is not None:
-                r.pos = pos + n
-                total += run
-                if run < 64:
-                    return total
-                break
-        else:
             raise CcittError(f"invalid {'white' if white else 'black'} run code at bit {r.pos}")
+        run, n = hit
+        if n > avail:
+            raise CcittError("bit stream exhausted")
+        r.pos = pos + n
+        total += run
+        if run < 64:
+            return total
 
 
 def _read_mode(r: _BitReader) -> Tuple[str, int]:
-    """(mode, vertical offset). EOL (000000000001) reports as ('eol', 0)."""
+    """(mode, vertical offset). EOL (000000000001) reports as ('eol', 0).
+
+    Fast path: every mode code fits 7 bits except EOL, so one windowed
+    7-bit peek resolves the LUT entry (padding zeros beyond the stream
+    are harmless — a matched code longer than the remaining bits cannot
+    occur because the LUT's codes are <= 7 bits and get length-checked,
+    and the None entries fall through to the same peek(12) the
+    sequential probe chain ends with). The sub-7-bit tail keeps the
+    original peek chain for identical exhausted-stream errors."""
+    pos = r.pos
+    if r.nbits - pos >= 7:
+        hit = _MODE_LUT[(r.win[pos >> 3] >> (25 - (pos & 7))) & 0x7F]
+        if hit is not None:
+            mode, dv, n = hit
+            r.pos = pos + n
+            return (mode, dv)
+        if r.peek(12) == 0b000000000001:
+            r.skip(12)
+            return ("eol", 0)
+        raise CcittError(f"invalid 2-D mode code at bit {r.pos}")
     if r.peek(1) == 1:
         r.skip(1)
         return ("v", 0)
@@ -245,7 +301,18 @@ def _decode_2d_row(
         idx = i0 if (i0 & 1) == (0 if color_white else 1) else i0 + 1
         b1 = ref[idx] if idx < nref else columns
         b2 = ref[idx + 1] if idx + 1 < nref else columns
-        mode, dv = _read_mode(r)
+        # inlined _read_mode fast path (single call site; the sub-7-bit
+        # stream tail and EOL both fall back to the full reader)
+        p_ = r.pos
+        hit = (
+            _MODE_LUT[(r.win[p_ >> 3] >> (25 - (p_ & 7))) & 0x7F]
+            if r.nbits - p_ >= 7 else None
+        )
+        if hit is not None:
+            mode, dv, n_ = hit
+            r.pos = p_ + n_
+        else:
+            mode, dv = _read_mode(r)
         if mode == "eol":
             return None, True
         if mode == "p":
