@@ -99,6 +99,22 @@ class GlyphBank:
         self.desc_rel = np.array([e["d"] for e in t], dtype=np.float64)
         self._sq = (self.grids**2).sum(axis=1)
         self._pairs: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
+        self._coarse: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def coarse_index(self, block: int = 4) -> Tuple[np.ndarray, np.ndarray]:
+        """(block x block block-summed template grids, their squared
+        norms) — the projection behind the orientation prune's
+        Cauchy-Schwarz lower bound (see _coarse_conf_ub). block=4 gives
+        the cheap 16-dim level, block=2 the tighter 64-dim level."""
+        hit = self._coarse.get(block)
+        if hit is None:
+            g = GRID // block
+            cg = self.grids.reshape(-1, g, block, g, block).sum(axis=(2, 4))
+            cg = cg.reshape(-1, g * g)
+            hit = self._coarse[block] = (
+                np.ascontiguousarray(cg), (cg**2).sum(axis=1)
+            )
+        return hit
 
     def pair_index(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(unique h_rel values, unique desc_rel values, template -> pair
@@ -129,6 +145,7 @@ class GlyphBank:
         sub.desc_rel = self.desc_rel[keep]
         sub._sq = self._sq[keep]
         sub._pairs = None
+        sub._coarse = {}
         return sub
 
 
@@ -314,7 +331,15 @@ def _match_from_dist1(
     hs = np.maximum(heights, 1)[:, None]
 
     P = min(n - 1, max(4 * k, 64))
-    prune = n > 2 * P
+    # both branches produce identical (indices, distances, S) — the
+    # candidate branch proves itself exact against the full branch — so
+    # the choice is pure dispatch. k == 1 is the orientation scorer:
+    # its junk crops fail the candidate bound en masse and pay
+    # argpartition + candidate penalties + the full fallback anyway;
+    # the straight full pass-2 (cheap since the unique-pair gather)
+    # measured 2-3x faster there. Recognition (k >= 5, mostly clean
+    # crops that pass the bound) keeps the candidate branch.
+    prune = n > 2 * P and k > 1
     if prune:
         part = np.argpartition(dist1, P, axis=1)
         cand = np.sort(part[:, :P], axis=1)  # ascending template index
@@ -1002,7 +1027,10 @@ def _orient_crops(
         ):
             if r1 < r0 or tot < 3:
                 continue
-            crops.append(band[r0 : r1 + 1, c0:c1].astype(np.float64))
+            # boolean VIEW, no copy: the only consumer is _crop_feats,
+            # whose grid_features astypes to float64 itself (0/1 values
+            # identical either way)
+            crops.append(band[r0 : r1 + 1, c0:c1])
             boxes.append((c0, int(r0), c1, int(r1) + 1))
             if len(crops) >= max_glyphs:
                 break
@@ -1022,46 +1050,104 @@ def orientation_confidence(
     return orientation_confidences([mask], language, max_bands, max_glyphs)[0]
 
 
+def _slice_confidence(
+    bank: GlyphBank,
+    feats: np.ndarray,
+    heights: np.ndarray,
+    aspect: np.ndarray,
+    boxes: List[Tuple[int, int, int, int]],
+) -> float:
+    """Exact mean match confidence of one rotation's crop set."""
+    bottoms = np.array([y1 for _, _, _, y1 in boxes], dtype=np.float64)
+    dist1 = _shape_dist(bank, feats, aspect)
+    # exact matching here: orientation compares JUNK scores against
+    # each other on non-text pages (ruled tables), and the top-P
+    # approximation measurably flipped a table page 0 -> 270
+    _, cand_dist, _ = _match_from_dist1(bank, dist1, heights, bottoms, 1)
+    return float(np.mean(np.maximum(0.0, 1.0 - _CONF_SLOPE * cand_dist[:, 0])))
+
+
+def _coarse_conf_ub(
+    bank: GlyphBank,
+    feats: np.ndarray,
+    aspect: np.ndarray,
+    block: int = 4,
+) -> float:
+    """PROVABLE upper bound on _slice_confidence at ~1/block^2 the GEMM
+    cost.
+
+    Per block B of block x block grid cells, Cauchy-Schwarz gives
+    (sum_B (f_i - t_i))^2 <= block^2 * sum_B (f_i - t_i)^2, so summing
+    over the blocks bounds the full 256-cell MSE from below:
+    dist1 >= [sum_B delta_B^2 / block^2] / GRID^2 + aspect penalty, and
+    the pass-2 penalties are non-negative, so every dist2 >= this
+    bound. Confidence is antitone in distance, hence the mean
+    confidence over the crop set is bounded above by the bound's
+    confidence. block=4 is the cheap 16-dim level; block=2 (64-dim)
+    is 4x the cost but tight enough to separate a 180-degree flip of
+    near-symmetric type (digits) from the upright score."""
+    cb, cb_sq = bank.coarse_index(block)
+    g = GRID // block
+    cf = feats.reshape(-1, g, block, g, block).sum(axis=(2, 4)).reshape(-1, g * g)
+    d = cf @ cb.T
+    d *= -2.0
+    d += (cf**2).sum(axis=1)[:, None]
+    d += cb_sq[None, :]
+    d /= float(block * block) * (GRID * GRID)
+    pen = aspect[:, None] - bank.aspect[None, :]
+    np.square(pen, out=pen)
+    pen *= _W_ASPECT
+    d += pen
+    lb = d.min(axis=1)
+    return float(np.mean(np.maximum(0.0, 1.0 - _CONF_SLOPE * lb)))
+
+
+# a pruned rotation is provably below the upright score by more than the
+# prune margin; the sentinel only needs to lose every argmax comparison
+_PRUNED = -1.0
+_PRUNE_MARGIN = 1e-6
+
+
 def orientation_confidences(
     masks: Sequence[np.ndarray], language: str = "rus+eng",
     max_bands: int = 3, max_glyphs: int = 60,
+    prune_vs_first: bool = False,
 ) -> List[float]:
-    """orientation_confidence for several page rotations at once: one
-    bank GEMM over the union of all rotations' glyph crops instead of
-    one per rotation (the template matrix is the expensive operand; the
-    rotations' crop sets are small). Each rotation's band matching then
-    runs on its own slice of the distance matrix."""
+    """orientation_confidence for several page rotations at once.
+
+    ``prune_vs_first=True`` (the detect_orientation caller): the first
+    mask — the upright candidate — is scored exactly, then each other
+    rotation is first bounded from above by the 16x-cheaper coarse
+    projection (_coarse_conf_ub) and skipped with the _PRUNED sentinel
+    when the bound proves it cannot reach the first mask's score (the
+    margin absorbs bound-side float rounding, and a true score inside
+    the margin still loses the argmax to the first mask, so the caller's
+    (argmax, scores[argmax], scores[0]) decision triple is unchanged).
+    Real upright type scores ~0.5-0.9 while its rotations bound well
+    below — the three junk GEMMs vanish; junk-everywhere pages (ruled
+    tables) fail the prune and score exactly as before."""
     bank = _bank_for_language(language)
     if bank is None:
         return [-0.5] * len(masks)
-    all_crops: List[np.ndarray] = []
-    all_boxes: List[Tuple[int, int, int, int]] = []
-    slices: List[Tuple[int, int]] = []
-    for mask in masks:
+    out: List[float] = []
+    first_score: Optional[float] = None
+    for i, mask in enumerate(masks):
         crops, boxes = _orient_crops(mask, max_bands, max_glyphs)
         if len(crops) < 3:
-            slices.append((-1, -1))
-            continue
-        slices.append((len(all_crops), len(all_crops) + len(crops)))
-        all_crops.extend(crops)
-        all_boxes.extend(boxes)
-    if not all_crops:
-        return [-0.5] * len(masks)
-    feats, heights, _, aspect = _crop_feats(all_crops, all_boxes)
-    bottoms = np.array([y1 for _, _, _, y1 in all_boxes], dtype=np.float64)
-    dist1 = _shape_dist(bank, feats, aspect)
-    out: List[float] = []
-    for lo, hi in slices:
-        if lo < 0:
             out.append(-0.5)
-            continue
-        # exact matching here: orientation compares JUNK scores against
-        # each other on non-text pages (ruled tables), and the top-P
-        # approximation measurably flipped a table page 0 -> 270
-        _, cand_dist, _ = _match_from_dist1(
-            bank, dist1[lo:hi], heights[lo:hi], bottoms[lo:hi], 1
-        )
-        out.append(float(np.mean(np.maximum(0.0, 1.0 - _CONF_SLOPE * cand_dist[:, 0]))))
+        else:
+            feats, heights, _, aspect = _crop_feats(crops, boxes)
+            if i and prune_vs_first and first_score is not None and (
+                _coarse_conf_ub(bank, feats, aspect, 4)
+                < first_score - _PRUNE_MARGIN
+                or _coarse_conf_ub(bank, feats, aspect, 2)
+                < first_score - _PRUNE_MARGIN
+            ):
+                out.append(_PRUNED)
+            else:
+                out.append(_slice_confidence(bank, feats, heights, aspect, boxes))
+        if i == 0:
+            first_score = out[0]
     return out
 
 

@@ -378,7 +378,11 @@ def detect_orientation(
         mask = ink_mask(image)
     best_k, best_score = 0, -1.0
     for k in range(4):
-        m = np.rot90(mask, k)
+        # rot90 returns a strided view; the band/run reductions below
+        # walk it many times, and one contiguous copy is cheaper than
+        # repeated cache-hostile strided passes (k=0 is already
+        # contiguous and copies nothing)
+        m = np.ascontiguousarray(np.rot90(mask, k))
         lines = _recognize_block(m, 0, 0, language, max_bands=3, max_glyphs=40)
         glyphs = sum(len(w.text) for _, ws, _ in lines for w in ws)
         if glyphs == 0:
@@ -397,7 +401,9 @@ def detect_orientation(
 
         if glyph_ocr.bank_available():
             scores = glyph_ocr.orientation_confidences(
-                [np.rot90(mask, k) for k in range(4)], language
+                [np.ascontiguousarray(np.rot90(mask, k)) for k in range(4)],
+                language,
+                prune_vs_first=True,
             )
             g = int(np.argmax(scores))
             # the bank must actually READ the winner before its vote
