@@ -70,6 +70,9 @@ def _grid_bounds(n: int) -> Tuple[np.ndarray, np.ndarray]:
     return hit
 
 
+_grid_outer_cache: Dict[Tuple[int, int], np.ndarray] = {}
+
+
 def grid_features(crop: np.ndarray) -> np.ndarray:
     """Float HxW coverage crop (0..1, tight bbox) -> flattened GRIDxGRID
     area-mean vector. Mirrors core/ocr._cell_means at GRID resolution."""
@@ -79,7 +82,10 @@ def grid_features(crop: np.ndarray) -> np.ndarray:
     summed = np.add.reduceat(
         np.add.reduceat(crop.astype(np.float64), rb, axis=0), cb, axis=1
     )
-    return (summed / np.outer(rcounts, ccounts)).reshape(-1)
+    counts = _grid_outer_cache.get((h, w))
+    if counts is None:
+        counts = _grid_outer_cache[(h, w)] = np.outer(rcounts, ccounts)
+    return (summed / counts).reshape(-1)
 
 
 class GlyphBank:
@@ -102,15 +108,22 @@ class GlyphBank:
         self._coarse: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
     def coarse_index(self, block: int = 4) -> Tuple[np.ndarray, np.ndarray]:
-        """(block x block block-summed template grids, their squared
+        """(block x block block-summed template grids with the aspect
+        feature appended as one scaled extra dimension, their squared
         norms) — the projection behind the orientation prune's
         Cauchy-Schwarz lower bound (see _coarse_conf_ub). block=4 gives
-        the cheap 16-dim level, block=2 the tighter 64-dim level."""
+        the cheap 17-dim level, block=2 the tighter 65-dim level. The
+        aspect column is scaled by sqrt(W_ASPECT * block^2 * GRID^2) so
+        the single squared-distance GEMM, divided by block^2 * GRID^2,
+        yields the block-MSE lower bound PLUS the exact aspect penalty
+        in one pass."""
         hit = self._coarse.get(block)
         if hit is None:
             g = GRID // block
             cg = self.grids.reshape(-1, g, block, g, block).sum(axis=(2, 4))
             cg = cg.reshape(-1, g * g)
+            s = float(np.sqrt(_W_ASPECT * block * block * GRID * GRID))
+            cg = np.concatenate([cg, (self.aspect * s)[:, None]], axis=1)
             hit = self._coarse[block] = (
                 np.ascontiguousarray(cg), (cg**2).sum(axis=1)
             )
@@ -1083,23 +1096,44 @@ def _coarse_conf_ub(
     the pass-2 penalties are non-negative, so every dist2 >= this
     bound. Confidence is antitone in distance, hence the mean
     confidence over the crop set is bounded above by the bound's
-    confidence. block=4 is the cheap 16-dim level; block=2 (64-dim)
+    confidence. block=4 is the cheap 17-dim level; block=2 (65-dim)
     is 4x the cost but tight enough to separate a 180-degree flip of
-    near-symmetric type (digits) from the upright score."""
+    near-symmetric type (digits) from the upright score. The aspect
+    penalty rides the same GEMM as a scaled extra dimension (see
+    coarse_index), so no separate (m, n) penalty pass is needed."""
+    return _coarse_conf_ubs(bank, [(feats, aspect)], block)[0]
+
+
+def _coarse_conf_ubs(
+    bank: GlyphBank,
+    slices: Sequence[Tuple[np.ndarray, np.ndarray]],
+    block: int = 4,
+) -> List[float]:
+    """_coarse_conf_ub for several crop sets in ONE bank GEMM — small
+    skinny GEMMs pay a fixed BLAS dispatch/thread-sync cost each, and
+    the rotations' crop sets are tiny next to the template matrix."""
     cb, cb_sq = bank.coarse_index(block)
     g = GRID // block
-    cf = feats.reshape(-1, g, block, g, block).sum(axis=(2, 4)).reshape(-1, g * g)
-    d = cf @ cb.T
+    s = float(np.sqrt(_W_ASPECT * block * block * GRID * GRID))
+    cfs = []
+    for feats, aspect in slices:
+        cf = feats.reshape(-1, g, block, g, block).sum(axis=(2, 4)).reshape(-1, g * g)
+        cfs.append(np.concatenate([cf, (aspect * s)[:, None]], axis=1))
+    cf_all = np.concatenate(cfs, axis=0) if len(cfs) > 1 else cfs[0]
+    d = cf_all @ cb.T
     d *= -2.0
-    d += (cf**2).sum(axis=1)[:, None]
+    d += (cf_all**2).sum(axis=1)[:, None]
     d += cb_sq[None, :]
     d /= float(block * block) * (GRID * GRID)
-    pen = aspect[:, None] - bank.aspect[None, :]
-    np.square(pen, out=pen)
-    pen *= _W_ASPECT
-    d += pen
     lb = d.min(axis=1)
-    return float(np.mean(np.maximum(0.0, 1.0 - _CONF_SLOPE * lb)))
+    conf = np.maximum(0.0, 1.0 - _CONF_SLOPE * lb)
+    out: List[float] = []
+    off = 0
+    for feats, _ in slices:
+        m = feats.shape[0]
+        out.append(float(np.mean(conf[off : off + m])))
+        off += m
+    return out
 
 
 # a pruned rotation is provably below the upright score by more than the
@@ -1129,26 +1163,42 @@ def orientation_confidences(
     bank = _bank_for_language(language)
     if bank is None:
         return [-0.5] * len(masks)
-    out: List[float] = []
-    first_score: Optional[float] = None
-    for i, mask in enumerate(masks):
+    entries: List[Optional[Tuple]] = []
+    for mask in masks:
         crops, boxes = _orient_crops(mask, max_bands, max_glyphs)
         if len(crops) < 3:
-            out.append(-0.5)
+            entries.append(None)
         else:
             feats, heights, _, aspect = _crop_feats(crops, boxes)
-            if i and prune_vs_first and first_score is not None and (
-                _coarse_conf_ub(bank, feats, aspect, 4)
-                < first_score - _PRUNE_MARGIN
-                or _coarse_conf_ub(bank, feats, aspect, 2)
-                < first_score - _PRUNE_MARGIN
-            ):
-                out.append(_PRUNED)
-            else:
-                out.append(_slice_confidence(bank, feats, heights, aspect, boxes))
-        if i == 0:
-            first_score = out[0]
-    return out
+            entries.append((feats, heights, aspect, boxes))
+    out: List[Optional[float]] = [
+        -0.5 if e is None else None for e in entries
+    ]
+    if out[0] is None:
+        out[0] = _slice_confidence(bank, *entries[0])
+    pending = [i for i in range(1, len(entries)) if out[i] is None]
+    # bounds are >= 0, so they can only prune against a positive
+    # first-mask score; skip the bound GEMMs entirely otherwise
+    if prune_vs_first and pending and out[0] > _PRUNE_MARGIN:
+        # one batched bound GEMM per level, coarsest first
+        for block in (4, 2):
+            if not pending:
+                break
+            ubs = _coarse_conf_ubs(
+                bank,
+                [(entries[i][0], entries[i][2]) for i in pending],
+                block,
+            )
+            still: List[int] = []
+            for i, ub in zip(pending, ubs):
+                if ub < out[0] - _PRUNE_MARGIN:
+                    out[i] = _PRUNED
+                else:
+                    still.append(i)
+            pending = still
+    for i in pending:
+        out[i] = _slice_confidence(bank, *entries[i])
+    return out  # type: ignore[return-value]
 
 
 def recognize_block(

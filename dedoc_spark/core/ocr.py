@@ -213,6 +213,7 @@ def _runs(profile: np.ndarray, min_gap: int = 1) -> List[Tuple[int, int]]:
 
 
 _cell_bounds_cache: dict = {}
+_cell_outer_cache: dict = {}
 
 
 def _cell_bounds(n: int):
@@ -243,7 +244,10 @@ def _cell_means(crop: np.ndarray) -> np.ndarray:
     rb, rcounts = _cell_bounds(h)
     cb, ccounts = _cell_bounds(w)
     summed = np.add.reduceat(np.add.reduceat(crop.astype(np.float64), rb, axis=0), cb, axis=1)
-    return summed / np.outer(rcounts, ccounts)
+    counts = _cell_outer_cache.get((h, w))
+    if counts is None:
+        counts = _cell_outer_cache[(h, w)] = np.outer(rcounts, ccounts)
+    return summed / counts
 
 
 def _match_glyphs(bitmaps: np.ndarray, language: str) -> Tuple[str, np.ndarray]:
