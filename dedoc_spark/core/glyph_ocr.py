@@ -1063,6 +1063,22 @@ def orientation_confidence(
     return orientation_confidences([mask], language, max_bands, max_glyphs)[0]
 
 
+def _match_confidence(
+    bank: GlyphBank,
+    dist1: np.ndarray,
+    heights: np.ndarray,
+    boxes: List[Tuple[int, int, int, int]],
+) -> float:
+    """Exact mean match confidence of one rotation's crop set given its
+    pass-1 distance rows. Exact matching here: orientation compares
+    JUNK scores against each other on non-text pages (ruled tables),
+    and the top-P approximation measurably flipped a table page
+    0 -> 270."""
+    bottoms = np.array([y1 for _, _, _, y1 in boxes], dtype=np.float64)
+    _, cand_dist, _ = _match_from_dist1(bank, dist1, heights, bottoms, 1)
+    return float(np.mean(np.maximum(0.0, 1.0 - _CONF_SLOPE * cand_dist[:, 0])))
+
+
 def _slice_confidence(
     bank: GlyphBank,
     feats: np.ndarray,
@@ -1071,13 +1087,9 @@ def _slice_confidence(
     boxes: List[Tuple[int, int, int, int]],
 ) -> float:
     """Exact mean match confidence of one rotation's crop set."""
-    bottoms = np.array([y1 for _, _, _, y1 in boxes], dtype=np.float64)
-    dist1 = _shape_dist(bank, feats, aspect)
-    # exact matching here: orientation compares JUNK scores against
-    # each other on non-text pages (ruled tables), and the top-P
-    # approximation measurably flipped a table page 0 -> 270
-    _, cand_dist, _ = _match_from_dist1(bank, dist1, heights, bottoms, 1)
-    return float(np.mean(np.maximum(0.0, 1.0 - _CONF_SLOPE * cand_dist[:, 0])))
+    return _match_confidence(
+        bank, _shape_dist(bank, feats, aspect), heights, boxes
+    )
 
 
 def _coarse_conf_ub(
@@ -1140,26 +1152,37 @@ def _coarse_conf_ubs(
 # prune margin; the sentinel only needs to lose every argmax comparison
 _PRUNED = -1.0
 _PRUNE_MARGIN = 1e-6
+# level-2 bounds tighten level-4 ones by roughly this much at most on
+# real pages; farther gaps go straight to the exact evaluation
+_L2_GAP = 0.20
 
 
 def orientation_confidences(
     masks: Sequence[np.ndarray], language: str = "rus+eng",
     max_bands: int = 3, max_glyphs: int = 60,
     prune_vs_first: bool = False,
+    override_floor: Optional[float] = None,
 ) -> List[float]:
     """orientation_confidence for several page rotations at once.
 
     ``prune_vs_first=True`` (the detect_orientation caller): the first
     mask — the upright candidate — is scored exactly, then each other
-    rotation is first bounded from above by the 16x-cheaper coarse
-    projection (_coarse_conf_ub) and skipped with the _PRUNED sentinel
-    when the bound proves it cannot reach the first mask's score (the
-    margin absorbs bound-side float rounding, and a true score inside
-    the margin still loses the argmax to the first mask, so the caller's
-    (argmax, scores[argmax], scores[0]) decision triple is unchanged).
-    Real upright type scores ~0.5-0.9 while its rotations bound well
-    below — the three junk GEMMs vanish; junk-everywhere pages (ruled
-    tables) fail the prune and score exactly as before."""
+    rotation is first bounded from above by the cheaper coarse
+    projections (_coarse_conf_ubs, 4x4 then 2x2 blocks) and skipped
+    with the _PRUNED sentinel when the bound proves it cannot reach the
+    first mask's score (the margin absorbs bound-side float rounding,
+    and a true score inside the margin still loses the argmax to the
+    first mask, so the caller's (argmax, scores[argmax], scores[0])
+    decision triple is unchanged). Real upright type scores ~0.5-0.9
+    while its rotations bound well below — the three junk GEMMs vanish.
+
+    ``override_floor`` (the caller's minimum score for the glyph vote
+    to matter, 0.35 in detect_orientation): when EVERY rotation's upper
+    bound lands under the floor, no exact score is needed at all — the
+    caller's `scores[argmax] >= floor` test fails for any argmax — so
+    all rotations return _PRUNED without touching the full bank. This
+    is the junk-everywhere page (ruled tables, photos), which
+    previously paid four exact GEMMs to learn what the bounds prove."""
     bank = _bank_for_language(language)
     if bank is None:
         return [-0.5] * len(masks)
@@ -1174,30 +1197,77 @@ def orientation_confidences(
     out: List[Optional[float]] = [
         -0.5 if e is None else None for e in entries
     ]
+    live = [i for i in range(len(entries)) if entries[i] is not None]
+    ub: Dict[int, float] = {}  # tightest bound computed so far
+    lvl: Dict[int, int] = {}  # block size of that bound (4 coarsest)
+    if override_floor is not None and live:
+        # cheapest level only: when it clears every rotation the save is
+        # ~4 exact GEMMs; when it cannot (most text pages) the overhead
+        # stays one skinny GEMM, and the bounds are reused below
+        thr = override_floor - _PRUNE_MARGIN
+        ubs = _coarse_conf_ubs(
+            bank, [(entries[i][0], entries[i][2]) for i in live], 4
+        )
+        for i, u in zip(live, ubs):
+            ub[i] = u
+            lvl[i] = 4
+        if all(u < thr for u in ubs):
+            for i in live:
+                out[i] = _PRUNED
+            return out  # type: ignore[return-value]
     if out[0] is None:
         out[0] = _slice_confidence(bank, *entries[0])
     pending = [i for i in range(1, len(entries)) if out[i] is None]
     # bounds are >= 0, so they can only prune against a positive
     # first-mask score; skip the bound GEMMs entirely otherwise
     if prune_vs_first and pending and out[0] > _PRUNE_MARGIN:
-        # one batched bound GEMM per level, coarsest first
+        s_thr = out[0] - _PRUNE_MARGIN
+        # one batched bound GEMM per level, coarsest first, reusing any
+        # bounds the override-floor phase already computed. The 4x-
+        # costlier level 2 runs only when level 4 came close (within
+        # _L2_GAP of the threshold) — a pure speed dispatch: skipping a
+        # level can only turn a prune into an exact score, never the
+        # reverse, so the returned decision triple is unchanged.
         for block in (4, 2):
-            if not pending:
-                break
-            ubs = _coarse_conf_ubs(
-                bank,
-                [(entries[i][0], entries[i][2]) for i in pending],
-                block,
-            )
-            still: List[int] = []
-            for i, ub in zip(pending, ubs):
-                if ub < out[0] - _PRUNE_MARGIN:
+            nxt: List[int] = []
+            todo: List[int] = []
+            for i in pending:
+                u = ub.get(i)
+                if u is not None and u < s_thr:
                     out[i] = _PRUNED
+                elif lvl.get(i, 8) > block and (
+                    block == 4 or u is None or u - s_thr <= _L2_GAP
+                ):
+                    todo.append(i)
                 else:
-                    still.append(i)
-            pending = still
-    for i in pending:
-        out[i] = _slice_confidence(bank, *entries[i])
+                    nxt.append(i)
+            if todo:
+                ubs = _coarse_conf_ubs(
+                    bank, [(entries[i][0], entries[i][2]) for i in todo], block
+                )
+                for i, u in zip(todo, ubs):
+                    ub[i] = u
+                    lvl[i] = block
+                    if u < s_thr:
+                        out[i] = _PRUNED
+                    else:
+                        nxt.append(i)
+            pending = nxt
+    if pending:
+        # all surviving slices share ONE bank GEMM (the template matrix
+        # is the expensive operand; per-slice skinny GEMMs each pay a
+        # BLAS dispatch/thread-sync cost), then match per slice
+        feats_u = np.concatenate([entries[i][0] for i in pending], axis=0)
+        aspect_u = np.concatenate([entries[i][2] for i in pending], axis=0)
+        dist1_u = _shape_dist(bank, feats_u, aspect_u)
+        off = 0
+        for i in pending:
+            feats_i, heights_i, _aspect_i, boxes_i = entries[i]
+            m = feats_i.shape[0]
+            out[i] = _match_confidence(
+                bank, dist1_u[off : off + m], heights_i, boxes_i
+            )
+            off += m
     return out  # type: ignore[return-value]
 
 

@@ -408,6 +408,9 @@ def detect_orientation(
                 [np.ascontiguousarray(np.rot90(mask, k)) for k in range(4)],
                 language,
                 prune_vs_first=True,
+                # the 0.35 readability floor below: rotations that
+                # provably cannot reach it need no exact score
+                override_floor=0.35,
             )
             g = int(np.argmax(scores))
             # the bank must actually READ the winner before its vote
