@@ -532,6 +532,13 @@ def _refine_runs(
     columns [x0, x1) — produced by the SEAM fallback for pairs that
     overlap horizontally (the serif f-hood reaches over 'o', so no
     straight column separates them; a min-ink connected seam does)."""
+    # the whole-run scores feed only the split logic (width-gated) and
+    # its noise floor: a band whose runs are ALL too narrow to try
+    # splitting — every clean proportional-type line — never reads
+    # them, so skip the bank GEMM outright
+    min_try_w = max(6, _SPLIT_TRY_W * S)
+    if all(b - a < min_try_w for a, b in col_runs):
+        return [(a, b, None) for a, b in col_runs]
     whole_d, _ = _seg_dists(band, col_runs, bank)
     # page-quality noise floor: on a degraded scan EVERY distance is
     # inflated by a shared offset, which double-counts in a sum-cost
